@@ -1,0 +1,104 @@
+"""Changelog algebra: upsert-table materialization and
+changelog-correct aggregates.
+
+This is the one genuinely custom piece of execution semantics in the
+reference (SURVEY.md §4.2): a Flink *upsert table*
+(`PRIMARY KEY … NOT ENFORCED` over a Pulsar changelog,
+StreamingJobWithCustomDeserializer.java:156-174) makes
+``SELECT schema, COUNT(1) … GROUP BY schema``
+(StreamingJobWithCustomDeserializer.java:194) count *live keys*, so
+re-emitting an existing key (update) must not double count
+(README.md:108-114: 3 inserts + 2 updates ⇒ counts 2 and 1).
+
+Spark has no changelog tables, so we materialize explicitly:
+
+- ``compact_latest``: latest row per key. Implemented with
+  ``max_by(struct(payload), struct(seq))`` — a hash aggregation with
+  map-side partial combine, ONE shuffle keyed by the upsert key and no
+  per-partition sort. At 100 TB this beats the classic
+  ``row_number() OVER (PARTITION BY key ORDER BY seq DESC) = 1``
+  window (shuffle + full sort per key group) while producing identical
+  rows as long as ``seq`` is a total order (pass tiebreaker columns).
+- tombstones: rows whose op column is ``'d'`` are dropped *after*
+  compaction (delete wins if it is the latest event for the key) —
+  the delete semantics the reference leaves untested (README.md:143).
+- ``count_live_by``: compaction + grouped count = the reference's
+  streaming aggregate, batch-evaluated.
+- ``changelog_diff``: add/retract rows between two states — batch
+  analog of Flink's ``toRetractStream``
+  (StreamingJobWithCustomDeserializer.java:178-180, commented there).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: tombstone op code (Debezium delete)
+DELETE_OP = "d"
+
+
+def compact_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str | None = None,
+    drop_deletes: bool = True,
+) -> DataFrame:
+    """Latest row per key: last-write-wins over ``seq_cols`` (lexicographic;
+    include a unique tiebreaker for determinism).
+
+    Output columns = input columns, one row per live key.
+    """
+    payload = [c for c in df.columns]
+    ranked = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(s) for s in seq_cols]),
+        ).alias("_latest")
+    )
+    out = ranked.select(*[F.col(f"_latest.{c}").alias(c) for c in payload])
+    if op_col is not None and drop_deletes:
+        out = out.filter(F.col(op_col) != F.lit(DELETE_OP))
+    return out
+
+
+def count_live_by(
+    df: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str | None = None,
+    count_alias: str = "user_count",
+) -> DataFrame:
+    """Changelog-correct grouped count: COUNT of live keys per group
+    (the reference's `SELECT schema, COUNT(1) AS user_count … GROUP BY
+    schema` over an upsert table, StreamingJobWithCustomDeserializer.java:194).
+
+    Group membership of a key is decided by its LATEST row (an update
+    that moves a key between groups counts in the new group only).
+    """
+    live = compact_latest(df, key_cols, seq_cols, op_col=op_col)
+    return live.groupBy(*[F.col(g) for g in group_cols]).agg(F.count(F.lit(1)).alias(count_alias))
+
+
+def changelog_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key_cols: list[str],
+    change_col: str = "change",
+) -> DataFrame:
+    """Retract-stream analog: rows to retract (-1) and add (+1) to turn
+    state ``before`` into state ``after``. Full-row comparison; both
+    inputs must share a schema. One shuffle (union + group by all
+    columns)."""
+    cols = before.columns
+    b = before.select(*cols).withColumn("_w", F.lit(-1))
+    a = after.select(*cols).withColumn("_w", F.lit(1))
+    return (
+        b.unionByName(a)
+        .groupBy(*cols)
+        .agg(F.sum("_w").alias("_net"))
+        .filter(F.col("_net") != 0)
+        .select(*cols, F.when(F.col("_net") > 0, F.lit("add")).otherwise(F.lit("retract")).alias(change_col))
+    )

@@ -1,0 +1,221 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Scale design: every signature is computed as a pure column expression
+(higher-order functions + the JVM-side ``xxhash64``) — a narrow map
+over the scan with NO Python and NO shuffle. The only shuffles are the
+ones the algorithms fundamentally need: one hash aggregation for exact
+dedup, one (band-key) self-join for LSH candidate generation, one
+(shingle-key) self-join for exact Jaccard. At 100 TB the band/shingle
+joins are the standard scalable formulation (bucket keys distribute;
+hot shingles can be frequency-capped).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import tokens
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash groupBy: one representative (min id) per
+    distinct text + duplicate count. Output: text_fp, keep_{id}, n_copies."""
+    return (
+        df.groupBy(F.col(text_col))
+        .agg(F.min(F.col(id_col)).alias(f"keep_{id_col}"), F.count(F.lit(1)).alias("n_copies"))
+        .select(F.md5(F.col(text_col)).alias("text_fp"), f"keep_{id_col}", "n_copies")
+    )
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct n-gram token shingles of a text column (array<string>).
+    Pure expression: split → sliding concat via transform(sequence)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def minhash_signature(text_col: Column, num_hashes: int = 32, n: int = 3) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) over
+    n-gram shingles. Hash family: ``xxhash64(shingle, seed_k)`` — all
+    JVM-side, no UDF. Empty shingle sets get Long.MaxValue sentinels."""
+    sh = shingles(text_col, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.coalesce(
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, k))),
+            F.lit(9223372036854775807),
+        ),
+    )
+
+
+def minhash_bands(sig_col: Column, bands: int, rows: int) -> Column:
+    """LSH band keys: hash each contiguous ``rows``-slice of the
+    signature → array<bigint> of ``bands`` bucket keys."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.concat_ws(",", F.slice(sig_col, b * rows + 1, rows)), b),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    Plan shape: signature map → explode band keys → self-join on
+    (band_index, band_hash) → dedupe candidate pairs → estimate
+    Jaccard as the fraction of agreeing minhashes → threshold.
+    Output: id_a, id_b, est_jaccard (id_a < id_b).
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"), minhash_signature(F.col(text_col), num_hashes).alias("_sig")
+    )
+    banded = sig.select(
+        "_id", "_sig", F.posexplode(minhash_bands(F.col("_sig"), bands, rows)).alias("_band", "_bh")
+    )
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_band", "_bh"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "_band", "_bh"
+    )
+    pairs = (
+        left.join(right, ["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    est = (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard")
+    return (
+        pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def simhash64(text_col: Column, n: int = 1) -> Column:
+    """64-bit SimHash over token n-grams (n=1 → tokens), as bigint.
+
+    For each bit position, sum ±1 over feature hashes and take the
+    sign — expressed as a fold over the shingle array (aggregate),
+    entirely JVM-side, no shuffle.
+    """
+    feats = shingles(text_col, n) if n > 1 else F.array_distinct(tokens(text_col))
+    hashes = F.transform(feats, lambda s: F.xxhash64(s))
+    zeros = F.array_repeat(F.lit(0), 64)
+    # shiftright/shiftleft take Python-int bit counts, so the 64 bit
+    # positions are unrolled host-side into array literals.
+    counts = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1 for i in range(64)]),
+            lambda a, b: a + b,
+        ),
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(counts, i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 16,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with block-key LSH: split the 64-bit
+    signature into ``blocks`` bands; pairs within hamming radius that
+    agree on at least one full band are found by band-key self-join
+    (guaranteed complete for max_hamming < blocks by pigeonhole).
+    Output: id_a, id_b, hamming."""
+    width = 64 // blocks
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig"))
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sig"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("long")
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("_band", "_bh"),
+    )
+    left = banded.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_band", "_bh")
+    right = banded.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "_band", "_bh")
+    return (
+        left.join(right, ["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.1,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs (the ground truth the
+    MinHash estimate approximates). Shingle-key self-join counts
+    intersections; set sizes come from a pre-aggregation.
+    Output: id_a, id_b, jaccard (≥ threshold, id_a < id_b)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,111 @@
+"""Multimodal column support: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas
+iterators (``mapInPandas``).
+
+The decode step is STUBBED (image/audio libraries are not in this
+container): ``decode_images`` ships a deterministic fake decoder and a
+clearly-marked real path that raises NotImplementedError. The
+Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
+shape — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: typed metadata attached to every media payload
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),   # image | audio | video
+        StructField("format", StringType()),       # e.g. png, wav, mp4
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),     # md5 hex of payload
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text", media_type: str = "image") -> DataFrame:
+    """Model a multimodal table: pack a deterministic binary payload
+    (UTF-8 bytes of the text — a stand-in for real media bytes) plus a
+    typed metadata struct. Pure column expressions."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit("raw").alias("format"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+    return df.withColumn("payload", payload.cast(BinaryType())).withColumn("media_meta", meta)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decoder: derives (width, height, n_frames)
+    from payload length/content. Replace with PIL/ffmpeg when present."""
+    n = len(payload)
+    w = 16 + (n % 64)
+    h = 16 + ((n // 64) % 64)
+    frames = 1 + (payload[0] % 4 if n else 0)
+    return w, h, frames
+
+
+def decode_media(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """Decode/feature-extract media payloads via ``mapInPandas``
+    (Arrow-batched; one Python worker per partition — the standard
+    shape for CPU-bound per-item media work at scale).
+
+    Input needs columns: doc_id, payload(binary), media_meta(struct).
+    Output: DECODED_SCHEMA.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_decoder:
+                raise NotImplementedError(
+                    "real media decoding requires PIL/ffmpeg, not present in this container"
+                )
+            decoded = [_fake_decode(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["media_type"] for m in pdf["media_meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["media_meta"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select("doc_id", "payload", "media_meta").mapInPandas(run, DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: expand each decoded video row into its
+    sampled frame indexes (explode of a JVM-generated sequence — the
+    expansion itself never touches Python)."""
+    return df.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))),
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Baseline: brute-force cosine top-k with the query set broadcast (the
+probe side streams; no shuffle of the corpus). Scale path: sign-LSH
+(random hyperplane) bucketing so candidate generation is a bucket-key
+join instead of a full cross product.
+
+All dot products / norms are higher-order-function column expressions
+(`zip_with` + `aggregate`) evaluated JVM-side in double precision —
+no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, summed in array order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the corpus; per-query top-k via window rank with unique tiebreaker.
+    Output: qid, vec_id, sim, rank. Excludes self-matches."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
+    )
+    scored = (
+        corpus.join(q, F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), round_digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.select(
+        query_id_col, id_col, "sim", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+
+
+def _lsh_weight(bit: int, i: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1):
+    derived from xxhash64(dim_index, bit) — reproducible everywhere."""
+    h = F.xxhash64(i, F.lit(bit))
+    return (F.pmod(h, F.lit(2000)).cast("double") - F.lit(1000.0)) / F.lit(1000.0)
+
+
+def sign_lsh_signature(vec: Column, bits: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (long): bit b = sign(v · w_b)
+    where w_b is a deterministic pseudo-random hyperplane."""
+    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    def bit_term(b: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(vec, dim_idx, lambda x, i: x.cast("double") * _lsh_weight(b, i)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(bit_term(b))
+    return sig
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket
+    (equi-join on bucket id — shuffles scale with bucket sizes, not
+    |corpus|×|queries|). Recall is tunable via ``bits``.
+    Output: qid, vec_id, sim, rank."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), sign_lsh_signature(F.col(vec_col), bits).alias("_bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        sign_lsh_signature(F.col(vec_col), bits).alias("_bucket"),
+    )
+    scored = (
+        c.join(q, "_bucket")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.select(query_id_col, id_col, "sim", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing (near
+    duplicates almost surely share the bucket). Output: id_a, id_b, sim."""
+    sig = df.select(
+        F.col(id_col), F.col(vec_col), sign_lsh_signature(F.col(vec_col), bits).alias("_bucket")
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_bucket")
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_bucket")
+    )
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= min_cosine)
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token counting, quality scoring, language ID, document
+fingerprinting.
+
+All pure column expressions (whole-stage codegen; zero Python in the
+hot path, zero shuffles — every operator here is a narrow map over the
+documents scan). Generalizes the reference's only text operator, the
+word-count Splitter flatMap (StreamingJob.java:105-112).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+#: whitespace tokenizer (lowercased)
+def tokens(col: Column) -> Column:
+    return F.split(F.lower(col), r"\s+")
+
+
+#: BPE-ish pre-token pattern: letter runs, digit runs, single symbols.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword marker sets for the n-gram/stopword
+#: language-ID heuristic (deterministic, shared with the SQL oracle).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts per document."""
+    t = F.col(text_col)
+    return df.withColumn("n_ws_tokens", F.size(tokens(t))).withColumn(
+        "n_bpe_tokens", F.size(F.regexp_extract_all(t, F.lit(BPE_PATTERN), 0))
+    )
+
+
+def _count_in(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda w: w.isin(words)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, token stats, punctuation and
+    stopword ratios, and a linear quality score.
+
+    Deliberately UNROUNDED raw doubles: per-row arithmetic with a fixed
+    operation order is bit-reproducible across engines, whereas
+    `round(double, n)` is not (Spark rounds the shortest decimal repr,
+    DuckDB a 15-significant-digit repr — they disagree at midpoints).
+    No transcendental functions for the same reason."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_stop = _count_in(toks, EN_STOPWORDS)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    df = (
+        df.withColumn("n_chars_calc", F.length(t))
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_stop", n_stop)
+        .withColumn("stop_ratio", n_stop.cast("double") / n_tok)
+        .withColumn("punct_ratio", n_punct.cast("double") / F.length(t))
+    )
+    score = (
+        F.lit(0.5) * F.least(F.col("n_tokens").cast("double") / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(F.col("stop_ratio") * F.lit(10.0), F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.col("punct_ratio") * F.lit(5.0), F.lit(1.0)))
+    )
+    return df.withColumn("quality_score", score)
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language marker-hit counts + deterministic argmax prediction
+    (fixed en>de>es>fr tie order, mirrored exactly in the SQL oracle)."""
+    toks = tokens(F.col(text_col))
+    for lang, markers in LANG_MARKERS.items():
+        df = df.withColumn(f"s_{lang}", _count_in(toks, markers))
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), F.lit("de"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text
+    (stable across engines; md5 chosen over xxhash64 because the
+    DuckDB oracle has it too)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(F.trim(norm)))

@@ -1,0 +1,74 @@
+"""Deduplication queries (§7.4 extensions) over `documents`.
+
+`dedup_exact` and `dedup_ngram_jaccard` have full SQL oracles (the
+exact-Jaccard self-join is plain SQL). MinHash/SimHash signatures use
+xxhash64, which DuckDB lacks → rows-only oracle per the driver
+contract.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import (
+    dedup_exact,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_fp, MIN(doc_id) AS keep_doc_id, COUNT(1) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per distinct text."""
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS _id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents))),
+    sizes AS (SELECT _id, COUNT(1) AS n_sh FROM sh GROUP BY _id),
+    inter AS (
+      SELECT a._id AS id_a, b._id AS id_b, COUNT(1) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a._id < b._id
+      GROUP BY a._id, b._id)
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa._id = id_a
+    JOIN sizes sb ON sb._id = id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (shingle-key self-join)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), min_jaccard=0.1)
+
+
+@register("dedup_minhash")  # xxhash64 signatures → rows-only oracle
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (est. Jaccard ≥ 0.3)."""
+    return minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), min_est_jaccard=0.3
+    )
+
+
+@register("dedup_simhash")  # xxhash64 signatures → rows-only oracle
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming radius 12 (band LSH)."""
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=12)

@@ -1,0 +1,400 @@
+"""Queries covering the reference's own operator surface (SURVEY.md §2).
+
+The `events` table is treated as a changelog — key=`user_id`,
+seq=(`ts`,`event_id`), op derived from `event_type` — per the
+FIXTURES.md §C operator↔query map. CDC-envelope queries synthesize a
+real Debezium JSON envelope in-query (so `from_json` parsing, struct
+navigation, projection and demux are genuinely exercised) and the
+DuckDB oracle computes the equivalent relational result directly.
+
+Timestamps are emitted as epoch microseconds (`unix_micros` /
+DuckDB `epoch_us`) so value hashes are timezone-independent; double
+aggregates are rounded to 3 decimals on both sides to absorb
+floating-point summation-order differences.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import (
+    compact_latest,
+    count_live_by,
+    changelog_diff,
+    parse_cdc,
+    project_flat,
+    with_key,
+)
+from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table, register_views
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
+
+#: users row schema (FIXTURES.md A1: id BIGSERIAL, full_name VARCHAR)
+USERS_ROW_SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("full_name", StringType())]
+)
+
+#: shared op-code mapping used by the CDC-synthesis queries and their
+#: oracles: click/signup→c, purchase→u, view→r (snapshot), error→d.
+_OP_SQL = (
+    "CASE WHEN event_type IN ('click','signup') THEN 'c' "
+    "WHEN event_type = 'purchase' THEN 'u' "
+    "WHEN event_type = 'view' THEN 'r' ELSE 'd' END"
+)
+
+#: oracle-side flat CDC stream (the relational equivalent of
+#: synth_cdc_stream → parse_cdc → project_flat → with_key).
+_FLAT_CDC_SQL = f"""
+    SELECT {_OP_SQL} AS op,
+           'schema' || CAST(user_id % 4 + 1 AS VARCHAR) AS pgschema,
+           'users' AS tbl,
+           epoch_ms(ts) AS ts_ms,
+           event_id AS lsn,
+           user_id AS id,
+           props AS full_name
+    FROM events
+"""
+
+
+def _op_col() -> F.Column:
+    return (
+        F.when(F.col("event_type").isin("click", "signup"), F.lit("c"))
+        .when(F.col("event_type") == "purchase", F.lit("u"))
+        .when(F.col("event_type") == "view", F.lit("r"))
+        .otherwise(F.lit("d"))
+    )
+
+
+def synth_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically render `events` rows as Debezium JSON envelopes
+    (one string column `value`) — the wire format the reference's
+    deserializer consumes (StreamingJobWithCustomDeserializer.java:234).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    op = _op_col()
+    pgschema = F.concat(F.lit("schema"), (F.col("user_id") % 4 + 1).cast("string"))
+    row = F.struct(F.col("user_id").alias("id"), F.col("props").alias("full_name"))
+    ts_ms = F.unix_millis(F.col("ts"))
+    env = F.struct(
+        F.when(op.isin("u", "d"), row).alias("before"),
+        F.when(op != F.lit("d"), row).alias("after"),
+        F.struct(
+            F.lit("1.4.0").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("dbserver1").alias("name"),
+            ts_ms.alias("ts_ms"),
+            F.lit("experiment").alias("db"),
+            pgschema.alias("schema"),
+            F.lit("users").alias("table"),
+            F.col("event_id").alias("txId"),
+            F.col("event_id").alias("lsn"),
+        ).alias("source"),
+        op.alias("op"),
+        ts_ms.alias("ts_ms"),
+    )
+    return ev.select(F.to_json(env).alias("value"))
+
+
+def _flat_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse → project(users) → key: the S3+T1+T2+T3 chain."""
+    parsed = parse_cdc(synth_cdc_stream(spark, sf_dir), USERS_ROW_SCHEMA)
+    users = project_flat(parsed, "users", ["id", "full_name"])
+    return with_key(users, "schema", "id")
+
+
+# ---------------------------------------------------------------- T1/T2
+
+@register(
+    "project_filter",
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'click'",
+)
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 projection + T2 predicate dispatch (deserializer field
+    selection, StreamingJobWithCustomDeserializer.java:247-263)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "value")
+
+
+# ------------------------------------------------------------------- T3
+
+@register(
+    "derived_key",
+    "SELECT concat_ws('|', event_type, CAST(user_id AS VARCHAR)) AS key, event_id FROM events",
+)
+def derived_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 composite upsert key `{schema}|{id}`
+    (StreamingJobWithCustomDeserializer.java:284)."""
+    ev = load_table(spark, sf_dir, "events")
+    return with_key(ev, "event_type", "user_id").select("key", "event_id")
+
+
+# ------------------------------------------------------------------- T4
+
+@register(
+    "union_schemas",
+    """
+    SELECT 'schema1' AS pgschema, event_id, user_id FROM events WHERE user_id % 2 = 0
+    UNION ALL
+    SELECT 'schema2' AS pgschema, event_id, user_id FROM events WHERE user_id % 2 = 1
+    """,
+)
+def union_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 union of homogeneous per-pg-schema streams
+    (StreamingJob.java:78-79; 'merging tables logically')."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = ev.filter(F.col("user_id") % 2 == 0).select(
+        F.lit("schema1").alias("pgschema"), "event_id", "user_id"
+    )
+    s2 = ev.filter(F.col("user_id") % 2 == 1).select(
+        F.lit("schema2").alias("pgschema"), "event_id", "user_id"
+    )
+    return s1.unionByName(s2)
+
+
+# ------------------------------------------------------------------- T5
+
+@register(
+    "keyed_count",
+    "SELECT user_id, COUNT(1) AS cnt FROM events GROUP BY user_id",
+)
+def keyed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 keyBy → keyed aggregation (StreamingJobWithCustomDeserializer.java:83)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ------------------------------------------------------------------- T6
+
+@register(
+    "route_demux",
+    """
+    SELECT 'clicks' AS branch, event_id, user_id FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'signups' AS branch, event_id, user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def route_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 side-output routing: one stream → N typed branches
+    (MyProcessFunction, StreamingJobWithCustomDeserializer.java:204-218).
+    Branches re-tagged and unioned so the result is one DataFrame."""
+    ev = load_table(spark, sf_dir, "events")
+    branches = {"clicks": "click", "signups": "signup"}
+    parts = [
+        ev.filter(F.col("event_type") == t).select(
+            F.lit(name).alias("branch"), "event_id", "user_id"
+        )
+        for name, t in branches.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ------------------------------------------------------------------- T7
+
+@register(
+    "tokenize",
+    """
+    SELECT word, COUNT(1) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 flatMap/tokenize word count (Splitter, StreamingJob.java:105-112)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+    return words.filter(F.col("word") != "").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ------------------------------------------------------------------- A3
+
+@register(
+    "compact_latest",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def compact_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 upsert-changelog materialization: latest row per key
+    (upsert-pulsar PK semantics, StreamingJobWithCustomDeserializer.java:156-174)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = compact_latest(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type", "value", "props"
+    )
+
+
+# --------------------------------------------------------------- A1 + A3
+
+@register(
+    "count_live_by",
+    """
+    SELECT event_type, COUNT(1) AS user_count
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def count_live_by_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 changelog-correct COUNT: distinct live keys per group — an
+    update must not double count (README.md:108-114)."""
+    ev = load_table(spark, sf_dir, "events")
+    return count_live_by(ev, ["event_type"], ["user_id"], ["ts", "event_id"], count_alias="user_count")
+
+
+# ------------------------------------------------------------------- A2
+
+@register(
+    "tumbling_window",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_us,
+           COUNT(1) AS n_events,
+           ROUND(SUM(value), 3) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 keyed tumbling window aggregate (StreamingJob.java:96-98)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 3).alias("total_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "n_events", "total_value")
+    )
+
+
+# ------------------------------------------------------------------- A4
+
+@register(
+    "changelog_diff",
+    """
+    WITH latest_b AS (
+      SELECT event_type FROM (
+        SELECT event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1),
+    latest_a AS (
+      SELECT event_type FROM (
+        SELECT event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    b AS (SELECT event_type, COUNT(1) AS user_count FROM latest_b GROUP BY event_type),
+    a AS (SELECT event_type, COUNT(1) AS user_count FROM latest_a GROUP BY event_type)
+    SELECT event_type, user_count, 'retract' AS change FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    UNION ALL
+    SELECT event_type, user_count, 'add' AS change FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    """,
+)
+def changelog_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 retract-stream analog: add/retract rows between two aggregate
+    states (toRetractStream, StreamingJobWithCustomDeserializer.java:178-180)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    state_before = count_live_by(
+        ev.filter(F.col("ts") < cutoff), ["event_type"], ["user_id"], ["ts", "event_id"]
+    )
+    state_after = count_live_by(ev, ["event_type"], ["user_id"], ["ts", "event_id"])
+    return changelog_diff(state_before, state_after, ["event_type"])
+
+
+# ------------------------------------------------------------------- K3
+
+@register(
+    "upsert_sink_shape",
+    """
+    SELECT event_type AS pk, COUNT(1) AS user_count, ROUND(SUM(value), 3) AS total_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def upsert_sink_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 JDBC-upsert sink payload: PK-keyed aggregate rows (the
+    user_count_by_pgschema table shape, setup_sink_db1.sql:1-4)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = compact_latest(ev, ["user_id"], ["ts", "event_id"])
+    return latest.groupBy(F.col("event_type").alias("pk")).agg(
+        F.count(F.lit(1)).alias("user_count"), F.round(F.sum("value"), 3).alias("total_value")
+    )
+
+
+# ------------------------------------------------------------- S2/S3/T1
+
+@register(
+    "cdc_parse_envelope",
+    f"""
+    WITH src AS ({_FLAT_CDC_SQL})
+    SELECT concat_ws('|', pgschema, CAST(id AS VARCHAR)) AS key,
+           op, pgschema, tbl, ts_ms, lsn, id, full_name
+    FROM src
+    """,
+)
+def cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 custom deserializer: JSON envelope → typed flat event
+    (StreamingJobWithCustomDeserializer.java:221-272). The envelope is
+    synthesized from `events`, then genuinely parsed with `from_json`
+    and struct navigation; the oracle computes the flat result
+    relationally."""
+    flat = _flat_users(spark, sf_dir)
+    return flat.select(
+        "key",
+        "op",
+        F.col("schema").alias("pgschema"),
+        F.col("table").alias("tbl"),
+        "ts_ms",
+        "lsn",
+        "id",
+        "full_name",
+    )
+
+
+# --------------------------------------------- flagship: S3+T2+T3+A3+A1
+
+@register(
+    "cdc_pipeline",
+    f"""
+    WITH src AS ({_FLAT_CDC_SQL}),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pgschema, id ORDER BY ts_ms DESC, lsn DESC) AS rn
+        FROM src) WHERE rn = 1)
+    SELECT pgschema, COUNT(1) AS user_count
+    FROM latest WHERE op <> 'd'
+    GROUP BY pgschema
+    """,
+)
+def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full reference pipeline in one batch plan —
+    envelope parse (S3) → per-table demux (T2/T6) → composite key (T3)
+    → latest-per-key compaction (A3, tombstone-aware) → live-key count
+    per pg-schema (A1). Reproduces `user_count_by_pgschema`
+    (README.md:106-114) at scale."""
+    keyed = _flat_users(spark, sf_dir)
+    counts = count_live_by(
+        keyed, ["schema"], ["key"], ["ts_ms", "lsn"], op_col="op", count_alias="user_count"
+    )
+    return counts.select(F.col("schema").alias("pgschema"), "user_count")
+
+
+# ----------------------------------------------------------- SQL (§2.5)
+
+@register(
+    "sql_group_count",
+    'SELECT "key", COUNT(1) AS cnt FROM (SELECT event_type AS "key" FROM events) GROUP BY "key"',
+)
+def sql_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 SQL surface: `executeSql` analog with reserved-word
+    backquoted identifiers and COUNT(1)+alias
+    (StreamingJobWithCustomDeserializer.java:194)."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        "SELECT `key`, COUNT(1) AS cnt FROM (SELECT `event_type` AS `key` FROM events) GROUP BY `key`"
+    )

@@ -1,0 +1,261 @@
+"""Relational/analytic queries over the TPC-H-ish tables.
+
+The reference's SQL surface is tiny (SURVEY.md §2.5-2.6: grouped count
++ alias; joins/sort/windows are "Spark built-ins used directly"), but
+an engine a reference user could *switch to* needs the full relational
+surface, and these are the benchmark headliners.
+
+Determinism contract with the DuckDB oracle: money arithmetic runs in
+DECIMAL(12,4) (exact; both engines produce identical digits) and is
+cast to DOUBLE only at the very end; every ORDER BY ... LIMIT carries
+a unique tiebreaker column.
+
+Scale notes: filters sit directly on scan columns (parquet predicate
+pushdown + column pruning), small dimension tables are broadcast
+explicitly, and fact-fact joins shuffle on their join keys with AQE
+handling skew.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
+
+#: DECIMAL(12,4) casts keep products exact through two multiplies:
+#: (12,4)×(12,4)→(25,8)→×(12,4)→(38,12), inside both engines' caps.
+_DEC = "decimal(12,4)"
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(_DEC)
+
+
+def _disc_price() -> F.Column:
+    return _dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast(_DEC)
+
+
+def _charge() -> F.Column:
+    return _disc_price() * (F.lit(1.0) + F.col("l_tax")).cast(_DEC)
+
+
+_DEC_SQL = "DECIMAL(12,4)"
+_DISC_PRICE_SQL = (
+    f"CAST(l_extendedprice AS {_DEC_SQL}) * CAST(1.0 - l_discount AS {_DEC_SQL})"
+)
+_CHARGE_SQL = f"({_DISC_PRICE_SQL}) * CAST(1.0 + l_tax AS {_DEC_SQL})"
+
+
+@register(
+    "grouped_count_alias",
+    "SELECT o_orderstatus, COUNT(1) AS cnt FROM orders GROUP BY o_orderstatus",
+)
+def grouped_count_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 `COUNT(1) AS alias … GROUP BY` (StreamingJobWithCustomDeserializer.java:194)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {_DEC_SQL})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC_SQL})) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM({_CHARGE_SQL}), 2) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS {_DEC_SQL})) AS DOUBLE) / COUNT(1) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_DEC_SQL})) AS DOUBLE) / COUNT(1) AS avg_price,
+           CAST(SUM(CAST(l_discount AS {_DEC_SQL})) AS DOUBLE) / COUNT(1) AS avg_disc,
+           COUNT(1) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: single-scan grouped aggregation with
+    exact decimal arithmetic; the shipdate filter pushes to parquet."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    cnt = F.count(F.lit(1))
+    # high-scale decimal sums are rounded to scale 2 while still exact
+    # decimals, THEN cast to double: DuckDB's decimal(38,12)→double cast
+    # is off by 1 ulp for >2^53-cent magnitudes, so the cast must happen
+    # on a small-scale decimal on both sides.
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(_charge()), 2).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+        (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3",
+    f"""
+    SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+           CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: selective filters pushed to all three
+    scans, shuffle joins on the key columns, top-10 with a unique
+    tiebreaker (AQE picks broadcast for the filtered customer side
+    when it is small enough)."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "revenue_by_nation",
+    f"""
+    SELECT n_name, CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join: region/nation broadcast (tiny dims —
+    no shuffle for them at any scale), customer⋈orders⋈lineitem
+    shuffle on keys, date range pushed to the orders scan."""
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "top_k_orders",
+    """
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rank_in_status
+    FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_status
+          FROM orders)
+    WHERE rank_in_status <= 3
+    """,
+)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-k per group (rank with unique tiebreaker)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rank_in_status"),
+        )
+        .filter(F.col("rank_in_status") <= 3)
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           COUNT(1) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count + min/max aggregate battery (exact doubles: no
+    arithmetic, so values pass through bit-identical)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): distributed as a shuffle on the key."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )

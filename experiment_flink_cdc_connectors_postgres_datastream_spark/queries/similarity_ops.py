@@ -1,0 +1,94 @@
+"""Similarity-search queries (§7.4 extensions) over `embeddings`.
+
+The brute-force cosine top-k has a full SQL oracle (DuckDB zipped
+unnest → dot product in double). The LSH-bucketed variants depend on
+xxhash64-derived hyperplanes → rows-only oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+    sq_norm,
+)
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+             SUM(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE)) AS dp,
+             SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS qn,
+             SUM(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE)) AS cn
+      FROM (SELECT vec_id, unnest(embedding) AS qe,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id % 100 = 0) q
+      JOIN (SELECT vec_id, unnest(embedding) AS ce,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings) c ON q.i = c.i AND q.vec_id <> c.vec_id
+      GROUP BY q.vec_id, c.vec_id),
+    scored AS (
+      SELECT qid, vec_id, ROUND(dp / (sqrt(qn) * sqrt(cn)), 6) AS sim
+      FROM pairs),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id % 100 = 0),
+    query set broadcast against the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "embedding_stats",
+    """
+    SELECT label, COUNT(1) AS n_vecs,
+           ROUND(AVG(norm), 4) AS avg_norm,
+           ROUND(MIN(norm), 6) AS min_norm,
+           ROUND(MAX(norm), 6) AS max_norm
+    FROM (SELECT label, sqrt(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS norm
+          FROM (SELECT vec_id, label, unnest(embedding) AS e FROM embeddings)
+          GROUP BY vec_id, label)
+    GROUP BY label
+    """,
+)
+def embedding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics (array math JVM-side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select("label", F.sqrt(sq_norm(F.col("embedding"))).alias("norm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("norm"), 4).alias("avg_norm"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )
+
+
+@register("similarity_topk_lsh")  # xxhash64 hyperplanes → rows-only oracle
+def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via sign-LSH bucketing (scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_bucketed_topk(emb, queries, k=10, bits=4)
+
+
+@register("embedding_near_dup")  # xxhash64 hyperplanes → rows-only oracle
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.9, LSH-bucketed)."""
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), min_cosine=0.9, bits=4
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis queries (§7.4 extensions) over `documents`."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import (
+    BPE_PATTERN,
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    fingerprint,
+    lang_scores,
+    quality_features,
+    token_count,
+)
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(lower(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_count(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_calc,
+             len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             w -> w IN ({_STOP_SQL}))) AS n_stop,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM documents),
+    ratios AS (
+      SELECT doc_id, n_chars_calc, n_tokens, n_stop,
+             CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+             CAST(n_punct AS DOUBLE) / n_chars_calc AS punct_ratio
+      FROM feat)
+    SELECT doc_id, n_chars_calc, n_tokens, n_stop, stop_ratio, punct_ratio,
+           0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+               + 0.3 * least(stop_ratio * 10.0, 1.0)
+               + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) AS quality_score
+    FROM ratios
+    """,
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length/stopword/punctuation features
+    + linear score (shared formula with the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_stop", "stop_ratio", "punct_ratio", "quality_score"
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w IN ({words})))"
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_marker_sql('en')} AS s_en,
+             {_marker_sql('de')} AS s_de,
+             {_marker_sql('es')} AS s_es,
+             {_marker_sql('fr')} AS s_fr
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           s_en, s_de, s_es, s_fr
+    FROM scores
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker scoring with deterministic
+    argmax (tie order en>de>es>fr, identical in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_scores(docs).select(
+        "doc_id", "lang", "pred_lang", "s_en", "s_de", "s_es", "s_fr"
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp")
+
+
+@register(
+    "text_stats_by_source",
+    """
+    SELECT source, COUNT(1) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(1), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY source
+    """,
+)
+def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level text statistics per source (exact integer sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = F.count(F.lit(1))
+    return docs.groupBy("source").agg(
+        cnt.alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / cnt, 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1,0 +1,103 @@
+"""Local stand-in for the driver's correctness gate: run every
+registry query on Spark AND its DuckDB oracle, compare row count,
+column names, and an order-insensitive value hash.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.io import TABLES
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import ORACLES, QUERIES
+from experiment_flink_cdc_connectors_postgres_datastream_spark.session import get_session
+
+
+def value_hash(rows: list[tuple], columns: list[str]) -> str:
+    """Order-insensitive hash: sort columns by name, render rows as
+    repr strings, sort, md5."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    rendered = sorted("|".join(repr(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for line in rendered:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def normalize(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_session("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(normalize(v) for v in r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in ORACLES:
+            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.sql(ORACLES[name])
+            dcols = [d[0] for d in res.description]
+            drows = [tuple(normalize(v) for v in r) for r in res.fetchall()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems and value_hash(srows, scols) != value_hash(drows, dcols):
+            problems.append("value hash mismatch")
+            sset = {tuple(r[i] for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows}
+            dset = {tuple(r[i] for i in sorted(range(len(dcols)), key=lambda i: dcols[i])) for r in drows}
+            for x in list(sset - dset)[:3]:
+                problems.append(f"  spark-only: {x}")
+            for x in list(dset - sset)[:3]:
+                problems.append(f"  duck-only:  {x}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
