@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is executed to completion with the noop writer (forces
+full evaluation of every column — ``count()`` would let Catalyst
+prune the aggregates away) after a small JVM warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES  # noqa: E402
+from experiment_flink_cdc_connectors_postgres_datastream_spark.session import get_session  # noqa: E402
+
+#: headline set: CDC semantic core + relational analytics + data-pipeline ops
+BENCH_QUERIES = [
+    "cdc_pipeline",
+    "compact_latest",
+    "count_live_by",
+    "tumbling_window",
+    "tpch_q1",
+    "tpch_q3",
+    "revenue_by_nation",
+    "top_k_orders",
+    "tokenize",
+    "quality_score",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "similarity_topk",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_session("bench")
+    # JVM/codegen warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = run_one(spark, name, sf_dir)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -70,5 +70,6 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash")  # xxhash64 signatures → rows-only oracle
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within hamming radius 12 (band LSH)."""
-    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=12)
+    """SimHash (3-gram features) near-dup pairs within hamming radius 7
+    (8-band LSH, exhaustive at that radius by pigeonhole)."""
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=7, blocks=8, n=3)

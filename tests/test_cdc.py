@@ -1,0 +1,125 @@
+"""CDC envelope + changelog algebra tests against the golden README
+walkthrough (SURVEY.md §5) and hypothesis property checks."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import (
+    compact_latest,
+    count_live_by,
+    changelog_diff,
+    parse_cdc,
+    project_flat,
+    with_key,
+)
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.reference_surface import USERS_ROW_SCHEMA
+from tests.golden_cdc import (
+    EXPECTED_COUNTS,
+    EXPECTED_COUNTS_AFTER_DELETE,
+    WALKTHROUGH,
+    WITH_SNAPSHOT_AND_DELETE,
+)
+
+
+def _parse(spark, payloads):
+    df = spark.createDataFrame([(p,) for p in payloads], "value string")
+    return parse_cdc(df, USERS_ROW_SCHEMA)
+
+
+def _pipeline(spark, payloads):
+    users = project_flat(_parse(spark, payloads), "users", ["id", "full_name"])
+    keyed = with_key(users, "schema", "id")
+    return count_live_by(keyed, ["schema"], ["key"], ["ts_ms", "lsn"], op_col="op")
+
+
+def test_parse_envelope_fields(spark):
+    parsed = _parse(spark, WALKTHROUGH)
+    rows = parsed.select("op", "source.schema", "after.id", "after.full_name").collect()
+    assert [r["op"] for r in rows] == ["c", "c", "c", "u", "u"]
+    assert rows[0]["full_name"] == "susan smith"
+    assert rows[3]["full_name"] == "sue smith"
+
+
+def test_project_flat_unmatched_table_dropped(spark):
+    parsed = _parse(spark, WALKTHROUGH)
+    assert project_flat(parsed, "users", ["id", "full_name"]).count() == 5
+    assert project_flat(parsed, "user_favorite_colors", ["id"]).count() == 0
+
+
+def test_derived_key_format(spark):
+    users = project_flat(_parse(spark, WALKTHROUGH), "users", ["id", "full_name"])
+    keys = {r["key"] for r in with_key(users, "schema", "id").collect()}
+    assert keys == {"schema1|1", "schema1|2", "schema2|1"}
+
+
+def test_walkthrough_counts_update_does_not_double_count(spark):
+    result = {r["schema"]: r["user_count"] for r in _pipeline(spark, WALKTHROUGH).collect()}
+    assert result == EXPECTED_COUNTS
+
+
+def test_snapshot_and_delete_semantics(spark):
+    result = {
+        r["schema"]: r["user_count"]
+        for r in _pipeline(spark, WITH_SNAPSHOT_AND_DELETE).collect()
+    }
+    assert result == EXPECTED_COUNTS_AFTER_DELETE
+
+
+def test_compact_latest_keeps_latest_value(spark):
+    users = project_flat(_parse(spark, WALKTHROUGH), "users", ["id", "full_name"])
+    keyed = with_key(users, "schema", "id")
+    latest = {
+        r["key"]: r["full_name"]
+        for r in compact_latest(keyed, ["key"], ["ts_ms", "lsn"], op_col="op").collect()
+    }
+    assert latest == {"schema1|1": "sue smith", "schema1|2": "anne smith", "schema2|1": "bobby smith"}
+
+
+def test_delete_wins_only_if_latest(spark):
+    # delete then re-insert the same key: key must be live again
+    from tests.golden_cdc import _env
+
+    events = WALKTHROUGH + [
+        _env("d", "schema1", 1, None, "sue smith", 6000, 6),
+        _env("c", "schema1", 1, "sue smith II", None, 7000, 7),
+    ]
+    result = {r["schema"]: r["user_count"] for r in _pipeline(spark, events).collect()}
+    assert result == EXPECTED_COUNTS
+
+
+def test_changelog_diff_add_and_retract(spark):
+    before = spark.createDataFrame([("a", 1), ("b", 2)], "g string, n long")
+    after = spark.createDataFrame([("a", 1), ("b", 3), ("c", 1)], "g string, n long")
+    diff = {(r["g"], r["n"], r["change"]) for r in changelog_diff(before, after, ["g"]).collect()}
+    assert diff == {("b", 2, "retract"), ("b", 3, "add"), ("c", 1, "add")}
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),        # key
+            st.sampled_from(["c", "u", "d"]),             # op
+            st.integers(min_value=0, max_value=99),       # value payload
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_compaction_is_last_write_wins(spark, ops):
+    """compacted state == replaying the changelog into a dict."""
+    rows = [(i, k, op, v) for i, (k, op, v) in enumerate(ops)]
+    expected: dict[int, tuple[str, int]] = {}
+    for i, k, op, v in rows:
+        expected[k] = (op, v)
+    live = {k: v for k, (op, v) in expected.items() if op != "d"}
+    df = spark.createDataFrame(rows, "seq long, key long, op string, val long")
+    got = {
+        r["key"]: r["val"]
+        for r in compact_latest(df, ["key"], ["seq"], op_col="op").collect()
+    }
+    assert got == {k: v for k, (_, v) in expected.items() if k in live}

@@ -1,0 +1,151 @@
+"""Unit tests for dedup / similarity / text / multimodal operators on
+small constructed inputs with known answers."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import (
+    dedup_exact,
+    hamming64,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    frame_sample,
+)
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import (
+    fingerprint,
+    lang_scores,
+    quality_features,
+    token_count,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+OTHER = "completely different words about spark catalyst tungsten execution engines"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)], "doc_id long, text string"
+    )
+
+
+def test_dedup_exact_groups_identical_texts(docs):
+    rows = {r["keep_doc_id"]: r["n_copies"] for r in dedup_exact(docs).collect()}
+    assert rows == {1: 2, 2: 1, 3: 1}
+
+
+def test_minhash_finds_near_duplicate_pair(docs):
+    pairs = minhash_candidate_pairs(docs, min_est_jaccard=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got        # near-dup found
+    assert (1, 4) in got        # identical pair: est_jaccard 1.0
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in got)
+    exact = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert exact[(1, 4)] == 1.0
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    s1 = minhash_signatures(docs).collect()
+    s2 = minhash_signatures(docs).collect()
+    assert {r["_id"]: r["_sig"] for r in s1} == {r["_id"]: r["_sig"] for r in s2}
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs):
+    sigs = {r["_id"]: r["_sig"] for r in simhash_signatures(docs, n=3).collect()}
+    assert sigs[1] == sigs[4]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(docs).collect()}
+    assert pairs.get((1, 4)) == 0
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(1, 4)] == 1.0
+    # 13 tokens → 11 distinct shingles each; editing the last token
+    # changes only the final shingle: inter=10, union=12 → 0.8333
+    assert pairs[(1, 2)] == pytest.approx(10 / 12, abs=1e-4)
+    assert (1, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    data = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (100, [1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(data, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_orders_by_similarity(vecs):
+    q = vecs.filter(F.col("vec_id") == 100)
+    got = [(r["vec_id"], r["rank"]) for r in cosine_topk(vecs, q, k=3).orderBy("rank").collect()]
+    assert [v for v, _ in got] == [1, 2, 3] or [v for v, _ in got][0] == 1
+    top = cosine_topk(vecs, q, k=1).collect()[0]
+    assert top["vec_id"] == 1 and top["sim"] == 1.0
+
+
+def test_embedding_near_dup_finds_identical_vectors(vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(vecs, min_cosine=0.99).collect()}
+    assert (1, 100) in pairs
+
+
+def test_lsh_topk_subset_of_bruteforce_semantics(vecs):
+    q = vecs.filter(F.col("vec_id") == 100)
+    got = lsh_bucketed_topk(vecs, q, k=3, bits=2).collect()
+    # identical vector shares any LSH bucket with the query
+    assert 1 in {r["vec_id"] for r in got}
+
+
+def test_token_count_values(spark):
+    df = spark.createDataFrame([(1, "a b  c d"), (2, "x9 y!")], "doc_id long, text string")
+    rows = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_count(df).collect()}
+    assert rows[1] == (4, 4)
+    assert rows[2] == (2, 4)  # x,9,y,!
+
+
+def test_quality_and_lang_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, BASE), (2, "der und das ist gut")], "doc_id long, text string")
+    q = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert q[1]["n_stop"] >= 3 and 0 < q[1]["quality_score"] <= 1
+    langs = {r["doc_id"]: r["pred_lang"] for r in lang_scores(df).collect()}
+    assert langs == {1: "en", 2: "de"}
+    fps = fingerprint(df).collect()
+    assert all(len(r["fp"]) == 32 for r in fps)
+
+
+def test_multimodal_plumbing_roundtrip(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "xyz")], "doc_id long, text string")
+    packed = attach_binary_payload(df, media_type="video")
+    meta = {r["doc_id"]: r["media_meta"]["n_bytes"] for r in packed.collect()}
+    assert meta == {1: 11, 2: 3}
+    decoded = decode_media(packed)
+    rows = {r["doc_id"]: r for r in decoded.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["width"] == 16 + 11 and rows[1]["n_bytes"] == 11
+    framed = frame_sample(decoded, every_n=1)
+    assert framed.count() == sum(r["n_frames"] for r in rows.values())
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        decode_media(attach_binary_payload(df), use_real_decoder=True).collect()
