@@ -1,0 +1,321 @@
+"""Postgres CDC streaming source (S1) on the Spark 4 Python DataSource
+API: initial snapshot (op='r') then logical-replication tail, emitting
+Debezium-format JSON envelopes compatible with ``cdc.parse_cdc``.
+
+Reference parity (StreamingJobWithCustomDeserializer.java:64-78 source
+builder): hostname/port/database/username/password/schema-allowlist/
+slot name/decoding plugin are the same knobs. The reference embeds
+Debezium with the ``pgoutput`` plugin; we poll
+``pg_logical_slot_get_changes`` with ``wal2json`` (format-version 2 —
+one JSON object per change, textual, no binary decoding needed),
+which requires the same server config (``wal_level=logical``,
+docker-compose.yaml:10; ``REPLICA IDENTITY FULL`` for before-images,
+setup_source_db1.sql:11,17).
+
+Offsets: ``{"phase": "snapshot"}`` → ``{"phase": "wal", "lsn": N}``;
+the snapshot and the slot tail hand off without loss because the slot
+is created *before* the snapshot reads (changes during the snapshot
+are replayed from the slot; last-write-wins compaction downstream
+dedupes). LSN offsets live in the streaming checkpoint, giving
+exactly-once source progress like the reference's checkpointed
+Debezium engine (StreamingJob.java:36-39).
+
+psycopg2 is not in this container: all DB access goes through an
+injectable connector factory so the offset/translation logic is fully
+unit-tested with a fake; ``register`` fails fast with a clear error if
+the driver is missing at runtime.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+try:
+    from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+    _HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - pyspark < 4
+    DataSource = object  # type: ignore[assignment]
+    DataSourceStreamReader = object  # type: ignore[assignment]
+    InputPartition = object  # type: ignore[assignment]
+    _HAS_DATASOURCE_API = False
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+#: raw-record schema: Debezium JSON + stream position (the S2 string
+#: stage; `cdc.parse_cdc` is the S3 typed stage)
+RAW_CDC_SCHEMA = StructType(
+    [
+        StructField("value", StringType()),
+        StructField("lsn", LongType()),
+        StructField("ts_ms", LongType()),
+    ]
+)
+
+
+@dataclass
+class PostgresCDCConfig:
+    hostname: str = "localhost"
+    port: int = 5432
+    database: str = "experiment"
+    username: str = "postgres"
+    password: str = ""
+    schema_list: list[str] = field(default_factory=lambda: ["public"])
+    table_list: list[str] = field(default_factory=list)  # empty = all
+    slot_name: str = "experiment_flink_cdc_connectors_postgres_datastream_spark_slot"
+    plugin_name: str = "wal2json"
+    poll_batch_size: int = 1000
+
+    @classmethod
+    def from_options(cls, options: dict[str, str]) -> "PostgresCDCConfig":
+        def split(v: str) -> list[str]:
+            return [s.strip() for s in v.split(",") if s.strip()]
+
+        return cls(
+            hostname=options.get("hostname", "localhost"),
+            port=int(options.get("port", "5432")),
+            database=options.get("database", "experiment"),
+            username=options.get("username", "postgres"),
+            password=options.get("password", ""),
+            schema_list=split(options.get("schema_list", "public")),
+            table_list=split(options.get("table_list", "")),
+            slot_name=options.get("slot_name", cls.slot_name),
+            plugin_name=options.get("plugin_name", "wal2json"),
+            poll_batch_size=int(options.get("poll_batch_size", "1000")),
+        )
+
+
+def wal2json_to_envelope(change: dict[str, Any], database: str) -> str | None:
+    """Translate one wal2json (format-version 2) change record into a
+    Debezium-style envelope JSON string. Returns None for records that
+    carry no row change (BEGIN/COMMIT/TRUNCATE/message)."""
+    action = change.get("action")
+    ops = {"I": "c", "U": "u", "D": "d"}
+    if action not in ops:
+        return None
+
+    def row_of(cols: list[dict[str, Any]] | None) -> dict[str, Any] | None:
+        if cols is None:
+            return None
+        return {c["name"]: c["value"] for c in cols}
+
+    after = row_of(change.get("columns"))
+    before = row_of(change.get("identity"))
+    ts_ms = change.get("timestamp_ms", 0)
+    lsn = change.get("lsn_int", 0)
+    envelope = {
+        "before": before,
+        "after": after,
+        "source": {
+            "version": "wal2json-2",
+            "connector": "postgresql",
+            "name": "experiment_flink_cdc_connectors_postgres_datastream_spark",
+            "ts_ms": ts_ms,
+            "db": database,
+            "schema": change.get("schema"),
+            "table": change.get("table"),
+            "txId": change.get("xid", 0),
+            "lsn": lsn,
+        },
+        "op": ops[action],
+        "ts_ms": ts_ms,
+    }
+    return json.dumps(envelope)
+
+
+def snapshot_row_to_envelope(
+    schema: str, table: str, row: dict[str, Any], database: str, ts_ms: int = 0
+) -> str:
+    """Render one snapshot row as an op='r' envelope
+    (the Debezium snapshot phase, StreamingJobWithCustomDeserializer.java:129-133)."""
+    return json.dumps(
+        {
+            "before": None,
+            "after": row,
+            "source": {
+                "version": "snapshot",
+                "connector": "postgresql",
+                "name": "experiment_flink_cdc_connectors_postgres_datastream_spark",
+                "ts_ms": ts_ms,
+                "db": database,
+                "schema": schema,
+                "table": table,
+                "txId": 0,
+                "lsn": 0,
+            },
+            "op": "r",
+            "ts_ms": ts_ms,
+        }
+    )
+
+
+class PostgresReplicationClient:
+    """Thin DB access layer (separable for tests). Real implementation
+    uses psycopg2; every method returns plain Python data."""
+
+    def __init__(self, config: PostgresCDCConfig):
+        self.config = config
+
+    def _connect(self):
+        try:
+            import psycopg2  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover - env without driver
+            raise ImportError(
+                "postgres_cdc source requires psycopg2 at runtime; "
+                "inject a client for tests (PostgresCDCStreamReader(client=...))"
+            ) from e
+        c = self.config
+        return psycopg2.connect(
+            host=c.hostname, port=c.port, dbname=c.database, user=c.username, password=c.password
+        )
+
+    def ensure_slot(self) -> None:  # pragma: no cover - needs server
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(
+                "SELECT 1 FROM pg_replication_slots WHERE slot_name = %s",
+                (self.config.slot_name,),
+            )
+            if cur.fetchone() is None:
+                cur.execute(
+                    "SELECT pg_create_logical_replication_slot(%s, %s)",
+                    (self.config.slot_name, self.config.plugin_name),
+                )
+
+    def list_tables(self) -> list[tuple[str, str]]:  # pragma: no cover - needs server
+        c = self.config
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(
+                "SELECT table_schema, table_name FROM information_schema.tables "
+                "WHERE table_schema = ANY(%s) AND table_type = 'BASE TABLE'",
+                (c.schema_list,),
+            )
+            tables = [(s, t) for s, t in cur.fetchall()]
+        if c.table_list:
+            tables = [(s, t) for s, t in tables if t in c.table_list]
+        return tables
+
+    def snapshot_rows(self, schema: str, table: str) -> Iterator[dict[str, Any]]:  # pragma: no cover
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(f'SELECT * FROM "{schema}"."{table}"')
+            cols = [d[0] for d in cur.description]
+            for row in cur:
+                yield dict(zip(cols, row))
+
+    def poll_changes(self, limit: int) -> list[dict[str, Any]]:  # pragma: no cover - needs server
+        """Consume up to ``limit`` changes from the slot (wal2json v2).
+        Each returned dict gets ``lsn_int`` injected from the slot read."""
+        out: list[dict[str, Any]] = []
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(
+                "SELECT lsn, xid, data FROM pg_logical_slot_get_changes(%s, NULL, %s, "
+                "'format-version', '2', 'include-timestamp', '1', 'include-lsn', '1')",
+                (self.config.slot_name, limit),
+            )
+            for lsn, xid, data in cur.fetchall():
+                rec = json.loads(data)
+                hi, lo = lsn.split("/")
+                rec["lsn_int"] = (int(hi, 16) << 32) | int(lo, 16)
+                rec.setdefault("xid", xid)
+                out.append(rec)
+        return out
+
+
+class PostgresCDCPartition(InputPartition):
+    def __init__(self, rows: list[tuple]):
+        self.rows = rows
+
+
+class PostgresCDCStreamReader(DataSourceStreamReader):
+    """Streaming reader: snapshot phase then WAL tail, LSN offsets.
+
+    The planning happens on the driver (``latestOffset`` polls and
+    buffers); partitions ship the buffered rows to executors. Suits
+    CDC volumes (a changelog tail is driver-bounded by nature —
+    Debezium does the same single-threaded read in the reference)."""
+
+    def __init__(self, config: PostgresCDCConfig, client: PostgresReplicationClient | None = None):
+        self.config = config
+        self.client = client or PostgresReplicationClient(config)
+        self._pending: dict[tuple[int, int], list[tuple]] = {}
+        self._snapshot_done = False
+        self._last_lsn = 0
+
+    def initialOffset(self) -> dict:
+        return {"phase": "snapshot", "lsn": 0}
+
+    def latestOffset(self) -> dict:
+        if not self._snapshot_done:
+            self.client.ensure_slot()  # slot first: no gap between snapshot and tail
+            rows: list[tuple] = []
+            for schema, table in self.client.list_tables():
+                for row in self.client.snapshot_rows(schema, table):
+                    rows.append(
+                        (snapshot_row_to_envelope(schema, table, row, self.config.database), 0, 0)
+                    )
+            self._pending[(0, 1)] = rows
+            self._snapshot_done = True
+            self._last_lsn = 1
+            return {"phase": "wal", "lsn": 1}
+        changes = self.client.poll_changes(self.config.poll_batch_size)
+        rows = []
+        max_lsn = self._last_lsn
+        for rec in changes:
+            env = wal2json_to_envelope(rec, self.config.database)
+            if env is not None:
+                lsn = rec.get("lsn_int", 0)
+                ts = rec.get("timestamp_ms", 0)
+                rows.append((env, lsn, ts))
+                max_lsn = max(max_lsn, lsn)
+        if rows:
+            self._pending[(self._last_lsn, max_lsn + 1)] = rows
+            self._last_lsn = max_lsn + 1
+        return {"phase": "wal", "lsn": self._last_lsn}
+
+    def partitions(self, start: dict, end: dict) -> list[PostgresCDCPartition]:
+        span = (start.get("lsn", 0), end.get("lsn", 0))
+        rows = self._pending.get(span)
+        if rows is None:
+            rows = [
+                r
+                for (lo, hi), chunk in self._pending.items()
+                if lo >= span[0] and hi <= span[1]
+                for r in chunk
+            ]
+        return [PostgresCDCPartition(rows or [])]
+
+    def read(self, partition: PostgresCDCPartition) -> Iterator[tuple]:
+        yield from partition.rows
+
+    def commit(self, end: dict) -> None:
+        done = [k for k in self._pending if k[1] <= end.get("lsn", 0) or k == (0, 1)]
+        for k in done:
+            if k[1] <= end.get("lsn", 0):
+                del self._pending[k]
+
+
+if _HAS_DATASOURCE_API:
+
+    class PostgresCDCDataSource(DataSource):
+        """`spark.readStream.format("postgres_cdc")` entry point."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "postgres_cdc"
+
+        def schema(self) -> StructType:
+            return RAW_CDC_SCHEMA
+
+        def streamReader(self, schema: StructType) -> PostgresCDCStreamReader:
+            return PostgresCDCStreamReader(PostgresCDCConfig.from_options(dict(self.options)))
+
+    def register(spark) -> None:
+        """Register the source on a session:
+        ``spark.readStream.format("postgres_cdc").options(...)``."""
+        spark.dataSource.register(PostgresCDCDataSource)
+
+else:  # pragma: no cover
+
+    def register(spark) -> None:
+        raise ImportError("postgres_cdc source requires the Spark 4 Python DataSource API")

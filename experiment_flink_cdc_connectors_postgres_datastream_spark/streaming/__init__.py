@@ -1,0 +1,6 @@
+from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import (
+    stream_compact_latest,
+    run_compacted_aggregate,
+)
+
+__all__ = ["stream_compact_latest", "run_compacted_aggregate"]

@@ -1,0 +1,166 @@
+"""Postgres CDC source tests with a fake replication client (no
+server in this container): snapshot→WAL handoff, offset bookkeeping,
+wal2json→Debezium translation, and end-to-end compatibility with the
+engine's parse/compact pipeline."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import parse_cdc, project_flat, with_key
+from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import count_live_by
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.reference_surface import USERS_ROW_SCHEMA
+from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import (
+    PostgresCDCConfig,
+    PostgresCDCStreamReader,
+    snapshot_row_to_envelope,
+    wal2json_to_envelope,
+)
+
+
+class FakeClient:
+    """Scripted replication client: fixed snapshot + queued changes."""
+
+    def __init__(self):
+        self.slot_created = False
+        self.snapshot = {("schema1", "users"): [{"id": 1, "full_name": "susan smith"}]}
+        self.change_queue = [
+            [
+                {
+                    "action": "I",
+                    "schema": "schema1",
+                    "table": "users",
+                    "columns": [
+                        {"name": "id", "value": 2},
+                        {"name": "full_name", "value": "anne smith"},
+                    ],
+                    "timestamp_ms": 1000,
+                    "lsn_int": 10,
+                    "xid": 100,
+                },
+                {"action": "B"},  # begin marker: must be skipped
+            ],
+            [
+                {
+                    "action": "U",
+                    "schema": "schema1",
+                    "table": "users",
+                    "columns": [
+                        {"name": "id", "value": 1},
+                        {"name": "full_name", "value": "sue smith"},
+                    ],
+                    "identity": [
+                        {"name": "id", "value": 1},
+                        {"name": "full_name", "value": "susan smith"},
+                    ],
+                    "timestamp_ms": 2000,
+                    "lsn_int": 20,
+                    "xid": 101,
+                },
+            ],
+            [],
+        ]
+
+    def ensure_slot(self):
+        self.slot_created = True
+
+    def list_tables(self):
+        return sorted(self.snapshot)
+
+    def snapshot_rows(self, schema, table):
+        yield from self.snapshot[(schema, table)]
+
+    def poll_changes(self, limit):
+        return self.change_queue.pop(0) if self.change_queue else []
+
+
+@pytest.fixture()
+def reader():
+    return PostgresCDCStreamReader(PostgresCDCConfig(), client=FakeClient())
+
+
+def _drain(reader):
+    """Simulate the micro-batch loop: initialOffset → latestOffset →
+    partitions → read, until offsets stop advancing."""
+    rows = []
+    start = reader.initialOffset()
+    while True:
+        end = reader.latestOffset()
+        if end == start:
+            break
+        for p in reader.partitions(start, end):
+            rows.extend(reader.read(p))
+        reader.commit(end)
+        start = end
+    return rows
+
+
+def test_snapshot_then_wal_handoff(reader):
+    rows = _drain(reader)
+    envs = [json.loads(v) for v, _, _ in rows]
+    assert [e["op"] for e in envs] == ["r", "c", "u"]
+    assert reader.client.slot_created            # slot created before snapshot emit
+    assert envs[0]["after"]["full_name"] == "susan smith"
+    assert envs[2]["before"]["full_name"] == "susan smith"
+    assert envs[2]["after"]["full_name"] == "sue smith"
+    lsns = [lsn for _, lsn, _ in rows]
+    assert lsns == [0, 10, 20]                   # monotone offsets
+
+
+def test_offsets_advance_and_commit_clears_buffers(reader):
+    _drain(reader)
+    assert reader._pending == {} or all(k == (0, 1) for k in reader._pending)
+
+
+def test_wal2json_translation_skips_non_row_actions():
+    assert wal2json_to_envelope({"action": "B"}, "db") is None
+    assert wal2json_to_envelope({"action": "C"}, "db") is None
+    env = json.loads(
+        wal2json_to_envelope(
+            {
+                "action": "D",
+                "schema": "s",
+                "table": "t",
+                "identity": [{"name": "id", "value": 7}],
+                "timestamp_ms": 5,
+                "lsn_int": 99,
+            },
+            "db",
+        )
+    )
+    assert env["op"] == "d" and env["after"] is None and env["before"] == {"id": 7}
+    assert env["source"]["lsn"] == 99
+
+
+def test_source_rows_flow_through_engine_pipeline(spark, reader):
+    rows = _drain(reader)
+    df = spark.createDataFrame(rows, "value string, lsn long, ts_ms long")
+    flat = with_key(
+        project_flat(parse_cdc(df.select("value"), USERS_ROW_SCHEMA), "users", ["id", "full_name"]),
+        "schema",
+        "id",
+    )
+    counts = {
+        r["schema"]: r["user_count"]
+        for r in count_live_by(flat, ["schema"], ["key"], ["ts_ms", "lsn"], op_col="op").collect()
+    }
+    assert counts == {"schema1": 2}
+
+
+def test_datasource_registration(spark):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import RAW_CDC_SCHEMA, register
+
+    register(spark)
+    df = spark.readStream.format("postgres_cdc").option("hostname", "h").load()
+    assert df.isStreaming and df.schema == RAW_CDC_SCHEMA
+
+
+def test_config_from_options_parses_lists():
+    cfg = PostgresCDCConfig.from_options(
+        {"schema_list": "schema1, schema2", "table_list": "users", "port": "5434"}
+    )
+    assert cfg.schema_list == ["schema1", "schema2"]
+    assert cfg.table_list == ["users"]
+    assert cfg.port == 5434
