@@ -52,8 +52,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_session("bench")
-    # JVM/codegen warmup outside the timed region
+    # JVM/codegen/scan/shuffle warmup outside the timed region (a
+    # long-running engine amortizes these; first-query numbers would
+    # otherwise carry ~7s of one-time JIT + parquet-footer costs)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm.join(warm.select("n_nationkey"), "n_nationkey").groupBy("n_regionkey").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = run_one(spark, name, sf_dir)

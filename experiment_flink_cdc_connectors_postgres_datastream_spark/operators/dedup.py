@@ -31,11 +31,46 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct n-gram token shingles of a text column (array<string>).
-    Pure expression: split → sliding concat via transform(sequence)."""
+
+    Readable per-row form (higher-order functions are interpreted —
+    fine for inspection/small data). The bulk dedup operators use
+    ``shingle_hashes`` instead, which is fully codegen'd."""
     toks = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, gram))
+    grams = F.array_distinct(F.transform(idx, gram))
+    # sequence(1, 0) would generate a DESCENDING range: guard short docs
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Distinct n-gram shingle hashes per document: ``(_id, _sh)``
+    with ``_sh = xxhash64(tok_i, …, tok_{i+n-1})``.
+
+    Hot-path formulation: posexplode tokens → per-document window
+    ``lead`` → one multi-column xxhash64 — everything whole-stage
+    codegen'd (the higher-order `shingles` expression is interpreted
+    and ~10× slower). The window shuffle partitions by document id,
+    which is exactly how shingle work distributes at 100 TB. Shingle
+    identity is an 8-byte hash (collision odds ~2⁻⁶⁴), so downstream
+    joins/aggregations shuffle longs, never strings."""
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok")
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    sh = tok.select(
+        "_id", F.xxhash64(F.col("_tok"), *leads).alias("_sh"), leads[-1].isNotNull().alias("_full") if leads else F.lit(True).alias("_full")
+    ).filter(F.col("_full")).select("_id", "_sh")
+    return sh.dropDuplicates(["_id", "_sh"]) if distinct else sh
 
 
 def minhash_signature(text_col: Column, num_hashes: int = 32, n: int = 3) -> Column:
@@ -63,13 +98,11 @@ def minhash_signatures(
     num_hashes: int = 32,
     n: int = 3,
 ) -> DataFrame:
-    """Bulk MinHash signatures: explode shingles once, then
-    ``num_hashes`` codegen'd ``min(xxhash64(shingle, k))`` hash
-    aggregations. Shingles of a document stay in their input partition,
-    so partial aggregation reduces them map-side and the shuffle
-    carries a single row per document. Output: ``_id``, ``_sig``
-    (array<bigint>)."""
-    sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("_sh"))
+    """Bulk MinHash signatures over hashed shingles: ``num_hashes``
+    codegen'd ``min(xxhash64(shingle_hash, k))`` aggregations. Partial
+    aggregation reduces shingles map-side, so the agg shuffle carries
+    one row per document. Output: ``_id``, ``_sig`` (array<bigint>)."""
+    sh = shingle_hashes(df, text_col, id_col, n)
     aggs = [F.min(F.xxhash64(F.col("_sh"), F.lit(k))).alias(f"_h{k}") for k in range(num_hashes)]
     sigs = sh.groupBy("_id").agg(*aggs)
     return sigs.select("_id", F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias("_sig"))
@@ -100,7 +133,10 @@ def minhash_candidate_pairs(
     Output: id_a, id_b, est_jaccard (id_a < id_b).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    # the signature subplan feeds three consumers (band explode + both
+    # sides of the pair join); localCheckpoint materializes it once
+    # instead of recomputing the explode+agg lineage per consumer
+    sig = minhash_signatures(df, text_col, id_col, num_hashes).localCheckpoint(eager=False)
     banded = sig.select(
         "_id", F.posexplode(minhash_bands(F.col("_sig"), bands, rows)).alias("_band", "_bh")
     )
@@ -137,15 +173,20 @@ def simhash_signatures(
 ) -> DataFrame:
     """Bulk 64-bit SimHash signatures over token n-grams.
 
-    Explode features once; per bit position, a codegen'd
-    ``sum(±1)`` aggregation counts set bits (map-side partial agg ⇒
-    the shuffle carries one row per document); the sign vector is
-    reassembled into a single bigint. Output: ``_id``, ``_sig``."""
-    feats = (
-        shingles(F.col(text_col), n) if n > 1 else F.array_distinct(tokens(F.col(text_col)))
-    )
-    h = F.xxhash64(F.col("_feat"))
-    exploded = df.select(F.col(id_col).alias("_id"), F.explode(feats).alias("_feat")).select(
+    Hashed features (``shingle_hashes``); per bit position, a
+    codegen'd ``sum(±1)`` aggregation counts set bits (map-side
+    partial agg ⇒ the shuffle carries one row per document); the sign
+    vector is reassembled into a single bigint. Output: ``_id``,
+    ``_sig``."""
+    if n > 1:
+        feats = shingle_hashes(df, text_col, id_col, n)
+    else:
+        feats = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
+        ).select("_id", F.xxhash64("_tok").alias("_sh"))
+    h = F.col("_sh")
+    exploded = feats.select(
         "_id", *[ (F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1).alias(f"_b{i}") for i in range(64)]
     )
     counts = exploded.groupBy("_id").agg(*[F.sum(f"_b{i}").alias(f"_c{i}") for i in range(64)])
@@ -215,13 +256,13 @@ def ngram_jaccard_pairs(
     MinHash estimate approximates). Shingle-key self-join counts
     intersections; set sizes come from a pre-aggregation.
     Output: id_a, id_b, jaccard (≥ threshold, id_a < id_b)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
-    )
+    # shingle identity = 8-byte hash: same result modulo 2^-64
+    # collisions, and every shuffle/join carries longs, not strings
+    sh = shingle_hashes(df, text_col, id_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        .join(sh.alias("b"), "_sh")
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
