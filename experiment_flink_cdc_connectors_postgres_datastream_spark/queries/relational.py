@@ -230,6 +230,69 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(1) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP: hierarchical subtotal grid (one pass,
+    Expand + single aggregation exchange)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT event_id, user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT event_id, user_id FROM events WHERE value < 100
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT): click events minus the
+    low-value ones."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id")
+    low = ev.filter(F.col("value") < 100).select("event_id", "user_id")
+    return clicks.subtract(low)
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT user_id, event_id, value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window lag: per-user delta of `value` vs the previous event
+    (deterministic frame order via (ts, event_id); raw-double
+    subtraction is bit-identical across engines)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
     "customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer

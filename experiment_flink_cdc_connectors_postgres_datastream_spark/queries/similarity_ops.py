@@ -88,7 +88,9 @@ def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_near_dup")  # xxhash64 hyperplanes → rows-only oracle
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.9, LSH-bucketed)."""
+    """Embedding-cosine near-duplicate pairs (LSH-bucketed candidates;
+    threshold 0.45 sits at the ~99.99th percentile of the synthetic
+    corpus' pairwise cosine, so the detector returns a small real set)."""
     return embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), min_cosine=0.9, bits=4
+        load_table(spark, sf_dir, "embeddings"), min_cosine=0.45, bits=4
     )
