@@ -1,0 +1,62 @@
+"""S4 tests: upsert table over a Kafka-shaped bus changelog with
+metadata columns, batch and streaming."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import changelog_from_bus, upsert_view
+
+VALUE_SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("full_name", StringType())]
+)
+
+
+def _bus_frame(spark):
+    """Kafka wire shape: key/value binary + topic/timestamp/offset."""
+    rows = [
+        (b"schema1|1", b'{"id": 1, "full_name": "susan"}', "users", dt.datetime(2024, 1, 1), 1),
+        (b"schema1|2", b'{"id": 2, "full_name": "anne"}', "users", dt.datetime(2024, 1, 2), 2),
+        (b"schema1|1", b'{"id": 1, "full_name": "sue"}', "users", dt.datetime(2024, 1, 3), 3),
+    ]
+    return spark.createDataFrame(
+        rows, "key binary, value binary, topic string, timestamp timestamp, offset long"
+    )
+
+
+def test_changelog_surfaces_metadata_columns(spark):
+    cl = changelog_from_bus(_bus_frame(spark), VALUE_SCHEMA)
+    assert set(cl.columns) == {"key", "id", "full_name", "topic", "event_time", "sequence_id"}
+    first = cl.orderBy("sequence_id").first()
+    assert first["key"] == "schema1|1" and first["full_name"] == "susan"
+    assert first["topic"] == "users" and first["sequence_id"] == 1
+
+
+def test_upsert_view_latest_per_primary_key(spark):
+    cl = changelog_from_bus(_bus_frame(spark), VALUE_SCHEMA)
+    view = {r["key"]: r["full_name"] for r in upsert_view(cl).collect()}
+    assert view == {"schema1|1": "sue", "schema1|2": "anne"}
+
+
+def test_streaming_dropduplicates_within_watermark(spark, tmp_path):
+    """Streaming exact dedup (at-least-once bus → effectively-once):
+    dropDuplicates on the upsert key within a watermark."""
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.json").write_text(
+        '{"key": "k1", "ts": "2024-01-01T00:00:01"}\n'
+        '{"key": "k1", "ts": "2024-01-01T00:00:01"}\n'
+        '{"key": "k2", "ts": "2024-01-01T00:00:02"}\n'
+    )
+    stream = (
+        spark.readStream.schema("key string, ts timestamp").json(str(d))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["key", "ts"])
+    )
+    q = stream.writeStream.format("memory").queryName("dedup_mem").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(1) c FROM dedup_mem").first()["c"] == 2
