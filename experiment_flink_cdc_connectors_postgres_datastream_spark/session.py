@@ -61,5 +61,13 @@ def get_session(app_name: str = "experiment_flink_cdc_connectors_postgres_datast
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # local-mode tune only: the testdata files are ~1-10 MB, so the
+        # 128 MB default gives single-task scans; 8 MB splits restore
+        # parallel scan/partial-agg. On a real cluster with 100 TB of
+        # properly-sized files, keep the default (here via env).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
     )
     return configure_session(builder.getOrCreate())
