@@ -1,0 +1,56 @@
+"""Scale-discipline operators: bucketed co-located joins and skew
+salting.
+
+These are the techniques the 100 TB deployment leans on (SURVEY §7.2
+P5): bucketing pre-shuffles fact tables once at write time so every
+subsequent equi-join/aggregation on the bucket key runs exchange-free;
+salting spreads a hot key over ``salt`` subkeys so no single task
+owns it (AQE's skew-join split handles the join case automatically —
+salting covers aggregations and pre-AQE plans).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) table: joins and
+    groupBys on ``bucket_cols`` between tables bucketed the same way
+    need no exchange."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: groupBy(key, salt) partial →
+    groupBy(key) final. ``aggs``: out_col → (in_col, fn) with fn in
+    {sum, count, min, max} (the re-aggregatable functions; partial
+    counts re-aggregate with sum).
+
+    A single hot key becomes ``salt`` partial rows instead of one
+    monster task; cost is a second (tiny) shuffle over the partials.
+    """
+    fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    refn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)))
+    partial = salted.groupBy(*group_cols, "_salt").agg(
+        *[fns[fn](F.col(src)).alias(out) for out, (src, fn) in aggs.items()]
+    )
+    return partial.groupBy(*group_cols).agg(
+        *[refn[fn](F.col(out)).alias(out) for out, (_, fn) in aggs.items()]
+    )

@@ -69,5 +69,9 @@ def get_session(app_name: str = "experiment_flink_cdc_connectors_postgres_datast
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
         )
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/experiment_flink_cdc_connectors_postgres_datastream_spark_warehouse"),
+        )
     )
     return configure_session(builder.getOrCreate())

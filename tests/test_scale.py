@@ -1,0 +1,59 @@
+"""Scale-technique tests: bucketed joins run exchange-free, salted
+aggregation matches plain aggregation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import salted_agg, write_bucketed
+from experiment_flink_cdc_connectors_postgres_datastream_spark.plans import formatted_plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bk_a", ["k"], num_buckets=8)
+    write_bucketed(b, "bk_b", ["k"], num_buckets=8)
+    # disable broadcast so the join planner must pick SMJ — at real
+    # fact-×-fact scale neither side broadcasts; bucketing is what
+    # removes the shuffle there
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_groupby_has_no_exchange(spark):
+    a = spark.range(1000).select((F.col("id") % 10).alias("k"), F.col("id").alias("v"))
+    write_bucketed(a, "bk_g", ["k"], num_buckets=8)
+    agg = spark.table("bk_g").groupBy("k").agg(F.sum("v").alias("s"))
+    assert "Exchange" not in formatted_plan(agg)
+    assert agg.count() == 10
+
+
+def test_salted_agg_matches_plain(spark):
+    # heavy skew: 90% of rows share one key
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    plain = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("c"), F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df, ["k"], {"s": ("v", "sum"), "c": ("v", "count"), "mn": ("v", "min"), "mx": ("v", "max")}
+        ).collect()
+    }
+    assert salted == plain
