@@ -14,5 +14,6 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import de
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import similarity_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import multimodal_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import windows_ops  # noqa: F401
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import advanced_ops  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
