@@ -17,7 +17,9 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -99,6 +101,39 @@ def decode_media(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
             )
 
     return df.select("doc_id", "payload", "media_meta").mapInPandas(run, DECODED_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction over media payloads (mapInPandas, Arrow
+    batches): deterministic fake featurizer (byte histogram folded to
+    ``dim`` buckets, L2-normalized) standing in for a real image/audio
+    encoder. Output (doc_id, embedding) feeds straight into
+    operators.similarity — the multimodal→ANN pipeline bridge."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                buf = np.frombuffer(p if p is not None else b"", dtype=np.uint8)
+                hist = np.zeros(dim, dtype=np.float64)
+                if buf.size:
+                    np.add.at(hist, buf % dim, 1.0)
+                    hist /= np.linalg.norm(hist) or 1.0
+                vecs.append(hist.astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    return df.select("doc_id", "payload").mapInPandas(run, _FEATURE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:

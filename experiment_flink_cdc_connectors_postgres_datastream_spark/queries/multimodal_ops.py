@@ -10,8 +10,10 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_ta
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.multimodal import (
     attach_binary_payload,
     decode_media,
+    extract_features,
     frame_sample,
 )
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import cosine_topk
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
 
 
@@ -50,3 +52,13 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_media(attach_binary_payload(docs, media_type="video"))
     return frame_sample(decoded, every_n=2).select("doc_id", "n_frames", "frame_idx")
+
+
+@register("multimodal_feature_topk")  # fake featurizer → rows-only oracle
+def multimodal_feature_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal→ANN pipeline: payload → Arrow featurizer →
+    cosine top-5 over the extracted embeddings."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(docs)).localCheckpoint(eager=False)
+    queries = feats.filter(F.col("doc_id") % 100 == 0)
+    return cosine_topk(feats, queries, k=5, id_col="doc_id", vec_col="embedding")

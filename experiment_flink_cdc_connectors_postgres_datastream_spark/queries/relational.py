@@ -230,6 +230,108 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q6",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {_DEC_SQL}) * CAST(l_discount AS {_DEC_SQL})) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue: pure filter+aggregate, every
+    predicate pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           CAST(ROUND(SUM({_DISC_PRICE_SQL}), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: broadcast nation, selective
+    date/returnflag pushdown, top-20 with unique tiebreaker."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        cust.join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    f"""
+    SELECT 100.0 * CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN {_DISC_PRICE_SQL}
+                                       ELSE CAST(0 AS DECIMAL(12,4)) END), 4) AS DOUBLE)
+           / CAST(ROUND(SUM({_DISC_PRICE_SQL}), 4) AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: conditional decimal aggregation with
+    a broadcast part join (part is the small side here)."""
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), _disc_price()).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    # exact decimal sums → scale-4 round → double; the ×100 happens in
+    # double (decimal×100 would need precision 41 and the two engines
+    # degrade >38-precision products differently)
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.round(F.sum(promo), 4).cast("double")
+                / F.round(F.sum(_disc_price()), 4).cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
     "rollup_counts",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(1) AS cnt,

@@ -145,6 +145,22 @@ def test_multimodal_plumbing_roundtrip(spark):
     assert framed.count() == sum(r["n_frames"] for r in rows.values())
 
 
+def test_multimodal_feature_extraction_feeds_similarity(spark):
+    """multimodal → embedding bridge: extract features from payloads,
+    run cosine top-k over them."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, OTHER)], "doc_id long, text string"
+    )
+    feats = extract_features(attach_binary_payload(df))
+    rows = {r["doc_id"]: r["embedding"] for r in feats.collect()}
+    assert len(rows[1]) == 16 and rows[1] == rows[2] != rows[3]
+    q = feats.filter(F.col("doc_id") == 1)
+    top = cosine_topk(feats, q, k=1, id_col="doc_id", vec_col="embedding").collect()[0]
+    assert top["doc_id"] == 2 and top["sim"] == 1.0  # identical payload wins
+
+
 def test_multimodal_real_decoder_is_stubbed(spark):
     df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
