@@ -124,6 +124,73 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means-partition the
+    corpus into ``nlist`` cells, probe the ``nprobe`` nearest cells per
+    query.
+
+    Scale shape: centroids are tiny and live driver/broadcast-side;
+    the corpus is scanned once to assign cells (narrow map); search
+    joins queries to only their probed cells — shuffle volume is
+    |corpus|·nprobe/nlist instead of |corpus|·|queries|. Training
+    samples the corpus, so the fit cost is bounded regardless of
+    corpus size.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    ml_df = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+    )
+    km = KMeans(k=nlist, seed=seed, featuresCol="_features", predictionCol="_cell")
+    model = km.fit(ml_df.select("_features"))
+    assigned = model.transform(ml_df).select(id_col, vec_col, "_cell")
+
+    centroids = [list(c) for c in model.clusterCenters()]
+    spark = corpus.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            f"_cell int, _centroid array<double>",
+        )
+    )
+    # nearest nprobe cells per query: tiny cross product (queries × nlist)
+    q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
+    q_cells = (
+        q.crossJoin(cent_df)
+        .select(
+            query_id_col,
+            "_qvec",
+            "_cell",
+            dot(F.col("_qvec"), F.col("_centroid")).alias("_cdot"),
+        )
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(F.desc("_cdot"), F.asc("_cell"))
+    probes = q_cells.select(
+        query_id_col, "_qvec", "_cell", F.row_number().over(w_probe).alias("_pr")
+    ).filter(F.col("_pr") <= nprobe)
+
+    scored = (
+        assigned.join(probes, "_cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.select(query_id_col, id_col, "sim", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     min_cosine: float = 0.95,

@@ -14,6 +14,7 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_ta
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
     sq_norm,
 )
@@ -84,6 +85,14 @@ def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return lsh_bucketed_topk(emb, queries, k=10, bits=4)
+
+
+@register("similarity_topk_ivf")  # kmeans cells → rows-only oracle
+def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF: k-means cells, 4-of-16 probed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
 
 
 @register("embedding_near_dup")  # xxhash64 hyperplanes → rows-only oracle

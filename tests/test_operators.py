@@ -108,6 +108,15 @@ def test_embedding_near_dup_finds_identical_vectors(vecs):
     assert (1, 100) in pairs
 
 
+def test_ivf_topk_finds_identical_vector(vecs):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import ivf_topk
+
+    q = vecs.filter(F.col("vec_id") == 100)
+    got = ivf_topk(vecs, q, k=2, nlist=2, nprobe=1).collect()
+    # the identical vector lands in the same k-means cell and ranks first
+    assert got and got[0]["vec_id"] == 1 and got[0]["sim"] == 1.0
+
+
 def test_lsh_topk_subset_of_bruteforce_semantics(vecs):
     q = vecs.filter(F.col("vec_id") == 100)
     got = lsh_bucketed_topk(vecs, q, k=3, bits=2).collect()
