@@ -30,8 +30,11 @@ BENCH_QUERIES = [
     "tumbling_window",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q6",
+    "tpch_q10",
     "revenue_by_nation",
     "top_k_orders",
+    "asof_join",
     "tokenize",
     "quality_score",
     "dedup_minhash",
