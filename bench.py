@@ -30,8 +30,10 @@ BENCH_QUERIES = [
     "tumbling_window",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    "tpch_q18",
     "revenue_by_nation",
     "top_k_orders",
     "asof_join",

@@ -9,6 +9,7 @@ names/aliases are contractually identical between the two.
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import QUERIES, ORACLES, register
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import reference_surface  # noqa: F401  (registers on import)
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import relational  # noqa: F401
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import tpch_suite  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import text_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import dedup_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import similarity_ops  # noqa: F401

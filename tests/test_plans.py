@@ -67,3 +67,36 @@ def test_compact_latest_single_shuffle_no_sort(spark):
 def test_similarity_topk_broadcasts_queries(spark):
     df = QUERIES["similarity_topk"](spark, SF)
     assert_plan(df, requires=["BroadcastNestedLoopJoin"])
+
+
+def test_tpch_q4_semi_join_with_residual(spark):
+    """Correlated EXISTS compiles to a left-semi join, never a
+    cartesian product, and the date filter reaches the orders scan."""
+    df = QUERIES["tpch_q4"](spark, SF)
+    plan = assert_plan(df, forbids=["CartesianProduct"])
+    assert "LeftSemi" in plan
+    assert any("o_orderdate" in p for p in pushed_filters(df))
+
+
+def test_tpch_q5_prunes_every_scan(spark):
+    """Cyclic 6-table join: each scan reads only its join/agg
+    columns (lineitem must not read l_shipdate etc.)."""
+    df = QUERIES["tpch_q5"](spark, SF)
+    for cols in scan_columns(df):
+        assert len(cols) <= 6
+
+
+def test_tpch_q18_having_subquery_no_extra_lineitem_scan(spark):
+    """The HAVING subquery and the main aggregation both read
+    lineitem; both scans must be 2-column pruned."""
+    df = QUERIES["tpch_q18"](spark, SF)
+    li_scans = [c for c in scan_columns(df) if any(x.startswith("l_") for x in c)]
+    assert li_scans and all(len(c) == 2 for c in li_scans)
+
+
+def test_tpch_q21_exists_pair_joins(spark):
+    """EXISTS + NOT EXISTS pair: one LeftSemi and one LeftAnti join
+    on the same fact table, no cartesian fallback."""
+    df = QUERIES["tpch_q21"](spark, SF)
+    plan = assert_plan(df, forbids=["CartesianProduct"])
+    assert "LeftSemi" in plan and "LeftAnti" in plan
