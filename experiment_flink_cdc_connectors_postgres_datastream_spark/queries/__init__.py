@@ -16,5 +16,6 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import si
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import multimodal_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import windows_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import advanced_ops  # noqa: F401
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import analytics_ops  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,250 @@
+"""Analytics surface beyond TPC-H: JSON extraction, exact
+percentiles, ntile bucketing, CUBE / GROUPING SETS, stratified
+sampling, ordered list aggregation, approximate distinct counts,
+and corpus term statistics.
+
+These fill the gap between the reference's tiny SQL dialect
+(SURVEY.md §2.5) and what an analytics engine a reference user could
+*switch to* must provide, and they exercise pipeline idioms a
+training-data workflow needs (per-group sampling, sketches, term
+stats).
+
+Determinism: percentiles use Spark's *exact* ``percentile`` (sorted
+order statistics — identical interpolation formula to DuckDB's
+``quantile_cont``), rounded to 6 digits while the driver compares at
+9; everything else is integer/count/string-valued. ntile and
+row_number windows always order on a unique key.
+
+Scale: JSON parsing stays JVM-side (``get_json_object``); grouped
+percentiles shuffle once on the group key; the stratified sample's
+per-group window shuffles on the stratum key (bounded state per
+group); ``approx_count_distinct`` is the HLL-sketch path whose whole
+point is constant memory at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           COUNT(1) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column access: ``props`` is a JSON string
+    (the reference ships Debezium JSON envelopes everywhere; this is
+    the same idiom on the analytics side). ``get_json_object`` is
+    JVM-side codegen — no Python round trip."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+@register(
+    "percentile_by_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def percentile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (order statistics + linear
+    interpolation, the same formula DuckDB's quantile_cont uses).
+    For 100 TB one would switch to approx_percentile (t-digest,
+    mergeable, bounded memory) — kept exact here because the oracle
+    is exact; the approximate twin is `approx_distinct_users`."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "ntile_quartiles",
+    """
+    SELECT q, COUNT(1) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM (SELECT value,
+                 ntile(4) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS q
+          FROM events) t
+    GROUP BY q
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window bucketing with a unique (value, event_id) order,
+    re-aggregated so the output is small at any scale."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("value", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@register(
+    "cube_counts",
+    """
+    SELECT event_type, year(ts) AS y, COUNT(1) AS cnt
+    FROM events
+    GROUP BY CUBE (event_type, year(ts))
+    """,
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE: all 2^2 grouping combinations in one Expand +
+    one aggregation exchange (no re-scan per grouping set)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.cube("event_type", F.year("ts").alias("y")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "grouping_sets_count",
+    """
+    SELECT event_type, user_id, COUNT(1) AS cnt
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id))
+    """,
+)
+def grouping_sets_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint marginals, not the full
+    cube) via Spark SQL — exercises the SQL-string entry point
+    (SURVEY §2.5 executeSql analog)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id, COUNT(1) AS cnt
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id))
+        """
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT source, doc_id, n_chars
+    FROM (SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) t
+    WHERE rn <= 5
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: top-5 longest docs per
+    source (training pipelines sample per-stratum, not globally, to
+    keep rare sources represented). Single shuffle on the stratum
+    key; per-group state is a 5-row heap, so skewed strata don't
+    blow memory."""
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@register(
+    "collect_sorted_ids",
+    """
+    SELECT user_id, list_sort(list(event_id)) AS event_ids
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def collect_sorted_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (collect_list + sort_array): the
+    per-key event-sequence materialization a sessionization or
+    feature-engineering pipeline uses. Deterministic because the
+    final array is sorted, not arrival-ordered."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("event_id")).alias("event_ids"))
+    )
+
+
+@register("approx_distinct_users")  # HLL sketch differs from DuckDB's → rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory
+    distinct-count path for 100 TB where exact countDistinct would
+    shuffle every key. Accuracy vs the exact count is asserted in
+    tests/test_operators.py (rows-only oracle: sketch internals are
+    engine-specific)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@register(
+    "top_terms_by_source",
+    """
+    SELECT source, term, cnt
+    FROM (SELECT source, term, cnt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, term) AS rn
+          FROM (SELECT source, term, COUNT(1) AS cnt
+                FROM (SELECT source,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents) u
+                WHERE term <> ''
+                GROUP BY source, term) tc) ranked
+    WHERE rn <= 3
+    """,
+)
+def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: explode → grouped count → per-source
+    top-3. The count aggregation runs map-side partials before the
+    (source, term) shuffle; the final top-k window only sees
+    already-aggregated rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.select("source", "term", "cnt", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

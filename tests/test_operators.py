@@ -174,3 +174,25 @@ def test_multimodal_real_decoder_is_stubbed(spark):
     df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         decode_media(attach_binary_payload(df), use_real_decoder=True).collect()
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL sketch (rsd=0.02) must land within 5% of the exact
+    distinct count on every event_type group."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users"](spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
