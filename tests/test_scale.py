@@ -57,3 +57,23 @@ def test_salted_agg_matches_plain(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import (
+        read_partition_pruned,
+        write_partitioned,
+    )
+
+    ev = spark.range(2000).select(
+        (F.col("id") % 12 + 1).alias("month"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "part_ev")
+    write_partitioned(ev, path, ["month"], sort_cols=["v"])
+    q = read_partition_pruned(spark, path).filter(F.col("month") == 5)
+    plan = formatted_plan(q)
+    # the month predicate must be a directory-level partition filter,
+    # not a post-scan row filter
+    assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters", 1)[1][:200]
+    assert q.count() == ev.filter(F.col("month") == 5).count()
