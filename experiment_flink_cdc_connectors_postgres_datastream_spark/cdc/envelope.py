@@ -116,3 +116,45 @@ def demux(df: DataFrame, tables: dict[str, list[str]]) -> dict[str, DataFrame]:
     (single pass, persisted batch) instead.
     """
     return {t: project_flat(df, t, fields) for t, fields in tables.items()}
+
+
+def parse_cdc_with_dead_letter(
+    df: DataFrame, row_schema: StructType, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Fault-tolerant variant of :func:`parse_cdc`: malformed envelope
+    JSON is routed to a dead-letter DataFrame instead of silently
+    becoming all-null rows (the reference's deserializer would throw
+    and fail the job, StreamingJobWithCustomDeserializer.java:234-272;
+    at 100 TB a single bad record must not kill the pipeline).
+
+    Returns ``(good, dead)``: ``good`` has the typed envelope columns
+    of ``parse_cdc``; ``dead`` keeps the raw ``value`` plus a
+    ``_reason`` column. Both derive from one PERMISSIVE parse of the
+    input — no second scan.
+    """
+    schema = envelope_schema(row_schema).add("_corrupt_record", StringType())
+    parsed = df.withColumn(
+        "_env",
+        F.from_json(
+            F.col(value_col),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    bad = F.col("_env").isNull() | F.col("_env._corrupt_record").isNotNull() | (
+        F.col("_env.op").isNull() & F.col("_env.after").isNull() & F.col("_env.before").isNull()
+    )
+    good = parsed.filter(~bad).select(
+        *[c for c in df.columns if c != value_col],
+        F.col("_env.before").alias("before"),
+        F.col("_env.after").alias("after"),
+        F.col("_env.source").alias("source"),
+        F.col("_env.op").alias("op"),
+        F.col("_env.ts_ms").alias("ts_ms"),
+    )
+    dead = parsed.filter(bad).select(
+        *df.columns,
+        F.when(F.col("_env").isNull() | F.col("_env._corrupt_record").isNotNull(),
+               F.lit("malformed_json")).otherwise(F.lit("empty_envelope")).alias("_reason"),
+    )
+    return good, dead

@@ -123,3 +123,25 @@ def test_compaction_is_last_write_wins(spark, ops):
         for r in compact_latest(df, ["key"], ["seq"], op_col="op").collect()
     }
     assert got == {k: v for k, (_, v) in expected.items() if k in live}
+
+
+def test_parse_cdc_dead_letter_routing(spark):
+    """Malformed envelopes land in the dead-letter frame with the raw
+    payload intact; valid ones parse; neither is silently dropped."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.envelope import parse_cdc_with_dead_letter
+
+    valid = (
+        '{"before": null, "after": {"id": 1, "full_name": "a"}, '
+        '"source": {"schema": "schema1", "table": "users", "lsn": 10, "ts_ms": 5}, '
+        '"op": "c", "ts_ms": 5}'
+    )
+    rows = [(1, valid), (2, "{not json"), (3, '{"unrelated": 7}')]
+    df = spark.createDataFrame(rows, "rec_id long, value string")
+    good, dead = parse_cdc_with_dead_letter(df, USERS_ROW_SCHEMA)
+    g = good.collect()
+    assert [r["rec_id"] for r in g] == [1]
+    assert g[0]["after"]["id"] == 1 and g[0]["op"] == "c"
+    d = {r["rec_id"]: (r["_reason"], r["value"]) for r in dead.collect()}
+    assert set(d) == {2, 3}
+    assert d[2] == ("malformed_json", "{not json")
+    assert d[3][0] == "empty_envelope"
