@@ -17,5 +17,6 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import mu
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import windows_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import advanced_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import analytics_ops  # noqa: F401
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import window_functions  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
