@@ -281,3 +281,63 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list by hash-min
+    label propagation: every node repeatedly adopts the minimum label
+    among itself and its neighbors until a fixpoint.
+
+    This is the canonical last step of fuzzy dedup — pairwise
+    near-dup candidates (MinHash/SimHash/Jaccard output) become
+    transitive duplicate *clusters* with a canonical representative
+    (the minimum id). Output: ``(_id, component)`` for every node
+    that appears in ``pairs``.
+
+    Scale notes: near-dup graphs are unions of small cliques, so the
+    iteration count tracks cluster diameter (2-3 rounds in practice),
+    not graph size; each round is one shuffle join + one aggregation.
+    Lineage is truncated per round (localCheckpoint) so plans don't
+    grow with iterations, and convergence is detected with a
+    count-aggregate action, never a driver-side collect of node data.
+    For adversarial long-chain graphs switch to the large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), which converges in O(log n) rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("_id"))
+        .distinct()
+        .withColumn("component", F.col("_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels._id)
+            .groupBy(F.col("dst").alias("_id"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "_id", "left")
+            .select(
+                "_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.col("_nbr_min") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels

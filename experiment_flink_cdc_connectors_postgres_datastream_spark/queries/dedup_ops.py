@@ -73,3 +73,52 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (3-gram features) near-dup pairs within hamming radius 7
     (8-band LSH, exhaustive at that radius by pigeonhole)."""
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=7, blocks=8, n=3)
+
+
+_JACCARD_PAIRS_CTE = """
+    sh AS (
+      SELECT DISTINCT doc_id AS _id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents))),
+    sizes AS (SELECT _id, COUNT(1) AS n_sh FROM sh GROUP BY _id),
+    inter AS (
+      SELECT a._id AS id_a, b._id AS id_b, COUNT(1) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a._id < b._id
+      GROUP BY a._id, b._id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa._id = id_a
+      JOIN sizes sb ON sb._id = id_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) >= 0.1)
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node)
+    SELECT node AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: exact-Jaccard near-dup pairs →
+    connected components → (doc_id, component) with the component
+    labeled by its minimum doc_id. The DuckDB oracle reproduces the
+    fixpoint with a recursive reachability CTE."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), min_jaccard=0.1)
+    return connected_components(pairs).select(
+        F.col("_id").alias("doc_id"), "component"
+    )

@@ -196,3 +196,16 @@ def test_approx_distinct_within_tolerance(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4 collapses to component 1 (transitivity across
+    rounds); disjoint clique {10,11,12} keeps its own min label."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        "id_a long, id_b long",
+    )
+    got = {r["_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
