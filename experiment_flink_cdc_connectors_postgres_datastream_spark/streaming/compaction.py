@@ -34,6 +34,21 @@ from pyspark.sql.types import StructType
 from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import DELETE_OP, compact_latest
 
 
+
+def merge_latest(
+    batch: pd.DataFrame,
+    prev: tuple | None,
+    cols: list[str],
+    seq_cols: list[str],
+) -> pd.Series:
+    """Latest-row merge shared by both stateful backends: restored
+    state (if any) sorts FIRST under a stable sort, so an equal seq
+    from the new batch wins (arrival order within a batch)."""
+    if prev is not None:
+        batch = pd.concat([pd.DataFrame([prev], columns=cols), batch], ignore_index=True)
+    return batch.sort_values(seq_cols, kind="mergesort").iloc[-1]
+
+
 def stream_compact_latest(
     df: DataFrame,
     key_cols: list[str],
@@ -55,13 +70,7 @@ def stream_compact_latest(
 
     def update(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         batch = pd.concat(list(pdfs), ignore_index=True)
-        if state.exists:
-            prev = pd.DataFrame([tuple(state.get)], columns=cols)
-            # stable sort puts the restored state first so an equal seq
-            # from the new batch wins (arrival order within a batch)
-            batch = pd.concat([prev, batch], ignore_index=True)
-        batch = batch.sort_values(seq_cols, kind="mergesort")
-        latest = batch.iloc[-1]
+        latest = merge_latest(batch, tuple(state.get) if state.exists else None, cols, seq_cols)
         state.update(tuple(latest[c] for c in cols))
         out = pd.DataFrame([tuple(latest[c] for c in cols)], columns=cols)
         out["_live"] = bool(op_col is None or latest[op_col] != DELETE_OP)
@@ -127,3 +136,67 @@ def run_compacted_aggregate(
         .option("checkpointLocation", checkpoint_dir or os.path.join(state_dir, "checkpoint"))
     )
     return writer.start()
+
+
+def stream_compact_latest_tws(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str | None = None,
+) -> DataFrame:
+    """:func:`stream_compact_latest` on the Spark 4 ``StatefulProcessor``
+    API (``transformWithStateInPandas``) — the forward path for custom
+    stateful operators: typed per-key state variables (RocksDB-backed on
+    a cluster), optional TTL/timers, and *multiple* state variables per
+    key where ``applyInPandasWithState`` allows exactly one.
+
+    Keeps two states per upsert key: the latest row (ValueState) and a
+    lifetime change counter (second ValueState), emitted as
+    ``_n_changes`` next to the ``_live`` flag — the per-key audit
+    column a CDC consumer uses to detect replay/out-of-order anomalies.
+
+    Runtime requirement: the ``protobuf`` Python package (the state
+    server speaks protobuf); environments without it should use
+    :func:`stream_compact_latest`, which is protocol-free.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    cols = df.columns
+    out_schema = StructType.fromJson(df.schema.jsonValue())
+    out_schema = out_schema.add("_live", "boolean").add("_n_changes", "long")
+    state_schema = StructType.fromJson(df.schema.jsonValue())
+
+    class LatestRowProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState("latest", state_schema)
+            self._changes = handle.getValueState("n_changes", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch = pd.concat(list(rows), ignore_index=True)
+            n_new = len(batch)
+            prev = tuple(self._latest.get()) if self._latest.exists() else None
+            n_before = (
+                int(self._changes.get()[0])
+                if prev is not None and self._changes.exists()
+                else 0
+            )
+            latest = merge_latest(batch, prev, cols, seq_cols)
+            self._latest.update(tuple(latest[c] for c in cols))
+            self._changes.update((n_before + n_new,))
+            out = pd.DataFrame([tuple(latest[c] for c in cols)], columns=cols)
+            out["_live"] = bool(op_col is None or latest[op_col] != DELETE_OP)
+            out["_n_changes"] = n_before + n_new
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(*[F.col(k) for k in key_cols]).transformWithStateInPandas(
+        LatestRowProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -137,3 +137,70 @@ def test_streaming_tumbling_window(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_mem").collect()
     }
     assert got == {(0, "a"): 2, (5, "b"): 1, (5, "a"): 1}
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs the protobuf package for its "
+    "state-server protocol; not installed in this container",
+)
+def test_stream_compact_latest_tws_matches_legacy(spark, cdc_dir):
+    """transformWithStateInPandas compaction (StatefulProcessor API)
+    reaches the same final per-key state as the applyInPandasWithState
+    path, and its second state variable counts changes per key."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import stream_compact_latest_tws
+
+    stream = read_cdc_file_stream(spark, cdc_dir, max_files_per_trigger=1)
+    flat = _flat_users(stream).select("key", "op", "schema", "ts_ms", "lsn", "full_name")
+    compacted = stream_compact_latest_tws(flat, ["key"], ["ts_ms", "lsn"], op_col="op")
+    q = (
+        compacted.writeStream.format("memory")
+        .queryName("compacted_tws_mem")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM compacted_tws_mem").collect()
+    final: dict[str, tuple] = {}
+    changes: dict[str, int] = {}
+    for r in rows:
+        final[r["key"]] = (r["full_name"], r["_live"])
+        changes[r["key"]] = max(changes.get(r["key"], 0), r["_n_changes"])
+    assert final["schema1|1"] == ("sue smith", True)
+    assert final["schema2|1"] == ("bobby smith", True)
+    assert final["schema1|2"][1] is False
+    assert final["schema3|7"] == ("snap shot", True)
+    # schema1|1 sees insert + update across the fixture
+    assert changes["schema1|1"] >= 2
+    assert all(n >= 1 for n in changes.values())
+
+
+def test_merge_latest_semantics():
+    """Direct unit test of the merge shared by both stateful
+    backends: highest seq wins; on seq ties the NEW batch row beats
+    restored state (arrival order)."""
+    import pandas as pd
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import merge_latest
+
+    cols = ["key", "seq", "v"]
+    batch = pd.DataFrame([("k", 2, "new2"), ("k", 1, "new1")], columns=cols)
+    latest = merge_latest(batch, ("k", 1, "prev1"), cols, ["seq"])
+    assert (latest["seq"], latest["v"]) == (2, "new2")
+    # tie on seq: new batch row wins over restored state
+    tie = pd.DataFrame([("k", 5, "fresh")], columns=cols)
+    latest = merge_latest(tie, ("k", 5, "stale"), cols, ["seq"])
+    assert latest["v"] == "fresh"
+    # no prior state
+    latest = merge_latest(tie, None, cols, ["seq"])
+    assert latest["v"] == "fresh"
