@@ -96,3 +96,54 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     DuckDB oracle has it too)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.withColumn(out_col, F.md5(F.trim(norm)))
+
+
+def build_vocab(df: DataFrame, text_col: str = "text", size: int = 100) -> DataFrame:
+    """Corpus vocabulary: the ``size`` most frequent whitespace tokens,
+    assigned dense ids 1..size by (count desc, term asc) — id 0 is
+    reserved for OOV. One grouped count (map-side partials) plus a
+    global top-k sort over the already-tiny term table."""
+    from pyspark.sql.window import Window
+
+    term_counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        term_counts.select("term", "cnt", F.row_number().over(w).alias("token_id"))
+        .filter(F.col("token_id") <= size)
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode each document as its token-id sequence (OOV → 0),
+    preserving token order — the text→ints step in front of any
+    sequence model. posexplode keeps positions; the vocab join is
+    broadcast (vocab is ~1e5 rows at most by construction); the
+    re-assembly sorts (pos, id) structs inside one aggregation."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    encoded = toks.join(F.broadcast(vocab.select("term", "token_id")), "term", "left")
+    return (
+        encoded.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("pos"), F.coalesce("token_id", F.lit(0)).alias("tid"))
+                    )
+                ),
+                lambda s: s.getField("tid"),
+            ).alias("token_ids")
+        )
+    )

@@ -137,3 +137,59 @@ def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "vocab_top_terms",
+    """
+    SELECT term, cnt, token_id
+    FROM (SELECT term, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, term) AS token_id
+          FROM (SELECT term, COUNT(1) AS cnt
+                FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+                      FROM documents) u
+                WHERE term <> ''
+                GROUP BY term) tc) ranked
+    WHERE token_id <= 100
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 terms with dense ids (count desc,
+    term asc; id 0 reserved for OOV)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import build_vocab
+
+    return build_vocab(load_table(spark, sf_dir, "documents"), size=100)
+
+
+@register(
+    "tokens_to_ids",
+    """
+    WITH vocab AS (
+      SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS token_id
+      FROM (SELECT term, COUNT(1) AS cnt
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents) u
+            WHERE term <> ''
+            GROUP BY term) tc
+      QUALIFY token_id <= 100),
+    toks AS (
+      SELECT doc_id, t.term, t.pos
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+            FROM documents) t
+      WHERE t.term <> '')
+    SELECT doc_id,
+           list(COALESCE(token_id, 0) ORDER BY pos) AS token_ids
+    FROM toks LEFT JOIN vocab USING (term)
+    GROUP BY doc_id
+    """,
+)
+def tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents encoded as ordered token-id sequences against the
+    top-100 vocabulary (OOV → 0) — the text→ints step of a training
+    pipeline."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import build_vocab, encode_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encode_tokens(docs, build_vocab(docs, size=100))
