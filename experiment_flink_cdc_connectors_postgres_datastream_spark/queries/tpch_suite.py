@@ -1,5 +1,6 @@
-"""Remaining TPC-H queries (q4 q5 q7 q8 q9 q12 q13 q15 q16 q17 q18
-q19 q21 q22), adapted to the driver's TPC-H-ish schema.
+"""Remaining TPC-H queries (q2 q4 q5 q7 q8 q9 q11 q12 q13 q15 q16
+q17 q18 q19 q20 q21 q22), adapted to the driver's TPC-H-ish schema —
+with q1/q3/q6/q10/q14 in relational.py this completes all 22.
 
 The testdata (TESTDATA.md) omits ``partsupp`` and several columns
 (``l_commitdate``, ``l_receiptdate``, ``l_shipmode``, ``p_container``,
@@ -10,9 +11,11 @@ OR-of-conjuncts pushdown, …) survives the column substitutions:
 
 - q4/q12/q21 "late" predicate: ``l_shipdate > o_orderdate`` replaces
   the commit/receipt-date comparisons.
-- q2/q11/q20 need partsupp cost/availqty and are out of scope;
-  q20's shape (semi join on an aggregated-threshold subquery) is
-  kept as ``tpch_q20`` over shipped quantities instead.
+- q2/q11/q20 need partsupp cost/availqty: the "supplies" relation
+  becomes the distinct (part, supplier) pairs observed in lineitem
+  (q2 minimizes s_acctbal, q11 values parts by shipped revenue,
+  q20 thresholds shipped quantity) — each keeps its shape
+  (correlated MIN, HAVING-vs-global-fraction, aggregated semi join).
 - q13 excludes urgent orders instead of comment-pattern orders.
 - q16 counts distinct lineitem suppliers per part attribute group.
 - q19/q22 drop container/shipmode/phone-prefix predicates for
@@ -713,4 +716,113 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "tpch_q2",
+    """
+    WITH euro_pairs AS (
+      SELECT DISTINCT l_partkey AS sp_partkey, s_suppkey, s_name, s_acctbal, n_name
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part JOIN euro_pairs ON sp_partkey = p_partkey
+    WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+      AND s_acctbal = (SELECT MIN(e2.s_acctbal) FROM euro_pairs e2
+                       WHERE e2.sp_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: no partsupp, so the
+    "supplies" relation is the distinct (part, supplier) pairs
+    observed in lineitem and the minimized cost is s_acctbal).
+    Correlated MIN subquery realized as aggregate + equi-join on the
+    already-deduplicated pair table; region/nation broadcast."""
+    dims = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("sp_partkey"), "s_suppkey", "s_name", "s_acctbal", "n_name"
+        )
+    )
+    min_bal = pairs.groupBy(F.col("sp_partkey").alias("mb_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") >= 10) & (F.col("p_size") <= 20)
+    )
+    return (
+        part.join(pairs, F.col("sp_partkey") == F.col("p_partkey"))
+        .join(
+            min_bal,
+            (F.col("mb_partkey") == F.col("p_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11",
+    f"""
+    WITH v AS (
+      SELECT l_partkey AS ps_partkey, SUM({_DISC_PRICE_SQL}) AS value_dec
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey)
+    SELECT ps_partkey, CAST(ROUND(value_dec, 2) AS DOUBLE) AS value
+    FROM v
+    WHERE CAST(ROUND(value_dec, 2) AS DOUBLE)
+          > (SELECT CAST(ROUND(SUM(value_dec), 2) AS DOUBLE) * 0.001 FROM v)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: no partsupp availqty ×
+    supplycost, so per-part "value" is the discounted revenue shipped
+    by NATION_5 suppliers). HAVING-above-a-global-fraction realized
+    as a broadcast single-row join of the exact-decimal total; the
+    fraction comparison happens on identically-rounded doubles in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    )
+    v = (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(_disc_price()).alias("value_dec"))
+    )
+    total = F.broadcast(
+        v.agg((F.round(F.sum("value_dec"), 2).cast("double") * F.lit(0.001)).alias("thresh"))
+    )
+    return (
+        v.join(total)
+        .filter(F.round(F.col("value_dec"), 2).cast("double") > F.col("thresh"))
+        .select("ps_partkey", F.round("value_dec", 2).cast("double").alias("value"))
+        .orderBy(F.desc("value"), F.asc("ps_partkey"))
     )
