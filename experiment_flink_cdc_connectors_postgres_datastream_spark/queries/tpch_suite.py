@@ -22,7 +22,8 @@ OR-of-conjuncts pushdown, …) survives the column substitutions:
   brand/size/quantity and nation-key sets.
 
 Determinism contract (see relational.py): money math in
-DECIMAL(12,4), rounded while still decimal, cast to DOUBLE last;
+DECIMAL(12,2) (exact for 2-decimal money, long-backed products —
+see relational.py), rounded while still decimal, cast to DOUBLE last;
 ORDER BY ... LIMIT always carries a unique tiebreaker. Sums of
 integer-valued doubles (quantities) are exact in both engines.
 
