@@ -193,3 +193,60 @@ def tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return encode_tokens(docs, build_vocab(docs, size=100))
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(1) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM (SELECT doc_id, term, tf, df, n_docs,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC,
+                                             term) AS rn
+          FROM tf JOIN df USING (term) CROSS JOIN n) ranked
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic relevance
+    weighting a retrieval/quality pipeline computes over a corpus.
+    tf and df are integer counts (exact); ln() over the same double
+    ratio is bit-identical in both engines; ties broken by term.
+    Three shuffles total: tf groupBy, df groupBy (tiny), per-doc
+    top-k window — the df and corpus-size sides broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id", "term", F.round("tfidf", 6).alias("tfidf"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
