@@ -76,9 +76,9 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (order statistics + linear
     interpolation, the same formula DuckDB's quantile_cont uses).
-    For 100 TB one would switch to approx_percentile (t-digest,
-    mergeable, bounded memory) — kept exact here because the oracle
-    is exact; the approximate twin is `approx_distinct_users`."""
+    For 100 TB one would switch to approx_percentile (mergeable
+    sketch, bounded memory) — kept exact here because the oracle is
+    exact; the approximate twin is `approx_percentile_by_type`."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
@@ -247,4 +247,20 @@ def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("source", "term", "cnt", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
         .drop("rn")
+    )
+
+
+@register("approx_percentile_by_type")  # t-digest-style sketch → rows-only
+def approx_percentile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate grouped percentiles (mergeable quantile sketch,
+    accuracy parameter 10000): the constant-memory twin of
+    `percentile_by_type` for 100 TB, where exact percentiles would
+    materialize every group's values. Accuracy vs the exact
+    percentiles is asserted in tests/test_operators.py (rows-only
+    oracle: sketch internals are engine-specific)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("p90"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
     )

@@ -209,3 +209,30 @@ def test_connected_components_chain_and_clique(spark):
     )
     got = {r["_id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """The quantile sketch must land within 1% relative error of the
+    exact percentiles on every event_type group."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["approx_percentile_by_type"](spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (k, a, e)
