@@ -59,7 +59,9 @@ def compact_latest(
     )
     out = ranked.select(*[F.col(f"_latest.{c}").alias(c) for c in payload])
     if op_col is not None and drop_deletes:
-        out = out.filter(F.col(op_col) != F.lit(DELETE_OP))
+        # null-safe: a NULL op (source without an op column, permissive
+        # parse) is a live row, not a tombstone — plain != would drop it
+        out = out.filter(~F.col(op_col).eqNullSafe(F.lit(DELETE_OP)))
     return out
 
 

@@ -18,7 +18,6 @@ for tests and local runs.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
@@ -77,25 +76,75 @@ class JdbcUpsertSink:
 
 
 class ParquetUpsertSink:
-    """Same contract against a parquet path (tests / local runs):
-    merge-by-key, last write wins."""
+    """Same contract against a parquet directory (tests / local runs):
+    merge-by-key, last write wins.
 
-    def __init__(self, path: str, key_cols: list[str]):
+    Durability/determinism (vs the naive overwrite-in-place version):
+
+    - state lives in a :class:`GenerationalStateStore` — each batch
+      rewrites only the key-hash buckets it touches and publishes via
+      an atomic manifest rename, so a crash mid-write can never
+      destroy previously-committed rows;
+    - within a batch, duplicate keys are resolved by ``seq_cols``
+      (highest wins); without ``seq_cols`` the LAST occurrence wins
+      deterministically (input order), not an arbitrary ``max_by`` tie.
+    """
+
+    def __init__(self, path: str, key_cols: list[str], seq_cols: list[str] | None = None,
+                 n_buckets: int = 8):
         self.path = path
         self.key_cols = key_cols
+        self.seq_cols = seq_cols or []
+        self.n_buckets = n_buckets
+        self._store = None
+
+    def _get_store(self, spark: SparkSession):
+        from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import GenerationalStateStore
+
+        if self._store is None:
+            self._store = GenerationalStateStore(
+                spark, self.path, self.key_cols, n_buckets=self.n_buckets
+            )
+        return self._store
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
-        spark = df.sparkSession
-        merged = df
-        if os.path.exists(self.path):
-            prev = spark.read.parquet(self.path).withColumn("_gen", F.lit(0))
-            merged = prev.unionByName(df.withColumn("_gen", F.lit(1)))
-            from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import compact_latest
+        from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import compact_latest
+        from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import BUCKET_COL
 
-            merged = compact_latest(merged, self.key_cols, ["_gen"]).drop("_gen")
-        tmp = self.path + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        spark = df.sparkSession
+        store = self._get_store(spark)
+        # _gen separates old state (0) from this batch (1); _row_seq
+        # makes the within-batch winner deterministic when seq_cols
+        # don't fully order duplicates (last occurrence wins).
+        batch = store.with_bucket(
+            df.withColumn("_gen", F.lit(1)).withColumn(
+                "_row_seq", F.monotonically_increasing_id()
+            )
+        )
+        touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            return
+        full = store.gen_count() >= store.max_generations
+        prev = store.read(buckets=None if full else touched)
+        merged = batch
+        if prev is not None:
+            merged = prev.withColumn("_gen", F.lit(0)).withColumn(
+                "_row_seq", F.lit(0).cast("long")
+            ).unionByName(batch)
+        # compacted still carries _bucket (part of the payload)
+        compacted = compact_latest(
+            merged, self.key_cols, ["_gen", *self.seq_cols, "_row_seq"]
+        ).drop("_gen", "_row_seq")
+        store.commit(
+            compacted,
+            list(range(store.n_buckets)) if full else touched,
+            version=batch_id,
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        state = self._get_store(spark).read()
+        if state is None:
+            raise FileNotFoundError(f"ParquetUpsertSink: no committed state at {self.path}")
+        from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import BUCKET_COL
+
+        return state.drop(BUCKET_COL)

@@ -20,6 +20,17 @@ dedupes). LSN offsets live in the streaming checkpoint, giving
 exactly-once source progress like the reference's checkpointed
 Debezium engine (StreamingJob.java:36-39).
 
+Failure semantics: polling uses ``pg_logical_slot_peek_changes``
+(non-destructive) and the slot is advanced only in ``commit()`` —
+i.e. only after Spark has durably checkpointed the batch's end
+offset. Until then every planned-but-uncommitted change remains in
+the slot, so ``partitions()`` can re-serve any checkpointed span by
+re-peeking after a driver restart; a fresh reader detects a restart
+by the slot already existing and seeds its LSN watermark from the
+slot's confirmed position instead of re-running the snapshot. A
+wal-phase span that cannot be recovered from the slot raises rather
+than silently returning an empty batch.
+
 psycopg2 is not in this container: all DB access goes through an
 injectable connector factory so the offset/translation logic is fully
 unit-tested with a fake; ``register`` fails fast with a clear error if
@@ -171,17 +182,48 @@ class PostgresReplicationClient:
             host=c.hostname, port=c.port, dbname=c.database, user=c.username, password=c.password
         )
 
-    def ensure_slot(self) -> None:  # pragma: no cover - needs server
+    def ensure_slot(self) -> bool:  # pragma: no cover - needs server
+        """Create the replication slot if absent. Returns True if this
+        call created it (fresh start), False if it already existed
+        (restart of a previous incarnation)."""
         with self._connect() as conn, conn.cursor() as cur:
             cur.execute(
                 "SELECT 1 FROM pg_replication_slots WHERE slot_name = %s",
                 (self.config.slot_name,),
             )
-            if cur.fetchone() is None:
-                cur.execute(
-                    "SELECT pg_create_logical_replication_slot(%s, %s)",
-                    (self.config.slot_name, self.config.plugin_name),
-                )
+            if cur.fetchone() is not None:
+                return False
+            cur.execute(
+                "SELECT pg_create_logical_replication_slot(%s, %s)",
+                (self.config.slot_name, self.config.plugin_name),
+            )
+            return True
+
+    def slot_confirmed_lsn(self) -> int:  # pragma: no cover - needs server
+        """The slot's confirmed_flush position as an int LSN (0 if the
+        slot has never been advanced)."""
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(
+                "SELECT confirmed_flush_lsn FROM pg_replication_slots WHERE slot_name = %s",
+                (self.config.slot_name,),
+            )
+            row = cur.fetchone()
+            if row is None or row[0] is None:
+                return 0
+            hi, lo = str(row[0]).split("/")
+            return (int(hi, 16) << 32) | int(lo, 16)
+
+    def advance_slot(self, lsn_int: int) -> None:  # pragma: no cover - needs server
+        """Move the slot's confirmed position up to ``lsn_int`` —
+        called only after the batch covering it is checkpointed."""
+        if lsn_int <= 0:
+            return
+        lsn_txt = f"{lsn_int >> 32:X}/{lsn_int & 0xFFFFFFFF:X}"
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(
+                "SELECT pg_replication_slot_advance(%s, %s)",
+                (self.config.slot_name, lsn_txt),
+            )
 
     def list_tables(self) -> list[tuple[str, str]]:  # pragma: no cover - needs server
         c = self.config
@@ -203,13 +245,15 @@ class PostgresReplicationClient:
             for row in cur:
                 yield dict(zip(cols, row))
 
-    def poll_changes(self, limit: int) -> list[dict[str, Any]]:  # pragma: no cover - needs server
-        """Consume up to ``limit`` changes from the slot (wal2json v2).
-        Each returned dict gets ``lsn_int`` injected from the slot read."""
+    def peek_changes(self, limit: int) -> list[dict[str, Any]]:  # pragma: no cover - needs server
+        """Read up to ``limit`` changes from the slot WITHOUT consuming
+        them (wal2json v2). The slot position moves only via
+        ``advance_slot`` after checkpoint, so an uncommitted batch is
+        always re-readable. Each dict gets ``lsn_int`` injected."""
         out: list[dict[str, Any]] = []
         with self._connect() as conn, conn.cursor() as cur:
             cur.execute(
-                "SELECT lsn, xid, data FROM pg_logical_slot_get_changes(%s, NULL, %s, "
+                "SELECT lsn, xid, data FROM pg_logical_slot_peek_changes(%s, NULL, %s, "
                 "'format-version', '2', 'include-timestamp', '1', 'include-lsn', '1')",
                 (self.config.slot_name, limit),
             )
@@ -240,59 +284,105 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
         self.client = client or PostgresReplicationClient(config)
         self._pending: dict[tuple[int, int], list[tuple]] = {}
         self._snapshot_done = False
-        self._last_lsn = 0
+        self._last_lsn = 0  # planned (not necessarily committed) watermark
 
     def initialOffset(self) -> dict:
         return {"phase": "snapshot", "lsn": 0}
 
-    def latestOffset(self) -> dict:
-        if not self._snapshot_done:
-            self.client.ensure_slot()  # slot first: no gap between snapshot and tail
-            rows: list[tuple] = []
-            for schema, table in self.client.list_tables():
-                for row in self.client.snapshot_rows(schema, table):
-                    rows.append(
-                        (snapshot_row_to_envelope(schema, table, row, self.config.database), 0, 0)
-                    )
-            self._pending[(0, 1)] = rows
-            self._snapshot_done = True
-            self._last_lsn = 1
-            return {"phase": "wal", "lsn": 1}
-        changes = self.client.poll_changes(self.config.poll_batch_size)
-        rows = []
-        max_lsn = self._last_lsn
+    def _changes_to_rows(self, changes: list[dict[str, Any]], floor_lsn: int) -> list[tuple]:
+        """Translate peeked wal2json records into (envelope, lsn, ts)
+        rows, dropping non-row actions and anything at/below
+        ``floor_lsn`` (already planned into an earlier span — peek
+        re-returns unadvanced changes on every call)."""
+        rows: list[tuple] = []
         for rec in changes:
+            lsn = rec.get("lsn_int", 0)
+            if lsn < floor_lsn:
+                continue
             env = wal2json_to_envelope(rec, self.config.database)
             if env is not None:
-                lsn = rec.get("lsn_int", 0)
-                ts = rec.get("timestamp_ms", 0)
-                rows.append((env, lsn, ts))
-                max_lsn = max(max_lsn, lsn)
+                rows.append((env, lsn, rec.get("timestamp_ms", 0)))
+        return rows
+
+    def _snapshot_rows(self) -> list[tuple]:
+        rows: list[tuple] = []
+        for schema, table in self.client.list_tables():
+            for row in self.client.snapshot_rows(schema, table):
+                rows.append(
+                    (snapshot_row_to_envelope(schema, table, row, self.config.database), 0, 0)
+                )
+        return rows
+
+    def latestOffset(self) -> dict:
+        if not self._snapshot_done:
+            # Slot first: no gap between snapshot and tail. If the slot
+            # already exists, a previous incarnation snapshotted — this
+            # is a restart: seed the watermark from the slot's durable
+            # confirmed position instead of re-running the snapshot.
+            created = self.client.ensure_slot()
+            if created:
+                self._pending[(0, 1)] = self._snapshot_rows()
+                self._snapshot_done = True
+                self._last_lsn = 1
+                return {"phase": "wal", "lsn": 1}
+            self._snapshot_done = True
+            self._last_lsn = max(1, self.client.slot_confirmed_lsn() + 1)
+        changes = self.client.peek_changes(self.config.poll_batch_size)
+        rows = self._changes_to_rows(changes, self._last_lsn)
         if rows:
+            max_lsn = max(lsn for _, lsn, _ in rows)
             self._pending[(self._last_lsn, max_lsn + 1)] = rows
             self._last_lsn = max_lsn + 1
         return {"phase": "wal", "lsn": self._last_lsn}
 
     def partitions(self, start: dict, end: dict) -> list[PostgresCDCPartition]:
         span = (start.get("lsn", 0), end.get("lsn", 0))
+        # A wal-phase start means the snapshot batch is behind us —
+        # keep internal state consistent on a restarted reader so the
+        # next latestOffset() continues instead of re-snapshotting.
+        if span[1] >= 1:
+            self._snapshot_done = True
+            self._last_lsn = max(self._last_lsn, span[1])
         rows = self._pending.get(span)
+        if rows is None and span == (0, 1):
+            # Snapshot batch replay after restart: re-read the tables.
+            # op='r' envelopes are idempotent under downstream
+            # last-write-wins compaction.
+            rows = self._snapshot_rows()
         if rows is None:
+            # Restart replay of a planned-but-uncommitted wal batch:
+            # the slot was not advanced past it, so re-peek and filter
+            # to the requested range.
+            changes = self.client.peek_changes(self.config.poll_batch_size)
             rows = [
                 r
-                for (lo, hi), chunk in self._pending.items()
-                if lo >= span[0] and hi <= span[1]
-                for r in chunk
+                for r in self._changes_to_rows(changes, span[0])
+                if span[0] <= r[1] < span[1]
             ]
+            if not rows and span[1] > span[0] > 0:
+                raise RuntimeError(
+                    f"postgres_cdc: cannot serve checkpointed offset range "
+                    f"[{span[0]}, {span[1]}) from slot "
+                    f"{self.config.slot_name!r}: the slot has no changes in "
+                    "range (was it advanced or recreated externally?). "
+                    "Refusing to return an empty batch for a non-empty span."
+                )
         return [PostgresCDCPartition(rows or [])]
 
     def read(self, partition: PostgresCDCPartition) -> Iterator[tuple]:
         yield from partition.rows
 
     def commit(self, end: dict) -> None:
-        done = [k for k in self._pending if k[1] <= end.get("lsn", 0) or k == (0, 1)]
-        for k in done:
-            if k[1] <= end.get("lsn", 0):
-                del self._pending[k]
+        """Called after Spark durably commits ``end`` to the offset
+        log: only now is it safe to drop driver buffers and advance
+        the replication slot past the batch."""
+        end_lsn = end.get("lsn", 0)
+        for k in [k for k in self._pending if k[1] <= end_lsn]:
+            del self._pending[k]
+        if end_lsn > 1:
+            # end_lsn is max committed change lsn + 1; advance the slot
+            # to the last committed change itself.
+            self.client.advance_slot(end_lsn - 1)
 
 
 if _HAS_DATASOURCE_API:

@@ -12,11 +12,13 @@ Two strategies, both exactly-once with a checkpoint location:
    (sql-client-conf.yaml:16-17).
 
 2. ``run_compacted_aggregate`` — ``foreachBatch``: merge each
-   micro-batch into a compacted state table (parquet), recompute the
-   grouped aggregate, and hand the refreshed aggregate to a sink
-   callback (our JDBC-upsert path, K3). Per-batch recompute of the
-   *aggregate* is cheap because the state table holds one row per
-   live key; the merge itself is incremental.
+   micro-batch into a compacted state table (bucketed generational
+   parquet, :mod:`.statestore`), recompute the grouped aggregate, and
+   hand the refreshed aggregate to a sink callback (our JDBC-upsert
+   path, K3). A micro-batch rewrites only the key-hash buckets it
+   touches and publishes via an atomic manifest flip — per-batch
+   write I/O is O(touched keys' buckets), not O(total state), and a
+   crash mid-write leaves the previous state generation intact.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import DELETE_OP, compact_latest
+from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import BUCKET_COL, GenerationalStateStore
 
 
 
@@ -96,33 +99,45 @@ def run_compacted_aggregate(
     sink: Callable[[DataFrame, int], None] | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "compacted_aggregate",
+    n_buckets: int = 64,
 ):
     """The reference's full stage-2 (upsert table → GROUP BY count →
     JDBC upsert, StreamingJobWithCustomDeserializer.java:156-194) as a
-    foreachBatch pipeline over parquet state.
+    foreachBatch pipeline over bucketed generational parquet state.
 
-    Each micro-batch: state ∪ batch → compact_latest → overwrite state
-    → changelog-correct aggregate → ``sink(agg_df, batch_id)``.
-    Restart-safe: the checkpoint tracks source progress and the merge
-    is idempotent (last-write-wins by seq).
+    Each micro-batch: read state for the buckets the batch touches ∪
+    batch → compact_latest → commit ONLY those buckets as a new
+    generation (atomic manifest flip, :class:`GenerationalStateStore`)
+    → changelog-correct aggregate over the full state → ``sink(agg_df,
+    batch_id)``. Restart-safe: the checkpoint tracks source progress,
+    the merge is idempotent (last-write-wins by seq), and a replayed
+    batch rewrites the same generation.
     """
     spark = stream.sparkSession
-    state_path = os.path.join(state_dir, "state")
-    tmp_path = os.path.join(state_dir, "state_next")
+    store = GenerationalStateStore(
+        spark, os.path.join(state_dir, "state"), key_cols, n_buckets=n_buckets
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        new = batch
-        if os.path.exists(state_path):
-            prev = spark.read.parquet(state_path)
-            new = prev.unionByName(batch)
-        compacted = compact_latest(new, key_cols, seq_cols, op_col=op_col, drop_deletes=False)
-        # two-phase overwrite: never read and write the same path in one job
-        compacted.write.mode("overwrite").parquet(tmp_path)
-        fresh = spark.read.parquet(tmp_path)
-        fresh.write.mode("overwrite").parquet(state_path)
-        live = fresh
+        batch = store.with_bucket(batch)
+        # touched bucket ids: bounded by n_buckets, so the collect is
+        # a tiny driver list, never data rows
+        touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            return
+        full_compaction = store.gen_count() >= store.max_generations
+        scope = None if full_compaction else touched
+        prev = store.read(buckets=scope)
+        merged = batch if prev is None else prev.unionByName(batch)
+        compacted = compact_latest(merged, key_cols, seq_cols, op_col=op_col, drop_deletes=False)
+        store.commit(
+            compacted,
+            list(range(store.n_buckets)) if full_compaction else touched,
+            version=batch_id,
+        )
+        live = store.read()
         if op_col is not None:
-            live = live.filter(F.col(op_col) != F.lit(DELETE_OP))
+            live = live.filter(~F.col(op_col).eqNullSafe(F.lit(DELETE_OP)))
         agg = live.groupBy(*[F.col(g) for g in group_cols]).agg(
             F.count(F.lit(1)).alias(count_alias)
         )

@@ -21,10 +21,15 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_
 
 
 class FakeClient:
-    """Scripted replication client: fixed snapshot + queued changes."""
+    """Scripted replication client with real slot semantics: changes
+    arrive over time (one queued batch surfaces per peek) and stay in
+    the slot until ``advance_slot`` consumes them — mirroring
+    ``pg_logical_slot_peek_changes`` + ``pg_replication_slot_advance``."""
 
     def __init__(self):
         self.slot_created = False
+        self.confirmed_lsn = 0
+        self.wal = []  # changes visible in the slot, in lsn order
         self.snapshot = {("schema1", "users"): [{"id": 1, "full_name": "susan smith"}]}
         self.change_queue = [
             [
@@ -64,7 +69,9 @@ class FakeClient:
         ]
 
     def ensure_slot(self):
+        created = not self.slot_created
         self.slot_created = True
+        return created
 
     def list_tables(self):
         return sorted(self.snapshot)
@@ -72,8 +79,17 @@ class FakeClient:
     def snapshot_rows(self, schema, table):
         yield from self.snapshot[(schema, table)]
 
-    def poll_changes(self, limit):
-        return self.change_queue.pop(0) if self.change_queue else []
+    def peek_changes(self, limit):
+        if self.change_queue:  # new WAL arrives between polls
+            self.wal.extend(self.change_queue.pop(0))
+        return [c for c in self.wal if c.get("lsn_int", 0) > self.confirmed_lsn][:limit]
+
+    def advance_slot(self, lsn):
+        self.confirmed_lsn = max(self.confirmed_lsn, lsn)
+        self.wal = [c for c in self.wal if c.get("lsn_int", 0) > self.confirmed_lsn]
+
+    def slot_confirmed_lsn(self):
+        return self.confirmed_lsn
 
 
 @pytest.fixture()
@@ -155,6 +171,58 @@ def test_datasource_registration(spark):
     register(spark)
     df = spark.readStream.format("postgres_cdc").option("hostname", "h").load()
     assert df.isStreaming and df.schema == RAW_CDC_SCHEMA
+
+
+def test_restart_replays_uncommitted_batch_from_slot():
+    """Driver crash between planning and commit: the slot was never
+    advanced, so a fresh reader must re-serve the checkpointed span by
+    re-peeking — not silently return empty (the round-1 data-loss bug)."""
+    client = FakeClient()
+    r1 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    r1.latestOffset()              # snapshot planned
+    r1.commit({"phase": "wal", "lsn": 1})
+    end = r1.latestOffset()        # wal batch with lsn=10 planned, NOT committed
+    assert end == {"phase": "wal", "lsn": 11}
+    # crash: new reader, same server state (slot exists, confirmed=0)
+    r2 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    [part] = r2.partitions({"phase": "wal", "lsn": 1}, {"phase": "wal", "lsn": 11})
+    envs = [json.loads(v) for v, _, _ in part.rows]
+    assert [e["op"] for e in envs] == ["c"]
+    assert envs[0]["after"]["full_name"] == "anne smith"
+
+
+def test_restart_skips_snapshot_and_resumes_from_confirmed_lsn():
+    """A pre-existing slot marks a restart: no second snapshot, and the
+    watermark seeds from the slot's confirmed position."""
+    client = FakeClient()
+    r1 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    _drain(r1)                     # full run: snapshot + both wal batches committed
+    r2 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    off = r2.latestOffset()
+    assert r2._snapshot_done and off["phase"] == "wal"
+    assert (0, 1) not in r2._pending          # no re-snapshot planned
+    assert off["lsn"] == client.confirmed_lsn + 1
+
+
+def test_unserveable_wal_range_raises_instead_of_empty():
+    client = FakeClient()
+    client.slot_created = True
+    client.confirmed_lsn = 100     # slot advanced past the requested span
+    client.change_queue = []
+    r = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    with pytest.raises(RuntimeError, match="cannot serve checkpointed offset range"):
+        r.partitions({"phase": "wal", "lsn": 5}, {"phase": "wal", "lsn": 11})
+
+
+def test_slot_advances_only_on_commit():
+    client = FakeClient()
+    r = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    r.latestOffset()
+    r.commit({"phase": "wal", "lsn": 1})
+    r.latestOffset()               # plans wal span (1, 11)
+    assert client.confirmed_lsn == 0          # peek is non-destructive
+    r.commit({"phase": "wal", "lsn": 11})
+    assert client.confirmed_lsn == 10         # advanced to last committed change
 
 
 def test_config_from_options_parses_lists():

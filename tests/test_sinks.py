@@ -34,3 +34,31 @@ def test_parquet_upsert_sink_merges_by_key(spark, tmp_path):
     sink(spark.createDataFrame([("b", 9), ("c", 3)], "k string, v long"), 1)
     got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
     assert got == {"a": 1, "b": 9, "c": 3}
+
+
+def test_parquet_upsert_sink_within_batch_winner_by_seq_cols(spark, tmp_path):
+    """A key appearing twice in ONE batch resolves by seq_cols, not by
+    arbitrary max_by tie-breaking."""
+    sink = ParquetUpsertSink(str(tmp_path / "t.parquet"), key_cols=["k"], seq_cols=["ts"])
+    sink(
+        spark.createDataFrame(
+            [("a", 5, "late"), ("a", 9, "latest"), ("a", 1, "early")],
+            "k string, ts long, v string",
+        ),
+        0,
+    )
+    [row] = sink.read(spark).collect()
+    assert (row["k"], row["ts"], row["v"]) == ("a", 9, "latest")
+    # and a later batch with a lower seq still wins (upsert = last batch
+    # wins regardless of seq, matching ON CONFLICT DO UPDATE semantics)
+    sink(spark.createDataFrame([("a", 2, "newer-batch")], "k string, ts long, v string"), 1)
+    [row] = sink.read(spark).collect()
+    assert row["v"] == "newer-batch"
+
+
+def test_parquet_upsert_sink_without_seq_cols_last_occurrence_wins(spark, tmp_path):
+    sink = ParquetUpsertSink(str(tmp_path / "t.parquet"), key_cols=["k"])
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("a", 3)], "k string, v long").coalesce(1)
+    sink(df, 0)
+    [row] = sink.read(spark).collect()
+    assert row["v"] == 3
