@@ -101,8 +101,15 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
 def build_vocab(df: DataFrame, text_col: str = "text", size: int = 100) -> DataFrame:
     """Corpus vocabulary: the ``size`` most frequent whitespace tokens,
     assigned dense ids 1..size by (count desc, term asc) — id 0 is
-    reserved for OOV. One grouped count (map-side partials) plus a
-    global top-k sort over the already-tiny term table."""
+    reserved for OOV.
+
+    Two-phase top-k: one grouped count (map-side partials), then
+    ``ORDER BY … LIMIT size`` — Catalyst plans TakeOrderedAndProject,
+    a per-partition top-k merged on the driver, so at a 100-TB corpus
+    with billions of distinct terms NO task ever sorts the full term
+    table (the previous global unpartitioned Window did exactly that).
+    The ranking window that assigns dense ids runs on the ≤ ``size``
+    survivors only."""
     from pyspark.sql.window import Window
 
     term_counts = (
@@ -111,11 +118,11 @@ def build_vocab(df: DataFrame, text_col: str = "text", size: int = 100) -> DataF
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    topk = term_counts.orderBy(F.desc("cnt"), F.asc("term")).limit(size)
+    # (cnt desc, term asc) is a total order (term is unique), so the
+    # limit + re-rank is equivalent to rank-then-filter.
     w = Window.orderBy(F.desc("cnt"), F.asc("term"))
-    return (
-        term_counts.select("term", "cnt", F.row_number().over(w).alias("token_id"))
-        .filter(F.col("token_id") <= size)
-    )
+    return topk.select("term", "cnt", F.row_number().over(w).alias("token_id"))
 
 
 def encode_tokens(

@@ -94,6 +94,18 @@ def test_tpch_q18_having_subquery_no_extra_lineitem_scan(spark):
     assert li_scans and all(len(c) == 2 for c in li_scans)
 
 
+def test_vocab_topk_never_sorts_full_term_table(spark):
+    """build_vocab's top-k must be TakeOrderedAndProject (distributed
+    per-partition top-k), with the only Window running AFTER the
+    size-bounded limit — never a global Window over all distinct
+    terms (the round-1 single-partition scale bug)."""
+    df = QUERIES["vocab_top_terms"](spark, SF)
+    plan = assert_plan(df, requires=["TakeOrderedAndProject"])
+    # the Window (dense-id assignment) must sit above the limit, i.e.
+    # appear before TakeOrderedAndProject in the formatted plan tree
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_tpch_q21_exists_pair_joins(spark):
     """EXISTS + NOT EXISTS pair: one LeftSemi and one LeftAnti join
     on the same fact table, no cartesian fallback."""
