@@ -251,14 +251,34 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_jaccard: float = 0.1,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs (the ground truth the
     MinHash estimate approximates). Shingle-key self-join counts
     intersections; set sizes come from a pre-aggregation.
-    Output: id_a, id_b, jaccard (≥ threshold, id_a < id_b)."""
+    Output: id_a, id_b, jaccard (≥ threshold, id_a < id_b).
+
+    ``max_shingle_df`` caps shingle document frequency: a shingle
+    shared by k documents contributes k(k-1)/2 join pairs, so one
+    stopword-run shingle in a million docs would alone produce ~5e11
+    pairs. Dropping shingles with df > cap before BOTH the size
+    aggregation and the join bounds the blow-up at (cap-1)/2 pairs
+    per shingle occurrence while keeping the metric consistent:
+    Jaccard over the retained (discriminative) shingle universe —
+    the standard stopword-shingle removal for corpus-scale dedup."""
     # shingle identity = 8-byte hash: same result modulo 2^-64
     # collisions, and every shuffle/join carries longs, not strings
     sh = shingle_hashes(df, text_col, id_col, n).localCheckpoint(eager=False)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
+        # same key as the groupBy → the aggregation's hash partitioning
+        # is reused for this join (no extra full shuffle of sh)
+        sh = sh.join(keep, "_sh")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")

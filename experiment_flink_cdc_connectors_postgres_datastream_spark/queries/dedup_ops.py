@@ -36,12 +36,16 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     """
-    WITH sh AS (
+    WITH sh_all AS (
       SELECT DISTINCT doc_id AS _id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
         FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents))),
+    sh AS (
+      SELECT sh_all.* FROM sh_all
+      JOIN (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(1) <= 1000) ok
+      USING (shingle)),
     sizes AS (SELECT _id, COUNT(1) AS n_sh FROM sh GROUP BY _id),
     inter AS (
       SELECT a._id AS id_a, b._id AS id_b, COUNT(1) AS n_inter
@@ -56,8 +60,11 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (shingle-key self-join)."""
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), min_jaccard=0.1)
+    """Exact 3-gram Jaccard near-dup pairs (shingle-key self-join),
+    with stopword-shingle removal at df > 1000 (pair blow-up cap)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), min_jaccard=0.1, max_shingle_df=1000
+    )
 
 
 @register("dedup_minhash")  # xxhash64 signatures → rows-only oracle

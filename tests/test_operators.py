@@ -83,6 +83,24 @@ def test_ngram_jaccard_exact_values(docs):
     assert (1, 3) not in pairs
 
 
+def test_ngram_jaccard_hot_shingle_cap_bounds_pairs(spark):
+    """A stopword shingle shared by every document must not explode the
+    self-join quadratically: with df cap c, a shingle contributes at
+    most c(c-1)/2 pairs. Docs that only share the hot shingle produce
+    NO pair once it's dropped; genuinely similar docs still match."""
+    stop = "the end of the day"       # 3-gram shingles shared by ALL docs
+    rows = [(i, f"unique{i} marker{i} token{i} {stop}") for i in range(1, 21)]
+    rows += [(100, f"alpha beta gamma delta {stop}"), (101, f"alpha beta gamma delta {stop}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(docs, min_jaccard=0.01).collect()
+    capped = ngram_jaccard_pairs(docs, min_jaccard=0.01, max_shingle_df=5).collect()
+    # without the cap every pair of the 22 docs shares the stop shingles
+    assert len(uncapped) == 22 * 21 // 2
+    # with the cap only the genuinely-duplicated pair survives, at
+    # jaccard 1.0 over the retained (discriminative) shingles
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in capped] == [(100, 101, 1.0)]
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     data = [
