@@ -384,6 +384,66 @@ def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(F.col("schema").alias("pgschema"), "user_count")
 
 
+@register(
+    "cdc_pipeline_streamed",
+    f"""
+    WITH src AS ({_FLAT_CDC_SQL}),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pgschema, id ORDER BY ts_ms DESC, lsn DESC) AS rn
+        FROM src) WHERE rn = 1)
+    SELECT pgschema, COUNT(1) AS user_count
+    FROM latest WHERE op <> 'd'
+    GROUP BY pgschema
+    """,
+)
+def cdc_pipeline_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline run through the STREAMING path — envelopes
+    rendered to files, consumed by a file stream, compacted via the
+    generational state store (`run_compacted_aggregate`), aggregate
+    upserted into a ParquetUpsertSink — then the sink's final table is
+    returned. Hash-matching the `cdc_pipeline` batch oracle is the
+    stream-batch consistency claim (A3/A1 streamed; the reference's
+    continuously-running stage 2,
+    StreamingJobWithCustomDeserializer.java:156-194)."""
+    import os
+    import shutil
+    import tempfile
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks import ParquetUpsertSink
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources import read_cdc_file_stream
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming import run_compacted_aggregate
+
+    work = tempfile.mkdtemp(prefix="cdc_streamed_")
+    try:
+        src_dir = os.path.join(work, "src")
+        synth_cdc_stream(spark, sf_dir).write.mode("overwrite").text(src_dir)
+        stream = read_cdc_file_stream(spark, src_dir)
+        flat = with_key(
+            project_flat(parse_cdc(stream, USERS_ROW_SCHEMA), "users", ["id", "full_name"]),
+            "schema",
+            "id",
+        )
+        sink = ParquetUpsertSink(os.path.join(work, "sink"), key_cols=["schema"])
+        q = run_compacted_aggregate(
+            flat,
+            state_dir=os.path.join(work, "state"),
+            key_cols=["key"],
+            seq_cols=["ts_ms", "lsn"],
+            group_cols=["schema"],
+            op_col="op",
+            sink=sink,
+            query_name="cdc_pipeline_streamed",
+        )
+        q.processAllAvailable()
+        q.stop()
+        # materialize before the workdir is removed
+        rows = [(r["schema"], r["user_count"]) for r in sink.read(spark).collect()]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "pgschema string, user_count long")
+
+
 # ----------------------------------------------------------- SQL (§2.5)
 
 @register(
