@@ -270,15 +270,19 @@ def ngram_jaccard_pairs(
     # collisions, and every shuffle/join carries longs, not strings
     sh = shingle_hashes(df, text_col, id_col, n).localCheckpoint(eager=False)
     if max_shingle_df is not None:
-        keep = (
+        # anti-join against the HOT set, not inner-join against the
+        # keep set: heavy hitters are few by construction (≤ total
+        # occurrences / cap, Zipfian in practice), so AQE turns this
+        # into a broadcast anti-join and the full shingle table never
+        # takes an extra shuffle. The df aggregation itself is cheap:
+        # map-side combine collapses to distinct shingles per partition.
+        hot = (
             sh.groupBy("_sh")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
-            .drop("_df")
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_sh")
         )
-        # same key as the groupBy → the aggregation's hash partitioning
-        # is reused for this join (no extra full shuffle of sh)
-        sh = sh.join(keep, "_sh")
+        sh = sh.join(hot, "_sh", "left_anti")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")

@@ -97,8 +97,21 @@ def synth_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _flat_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parse → project(users) → key: the S3+T1+T2+T3 chain."""
-    parsed = parse_cdc(synth_cdc_stream(spark, sf_dir), USERS_ROW_SCHEMA)
+    """parse → project(users) → key: the S3+T1+T2+T3 chain.
+
+    The lazy localCheckpoint is a deliberate materialization barrier:
+    without it Catalyst pushes project_flat's table-dispatch filter
+    below the envelope projection and re-evaluates the entire
+    to_json→from_json chain a second time per row (the filter's
+    `source.table = 'users'` carries its own copy of the JSON
+    expression — visible as a duplicated StructsToJsonEvaluator in
+    the physical plan). Parsing JSON once and spilling the parsed
+    rows is strictly cheaper than parsing twice, here and at 100 TB
+    (batch-only helper; the streaming twin `cdc_pipeline_streamed`
+    parses post-source, where no such pushdown exists)."""
+    parsed = parse_cdc(synth_cdc_stream(spark, sf_dir), USERS_ROW_SCHEMA).localCheckpoint(
+        eager=False
+    )
     users = project_flat(parsed, "users", ["id", "full_name"])
     return with_key(users, "schema", "id")
 
