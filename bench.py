@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES  # noqa: E402
 from experiment_flink_cdc_connectors_postgres_datastream_spark.session import get_session  # noqa: E402
 
-#: headline set: CDC semantic core + relational analytics + data-pipeline ops
+#: headline set: CDC semantic core + relational analytics + data-pipeline ops.
+#: KEEP STABLE across rounds — its subtotal (`headline18_sec`) is the
+#: round-over-round perf ratchet.
 BENCH_QUERIES = [
     "cdc_pipeline",
     "compact_latest",
@@ -42,6 +44,30 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "similarity_topk",
+]
+
+#: extended set: one representative per operator family newly inside the
+#: driver's 50-query correctness window (round 2) — benched so perf
+#: regressions in graded operators are visible. (cdc_pipeline_streamed is
+#: graded for correctness but excluded here: a streaming micro-batch
+#: round trip measures startup latency, not operator throughput.)
+EXTENDED_QUERIES = [
+    "token_count",
+    "lang_id",
+    "vocab_top_terms",
+    "tokens_to_ids",
+    "tfidf_top_terms",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_clusters",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "multimodal_meta",
+    "session_window",
+    "json_extract_props",
+    "cube_counts",
+    "window_rank_family",
+    "tpch_q12",
 ]
 
 
@@ -79,15 +105,17 @@ def main() -> None:
         "g", "sum(d) OVER (PARTITION BY g ORDER BY d) AS rs"
     ).groupBy("g").agg({"rs": "sum"}).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + EXTENDED_QUERIES:
         timings[name] = run_one(spark, name, sf_dir)
+    headline = round(sum(timings[n] for n in BENCH_QUERIES), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline query suite wall time",
+                "metric": "query suite wall time (headline18_sec is the round-over-round ratchet)",
                 "value": total,
                 "unit": "sec",
+                "headline18_sec": headline,
                 "queries": timings,
                 "sf": sf,
             }

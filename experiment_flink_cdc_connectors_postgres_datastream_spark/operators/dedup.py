@@ -219,7 +219,10 @@ def simhash_near_pairs(
     approximate recall beyond that radius).
     Output: id_a, id_b, hamming."""
     width = 64 // blocks
-    sig = simhash_signatures(df, text_col, id_col, n=n)
+    # barrier: the signature subplan (explode + 64-way sum agg) feeds
+    # BOTH sides of the self-join — materialize it once, as in
+    # minhash_candidate_pairs
+    sig = simhash_signatures(df, text_col, id_col, n=n).localCheckpoint(eager=False)
     banded = sig.select(
         "_id",
         "_sig",

@@ -152,8 +152,18 @@ def ivf_topk(
     ml_df = corpus.select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
     )
-    km = KMeans(k=nlist, seed=seed, featuresCol="_features", predictionCol="_cell")
-    model = km.fit(ml_df.select("_features"))
+    # bounded training set: centroid quality needs a few hundred points
+    # per cell, not the whole corpus — cap the fit at ~256·nlist vectors
+    # (parquet row-count is metadata-only, so count() is cheap) and a
+    # fixed iteration budget, so training cost is O(nlist²·dim), flat in
+    # corpus size
+    target = max(4096, 256 * nlist)
+    n = corpus.count()
+    train = ml_df.select("_features")
+    if n > target:
+        train = train.sample(fraction=min(1.0, (1.2 * target) / n), seed=seed)
+    km = KMeans(k=nlist, seed=seed, maxIter=8, featuresCol="_features", predictionCol="_cell")
+    model = km.fit(train)
     assigned = model.transform(ml_df).select(id_col, vec_col, "_cell")
 
     centroids = [list(c) for c in model.clusterCenters()]
