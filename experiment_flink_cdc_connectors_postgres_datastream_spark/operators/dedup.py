@@ -310,6 +310,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Train/eval contamination: for each eval document, the fraction
+    of its distinct n-gram shingles that appear anywhere in the
+    training corpus — the n-gram-overlap decontamination check run
+    before an evaluation is trusted.
+
+    Scale shape: both sides reduce to (id, shingle-hash) rows; the
+    corpus side is deduplicated to DISTINCT shingle hashes (one
+    map-side-combined aggregation) before a single hash equi-join
+    against the (much smaller) eval side. Join fan-out is 1 match per
+    (eval-shingle, corpus-shingle-exists), never corpus row count.
+    Output: {id_col}, n_grams, n_contaminated, contaminated_frac."""
+    ev = shingle_hashes(eval_set, text_col, id_col, n)
+    corpus_sh = shingle_hashes(corpus, text_col, id_col, n).select("_sh").distinct()
+    hits = ev.join(corpus_sh.withColumn("_hit", F.lit(1)), "_sh", "left")
+    return (
+        hits.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias("contaminated_frac"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -98,6 +98,44 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     return df.withColumn(out_col, F.md5(F.trim(norm)))
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Repeated-n-gram ratio per document — the repetition quality
+    signal (a high ratio marks boilerplate/degenerate text): 1 -
+    distinct_ngrams/total_ngrams, 0.0 for docs shorter than n tokens.
+    Pure column expressions, zero shuffles."""
+    toks = tokens(F.col(text_col))
+    # sequence(1, 0) would generate a DESCENDING range: clamp to 1 and
+    # blank out short docs below
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    grams = F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        total > 0, F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("n_ngrams", total).withColumn(
+        "n_distinct_ngrams", distinct
+    ).withColumn("repetition_ratio", F.round(ratio, 6))
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Canonical text cleanup for dedup/fingerprint pipelines:
+    lowercase, strip non-printable-ASCII, collapse whitespace runs,
+    trim. Zero shuffles; regexes restricted to a dialect both Java
+    (Spark) and RE2 (the DuckDB oracle) interpret identically."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"[^\x20-\x7e]", " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.withColumn(out_col, t)
+
+
 def build_vocab(df: DataFrame, text_col: str = "text", size: int = 100) -> DataFrame:
     """Corpus vocabulary: the ``size`` most frequent whitespace tokens,
     assigned dense ids 1..size by (count desc, term asc) — id 0 is

@@ -1,0 +1,184 @@
+"""Training-data pipeline queries beyond the round-1 surface: context
+chunking, sequence packing, repetition/quality signals, text
+normalization, percentile-band filtering, interval joins, and
+train/eval contamination checks.
+
+These are the corpus-shaping steps between raw documents and a
+training run (the §7.4 extension families); each is a registered
+query with a DuckDB oracle except sequence packing, whose greedy scan
+is not SQL-expressible (rows-only check + pytest properties).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.chunking import chunk_documents, pack_sequences
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import contamination_check
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.temporal import interval_join
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import normalize_text, repetition_features
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
+
+
+@register(
+    "doc_chunking",
+    r"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks), 1), 24)) AS start
+          FROM t)
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS INT) AS chunk_id,
+           CAST(len(list_slice(toks, start, start + 31)) AS INT) AS n_tokens,
+           array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk_text
+    FROM s WHERE len(list_slice(toks, start, start + 31)) > 0
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows, 8-token overlap
+    (stride 24). Narrow map, zero shuffles."""
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_size=32, overlap=8
+    )
+
+
+@register("sequence_packing")  # greedy first-fit: not SQL-expressible
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (budget 256, 32 hash
+    groups): one row per doc with its assigned bin."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=256, n_groups=32)
+
+
+@register(
+    "repetition_ratio",
+    r"""
+    WITH g AS (
+      SELECT doc_id, source,
+             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+      FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS toks
+            FROM documents))
+    SELECT doc_id, source,
+           CAST(len(grams) AS INT) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct_ngrams,
+           CASE WHEN len(grams) > 0
+                THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / CAST(len(grams) AS DOUBLE), 6)
+                ELSE 0.0 END AS repetition_ratio
+    FROM g
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram ratio per doc (boilerplate signal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_features(docs, n=3).select(
+        "doc_id", "source", "n_ngrams", "n_distinct_ngrams", "repetition_ratio"
+    )
+
+
+@register(
+    "normalize_text",
+    r"""
+    SELECT doc_id, norm AS norm_text, md5(norm) AS norm_fp
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^\x20-\x7e]', ' ', 'g'),
+                                     '\s+', ' ', 'g')) AS norm
+          FROM documents)
+    """,
+)
+def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical cleanup (lowercase, ASCII-printable, collapsed
+    whitespace) + md5 fingerprint of the normal form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return normalize_text(docs).select(
+        "doc_id", "norm_text", F.md5("norm_text").alias("norm_fp")
+    )
+
+
+@register(
+    "length_band_filter",
+    """
+    WITH th AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                       quantile_cont(n_chars, 0.95) AS hi
+                FROM documents)
+    SELECT source, COUNT(1) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents, th
+    WHERE n_chars BETWEEN lo AND hi
+    GROUP BY source
+    """,
+)
+def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band length filter (drop the shortest/longest 5%):
+    the thresholds are a single-row aggregate broadcast against the
+    corpus — two passes, no driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(th))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@register(
+    "interval_join_counts",
+    """
+    SELECT c.user_id, COUNT(1) AS n_pairs
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    """,
+)
+def interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (time-bucketed equi-join, not a per-key
+    range probe): purchases within 10 minutes after each click,
+    counted per user."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    pairs = interval_join(
+        clicks, purchases, ["user_id"], "ts", "ts", 0, 600_000_000
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "contamination_check",
+    r"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 4, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                          || toks[i+3] || ' ' || toks[i+4]))) AS sh
+          FROM t),
+    ev AS (SELECT * FROM g WHERE doc_id % 50 = 0),
+    corp AS (SELECT DISTINCT sh FROM g WHERE doc_id % 50 <> 0)
+    SELECT ev.doc_id,
+           COUNT(1) AS n_grams,
+           CAST(SUM(CASE WHEN corp.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           ROUND(CAST(SUM(CASE WHEN corp.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(1), 6) AS contaminated_frac
+    FROM ev LEFT JOIN corp ON ev.sh = corp.sh
+    GROUP BY ev.doc_id
+    """,
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval 5-gram contamination: eval set = every 50th doc,
+    corpus = the rest; fraction of eval shingles present in the
+    corpus' distinct-shingle set."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_check(corpus, ev, n=5)
