@@ -152,6 +152,70 @@ def interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hash_sample_per_group",
+    """
+    SELECT event_type, event_id, user_id
+    FROM (SELECT event_type, event_id, user_id,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+          FROM events)
+    WHERE rn <= 20
+    """,
+)
+def hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform per-group sampling: rank by a content
+    hash instead of rand() — reproducible across engines and runs
+    (md5 exists in both Spark and DuckDB, so the oracle draws the
+    SAME sample), and distributed as an ordinary per-group top-k.
+    The reservoir-sampling alternative is order-dependent; hash-rank
+    sampling is the restartable, audit-friendly form a data pipeline
+    wants."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.select("event_type", "event_id", "user_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+@register(
+    "salted_agg_demo",
+    """
+    SELECT event_type,
+           COUNT(1) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_agg_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (salted partial → final) made
+    first-class: results are identical to the plain GROUP BY the
+    oracle runs — the salt only changes the shuffle shape, splitting
+    a hot key over 16 subkeys so no single task owns it."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("event_type", "count"),
+            "sum_uid": ("user_id", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        salt=16,
+    )
+
+
+@register(
     "contamination_check",
     r"""
     WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
