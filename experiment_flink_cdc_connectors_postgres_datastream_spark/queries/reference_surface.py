@@ -430,7 +430,8 @@ def cdc_pipeline_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="cdc_streamed_")
     try:
         src_dir = os.path.join(work, "src")
-        synth_cdc_stream(spark, sf_dir).write.mode("overwrite").text(src_dir)
+        # few-file layout: this exercises semantics, not scan fan-out
+        synth_cdc_stream(spark, sf_dir).coalesce(4).write.mode("overwrite").text(src_dir)
         stream = read_cdc_file_stream(spark, src_dir)
         flat = with_key(
             project_flat(parse_cdc(stream, USERS_ROW_SCHEMA), "users", ["id", "full_name"]),
@@ -447,6 +448,7 @@ def cdc_pipeline_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             op_col="op",
             sink=sink,
             query_name="cdc_pipeline_streamed",
+            n_buckets=8,  # single micro-batch demo run: fewer, larger state files
         )
         q.processAllAvailable()
         q.stop()
