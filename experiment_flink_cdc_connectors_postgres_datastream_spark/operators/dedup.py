@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import tokens
 
 
@@ -62,6 +63,9 @@ def shingle_hashes(
     joins/aggregations shuffle longs, never strings."""
     from pyspark.sql.window import Window
 
+    # tokenize+explode happens BEFORE the window's _id shuffle — spread
+    # an under-parallel scan so that map stage isn't single-task
+    df = spread_scan(df)
     tok = df.select(
         F.col(id_col).alias("_id"), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok")
     )
@@ -181,7 +185,7 @@ def simhash_signatures(
     if n > 1:
         feats = shingle_hashes(df, text_col, id_col, n)
     else:
-        feats = df.select(
+        feats = spread_scan(df).select(
             F.col(id_col).alias("_id"),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
         ).select("_id", F.xxhash64("_tok").alias("_sh"))

@@ -15,6 +15,26 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+def spread_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan whose split count is below the
+    cluster's parallelism so the compute-heavy map work that follows
+    (JSON encode/decode, shingle hashing, tokenization, vector math)
+    runs on every core instead of serializing on the scan's few tasks.
+
+    At production scale a 100-TB table arrives as thousands of splits
+    and this is a no-op (the guard never fires); it fires only when a
+    source has fewer splits than cores — single-file extracts,
+    compacted single-row-group parquet, tiny demo topics — exactly the
+    case where the repartition shuffle is small by construction. This
+    guards the map stage's *parallelism*; AQE guards the reduce side.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

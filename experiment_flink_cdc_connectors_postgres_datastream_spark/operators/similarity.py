@@ -16,6 +16,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, summed in array order."""
@@ -53,8 +55,10 @@ def cosine_topk(
     q = F.broadcast(
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
     )
+    # |corpus|×|queries| dot products evaluate in the corpus's map
+    # stage — spread an under-parallel scan across the cluster first
     scored = (
-        corpus.join(q, F.col(query_id_col) != F.col(id_col))
+        spread_scan(corpus).join(q, F.col(query_id_col) != F.col(id_col))
         .select(
             query_id_col,
             id_col,
@@ -105,7 +109,7 @@ def lsh_bucketed_topk(
     (equi-join on bucket id — shuffles scale with bucket sizes, not
     |corpus|×|queries|). Recall is tunable via ``bits``.
     Output: qid, vec_id, sim, rank."""
-    c = corpus.select(
+    c = spread_scan(corpus).select(
         F.col(id_col), F.col(vec_col), sign_lsh_signature(F.col(vec_col), bits).alias("_bucket")
     )
     q = queries.select(
@@ -149,7 +153,7 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    ml_df = corpus.select(
+    ml_df = spread_scan(corpus).select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
     )
     # bounded training set: centroid quality needs a few hundred points
@@ -210,7 +214,7 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing (near
     duplicates almost surely share the bucket). Output: id_a, id_b, sim."""
-    sig = df.select(
+    sig = spread_scan(df).select(
         F.col(id_col), F.col(vec_col), sign_lsh_signature(F.col(vec_col), bits).alias("_bucket")
     )
     a = sig.select(

@@ -150,8 +150,10 @@ def build_vocab(df: DataFrame, text_col: str = "text", size: int = 100) -> DataF
     survivors only."""
     from pyspark.sql.window import Window
 
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
+
     term_counts = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        spread_scan(df).select(F.explode(tokens(F.col(text_col))).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -174,7 +176,9 @@ def encode_tokens(
     sequence model. posexplode keeps positions; the vocab join is
     broadcast (vocab is ~1e5 rows at most by construction); the
     re-assembly sorts (pos, id) structs inside one aggregation."""
-    toks = df.select(
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
+
+    toks = spread_scan(df).select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
     ).filter(F.col("term") != "")

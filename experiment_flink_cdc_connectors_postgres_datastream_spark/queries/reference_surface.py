@@ -28,6 +28,7 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import (
     with_key,
 )
 from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table, register_views
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
 
 #: users row schema (FIXTURES.md A1: id BIGSERIAL, full_name VARCHAR)
@@ -71,7 +72,9 @@ def synth_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one string column `value`) — the wire format the reference's
     deserializer consumes (StreamingJobWithCustomDeserializer.java:234).
     """
-    ev = load_table(spark, sf_dir, "events")
+    # JSON rendering is codec-bound: spread an under-parallel scan so
+    # the encode uses every core (no-op at real scale / many splits)
+    ev = spread_scan(load_table(spark, sf_dir, "events"))
     op = _op_col()
     pgschema = F.concat(F.lit("schema"), (F.col("user_id") % 4 + 1).cast("string"))
     row = F.struct(F.col("user_id").alias("id"), F.col("props").alias("full_name"))
@@ -218,7 +221,7 @@ def route_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 flatMap/tokenize word count (Splitter, StreamingJob.java:105-112)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     words = docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
     return words.filter(F.col("word") != "").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
 
