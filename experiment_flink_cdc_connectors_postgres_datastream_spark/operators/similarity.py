@@ -40,6 +40,34 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
 
 
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(sq_norm(a))
+
+
+def int8_quantize_error(a: Column) -> Column:
+    """Mean absolute reconstruction error of symmetric int8
+    quantization (scale = max|x|/127, round-half-up pinned via
+    floor(x/scale + 0.5) so Spark and SQL oracles agree on midpoints).
+    Pure higher-order column expression — a narrow map over the
+    embedding scan, no shuffle, no Python.  NULL for all-zero vectors
+    (scale 0) rather than a division blow-up."""
+    scale = (
+        F.aggregate(
+            F.transform(a, lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        )
+        / F.lit(127.0)
+    )
+    scale = F.nullif(scale, F.lit(0.0))
+    err = F.zip_with(
+        a,
+        F.transform(a, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)) * scale),
+        lambda x, d: F.abs(x.cast("double") - d),
+    )
+    return F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v) / F.size(a)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -18,6 +18,17 @@ def tokens(col: Column) -> Column:
     return F.split(F.lower(col), r"\s+")
 
 
+def bigrams(toks: Column) -> Column:
+    """Adjacent-token bigram strings from a token array (codegen'd
+    transform over an index sequence; empty array below 2 tokens —
+    Spark's ``sequence`` would otherwise count DOWN from 0 to -1)."""
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return F.when(F.size(toks) >= 2, bg).otherwise(F.array().cast("array<string>"))
+
+
 #: BPE-ish pre-token pattern: letter runs, digit runs, single symbols.
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 

@@ -1,0 +1,155 @@
+"""Corpus-statistics queries for training-data curation: embedding
+norm profiles, int8 quantization error audit, lexical-diversity
+(type-token ratio) per source, and corpus-wide top bigrams.
+
+These are the pre-training audit steps run over a full corpus before
+(norms/quantization) shipping embeddings to an ANN index and before
+(TTR/bigrams) tokenizer and mixture decisions.  All four are pure
+column expressions + one aggregation — no Python in the hot path; the
+embedding math is the same `transform`/`aggregate`/`zip_with` shape
+as operators/similarity.py (StreamingJob.java:105-112 is the lineage
+for the token surface).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import (
+    int8_quantize_error,
+    l2_norm,
+)
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import bigrams, tokens
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    WITH n AS (
+      SELECT label,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+      FROM embeddings)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(nrm), 6) AS avg_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus (drift /
+    normalization audit before indexing).  Norms are a narrow map
+    (sequential in-array double accumulation — bit-identical to the
+    oracle's list_aggregate); one map-side-combined aggregation on a
+    handful of labels.  min/max match the oracle exactly; avg is
+    rounded to absorb row-order summation skew."""
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    n = emb.select("label", l2_norm(F.col("embedding")).alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+@register(
+    "embedding_quantize_error",
+    """
+    WITH s AS (
+      SELECT label, embedding,
+             nullif(list_aggregate(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0, 0.0) AS scale
+      FROM embeddings),
+    e AS (
+      SELECT label,
+             list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)),
+               'sum') / len(embedding) AS qerr
+      FROM s)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(qerr), 8) AS avg_qerr,
+           ROUND(MAX(qerr), 8) AS max_qerr
+    FROM e GROUP BY label
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: mean/max absolute
+    reconstruction error per label — the go/no-go check before
+    shipping a quantized ANN index.  Round-half-up is pinned as
+    floor(x/scale + 0.5) in BOTH engines so midpoint rounding can't
+    skew the hash.  Narrow map + one tiny aggregation."""
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select("label", int8_quantize_error(F.col("embedding")).alias("qerr"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("qerr"), 8).alias("avg_qerr"),
+        F.round(F.max("qerr"), 8).alias("max_qerr"),
+    )
+
+
+@register(
+    "type_token_ratio",
+    r"""
+    WITH t AS (
+      SELECT source,
+             regexp_split_to_array(lower(text), '\s+') AS toks
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / len(toks)), 6) AS avg_ttr
+    FROM t GROUP BY source
+    """,
+)
+def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: mean type-token ratio
+    (distinct/total whitespace tokens).  Repetitive boilerplate
+    sources sink to the bottom — the standard cheap signal next to
+    repetition_ratio.  Zero shuffles before the per-source agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return docs.select("source", ttr.alias("_ttr")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_ttr"), 6).alias("avg_ttr"),
+    )
+
+
+@register(
+    "top_bigrams",
+    r"""
+    WITH t AS (
+      SELECT regexp_split_to_array(lower(text), '\s+') AS toks
+      FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM b GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 adjacent-token bigrams (tokenizer-merge /
+    boilerplate-phrase signal).  explode → map-side-combined count →
+    TakeOrderedAndProject (orderBy+limit, distributed top-k — no
+    global sort materializes); ties broken by bigram for a
+    deterministic boundary."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    bg = docs.select(F.explode(bigrams(tokens(F.col("text")))).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
