@@ -189,17 +189,38 @@ def simhash_signatures(
             F.col(id_col).alias("_id"),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
         ).select("_id", F.xxhash64("_tok").alias("_sh"))
+    # Lane-packed bit counting: two 32-bit counters per long (bit 2g in
+    # the low lane, bit 2g+1 in the high lane) ⇒ 32 sum columns + one
+    # count instead of 64 sums. Halves the agg buffer and the generated
+    # aggregate code (the 64-way version's codegen compile dominated
+    # cold-start); lane capacity 2^31 features/doc can't overflow.
     h = F.col("_sh")
-    exploded = feats.select(
-        "_id", *[ (F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1).alias(f"_b{i}") for i in range(64)]
+    one = F.lit(1).cast("long")
+    packed = feats.select(
+        "_id",
+        *[
+            (
+                F.shiftright(h, 2 * g).bitwiseAND(one)
+                + F.shiftleft(F.shiftright(h, 2 * g + 1).bitwiseAND(one), 32)
+            ).alias(f"_p{g}")
+            for g in range(32)
+        ],
     )
-    counts = exploded.groupBy("_id").agg(*[F.sum(f"_b{i}").alias(f"_c{i}") for i in range(64)])
+    counts = packed.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"_p{g}").alias(f"_s{g}") for g in range(32)],
+    )
+    # bit i is set iff 2·set-count_i > n (same tie-break as sign(Σ±1):
+    # 2c−n > 0); n stays UNdoubled on the right-hand side
+    n = F.col("_n")
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for g in range(32):
+        lo = F.col(f"_s{g}").bitwiseAND(F.lit((1 << 32) - 1))
+        hi = F.shiftright(F.col(f"_s{g}"), 32)
         sig = sig.bitwiseOR(
-            F.when(F.col(f"_c{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(lo * 2 > n, F.shiftleft(one, 2 * g)).otherwise(F.lit(0).cast("long"))
+        ).bitwiseOR(
+            F.when(hi * 2 > n, F.shiftleft(one, 2 * g + 1)).otherwise(F.lit(0).cast("long"))
         )
     return counts.select("_id", sig.alias("_sig"))
 

@@ -194,7 +194,13 @@ def ivf_topk(
     train = ml_df.select("_features")
     if n > target:
         train = train.sample(fraction=min(1.0, (1.2 * target) / n), seed=seed)
-    km = KMeans(k=nlist, seed=seed, maxIter=8, featuresCol="_features", predictionCol="_cell")
+    # random init: an IVF coarse quantizer needs balanced-ish cells,
+    # not optimal clusters — Lloyd iterations from random seeds match
+    # k-means|| quality here at a third of the fit passes
+    km = KMeans(
+        k=nlist, seed=seed, maxIter=8, initMode="random",
+        featuresCol="_features", predictionCol="_cell",
+    )
     model = km.fit(train)
     assigned = model.transform(ml_df).select(id_col, vec_col, "_cell")
 
