@@ -68,6 +68,10 @@ EXTENDED_QUERIES = [
     "cube_counts",
     "window_rank_family",
     "tpch_q12",
+    "embedding_norm_stats",
+    "embedding_quantize_error",
+    "type_token_ratio",
+    "top_bigrams",
 ]
 
 

@@ -44,11 +44,14 @@ _PRIORITY = [
     # dedup
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
     "dedup_simhash", "dedup_clusters",
-    # similarity / embeddings
+    # similarity / embeddings (embedding_norm_stats carries a full
+    # value-hash oracle where embedding_near_dup was rows-only; the
+    # near-dup scale path stays covered by similarity_topk_lsh)
     "similarity_topk", "embedding_stats", "similarity_topk_lsh",
-    "similarity_topk_ivf", "embedding_near_dup",
-    # multimodal
-    "multimodal_meta", "multimodal_decode", "multimodal_feature_topk",
+    "similarity_topk_ivf", "embedding_norm_stats",
+    # multimodal + corpus audit (top_bigrams is full-oracle where
+    # multimodal_feature_topk was rows-only pandas internals)
+    "multimodal_meta", "multimodal_decode", "top_bigrams",
     # windows / temporal joins
     "sliding_window", "session_window", "asof_join",
     # advanced relational
