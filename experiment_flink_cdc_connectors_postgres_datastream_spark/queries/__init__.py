@@ -21,6 +21,7 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import wi
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import pipeline_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import corpus_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import source_formats  # noqa: F401
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import behavior_ops  # noqa: F401
 
 # The correctness driver grades the FIRST 50 registered queries, in
 # registration order. Import order above groups by module, which would

@@ -1,0 +1,163 @@
+"""Event-behavior analytics over the CDC-fed `events` stream: ordered
+funnel conversion, weekly retention cohorts, and deterministic
+mixture sampling — the consumer-side queries a team runs on the
+tables this engine materializes (the reference materializes exactly
+such an events/users join surface, README.md:96-118).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(1) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(1) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(1) FROM p) AS BIGINT) AS n_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel view → click → purchase: a user advances
+    a stage only with an event strictly after their previous stage's
+    first timestamp.
+
+    Scale shape: three conditional min-aggregations on user_id with
+    map-side combine; each stage joins the (shrinking) qualifier set
+    back to the events scan on user_id — AQE broadcasts the later
+    stages once they fall under the threshold."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # single-row stage counts combined declaratively (1×1×1 cross
+    # join — no driver-side action)
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_ts
+      FROM events GROUP BY user_id)
+    SELECT CAST(f.cohort_ts AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cohort_ts, date_trunc('week', e.ts)) / 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by the week of their
+    first event; for each (cohort, week-offset) the count of distinct
+    returning users. Day-diff/7 on week-truncated timestamps is exact
+    and engine-portable (both engines truncate weeks to Monday).
+
+    Scale shape: one user-keyed min-agg, one user-keyed join (first
+    table is |users|, broadcast or shuffle per AQE), one
+    count-distinct that Spark runs as a two-phase expand/agg."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_ts"))
+    j = ev.join(f, "user_id")
+    return (
+        j.select(
+            F.to_date("cohort_ts").alias("cohort_week"),
+            (
+                F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.to_date("cohort_ts"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "mixture_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(1) OVER (PARTITION BY source) AS n_src,
+             CASE CAST(substr(source, 4) AS INT) % 3
+               WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END AS rate
+      FROM documents)
+    SELECT source,
+           CAST(MAX(n_src) AS BIGINT) AS n_source,
+           CAST(COUNT(1) AS BIGINT) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS sample_checksum
+    FROM t WHERE rn <= CEIL(n_src * rate)
+    GROUP BY source
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling: each source is sampled
+    at its target weight (here 1.0/0.5/0.25 by source index mod 3) by
+    md5-hash rank — reproducible across engines, runs, and restarts,
+    with exact per-source counts. sample_checksum (sum of kept ids)
+    proves both engines drew the SAME sample, not merely equal sizes.
+
+    Scale note: hash-RANK gives exact counts but windows per source;
+    when exactness can relax, the windowless form is the pure filter
+    ``hash(id) % 100 < rate*100`` — same determinism, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, F.lit(1.0))
+        .when(F.substring("source", 4, 10).cast("int") % 3 == 1, F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+        rate.alias("rate"),
+    )
+    return (
+        t.filter(F.col("rn") <= F.ceil(F.col("n_src") * F.col("rate")))
+        .groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_source"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sample_checksum"),
+        )
+    )

@@ -129,3 +129,41 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("_id").alias("doc_id"), "component"
     )
+
+
+@register(
+    "dedup_apply_fuzzy",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+    drop_ids AS (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING MIN(r) < node)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d ANTI JOIN drop_ids USING (doc_id)
+    """,
+)
+def dedup_apply_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end fuzzy-dedup ENDPOINT: the corpus with every
+    non-canonical near-dup cluster member removed (cluster = connected
+    components over exact-Jaccard pairs; canonical = min doc_id).
+    This is the table a training run actually consumes — pairs and
+    clusters are diagnostics, this is the product.
+
+    Scale shape: pairs + hash-min components as before, then one
+    broadcast-friendly anti-join of the (tiny) drop list against the
+    corpus scan — the corpus itself never reshuffles."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.1)
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("component") < F.col("_id")).select(
+        F.col("_id").alias("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source", "n_chars")
