@@ -46,3 +46,40 @@ def test_int8_quantize_error_bounded_by_half_scale(spark):
 def test_int8_quantize_error_null_for_zero_vector(spark):
     df = spark.createDataFrame([([0.0, 0.0],)], "v array<float>")
     assert df.select(int8_quantize_error(F.col("v")).alias("e")).first()["e"] is None
+
+
+def test_simhash_lane_packing_matches_python_bitcount(spark):
+    """The lane-packed aggregation must reproduce the definition:
+    bit i set iff strictly more than half the features have bit i set
+    (2c > n). Computed independently from the same hashed features."""
+    import pyspark.sql.functions as F
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import (
+        shingle_hashes,
+        simhash_signatures,
+    )
+
+    texts = [
+        (i, " ".join(f"w{(i * 7 + j * 3) % 23}" for j in range(15 + i)))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    feats = shingle_hashes(docs, "text", "doc_id", 3).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in feats:
+        by_doc.setdefault(r["_id"], []).append(r["_sh"] & (2**64 - 1))
+    expected = {}
+    for doc, hashes in by_doc.items():
+        sig = 0
+        for i in range(64):
+            c = sum((h >> i) & 1 for h in hashes)
+            if 2 * c > len(hashes):
+                sig |= 1 << i
+        expected[doc] = sig
+
+    got = {
+        r["_id"]: r["_sig"] & (2**64 - 1)
+        for r in simhash_signatures(docs, n=3).collect()
+    }
+    assert got == expected
