@@ -206,10 +206,24 @@ def ivf_topk(
 
     centroids = [list(c) for c in model.clusterCenters()]
     spark = corpus.sparkSession
+    # JVM literal structs, not createDataFrame: a Python-list local
+    # relation re-evaluates through a Python-RDD job on every use
+    # (worker startup dominates); nlist×dim literals stay driver/JVM
     cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            f"_cell int, _centroid array<double>",
+        spark.range(1).select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("_cell"),
+                            F.array(*[F.lit(float(x)) for x in c])
+                            .cast("array<double>")
+                            .alias("_centroid"),
+                        )
+                        for i, c in enumerate(centroids)
+                    ]
+                )
+            )
         )
     )
     # nearest nprobe cells per query: tiny cross product (queries × nlist)

@@ -128,12 +128,119 @@ def tumbling_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
-        rows = spark.table(tbl).collect()
+        pdf = spark.table(tbl).toPandas()
     finally:
         spark.catalog.dropTempView(tbl) if tbl in [
             t.name for t in spark.catalog.listTables()
         ] else None
         shutil.rmtree(work, ignore_errors=True)
+    # Arrow-path re-materialization (see session_window_streamed)
     return spark.createDataFrame(
-        rows, "window_start_us long, n_events long, total_value double"
+        pdf, "window_start_us long, n_events long, total_value double"
+    )
+
+
+@register(
+    "session_window_streamed",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes' OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows (30-min gap) through the streaming
+    path: events replayed from files, `F.session_window` + watermark
+    in append mode, finalized sessions hash-matched against the same
+    lag-gap-cumsum oracle as the batch `session_window` query (minus
+    the ordinal, which streaming semantics don't define).
+
+    Append-mode sessions only emit once the watermark passes
+    session-end + gap, and the watermark used by batch N comes from
+    batch N-1 — so the replay appends two far-future sentinel files
+    (maxFilesPerTrigger=1 forces them into separate batches): sentinel
+    1 advances the watermark past every real session, sentinel 2
+    triggers the batch that applies it. Sentinel rows are dropped from
+    the result. Streaming window end = last event + gap, so gap is
+    subtracted to match the batch MAX(ts)."""
+    import time as _time
+
+    work = tempfile.mkdtemp(prefix="sess_streamed_")
+    tbl = f"sess_streamed_{uuid.uuid4().hex[:8]}"
+    gap_us = 30 * 60 * 1_000_000
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        src = os.path.join(work, "src")
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        _time.sleep(1.05)  # main file strictly first in mtime order
+        for i, days in enumerate((1, 2)):
+            # SQL literal row, not createDataFrame: a Python-list local
+            # relation evaluates through a Python-RDD job (worker
+            # startup per write, ~4s); a literal SELECT stays JVM-side
+            sent_ts = (max_ts + __import__("datetime").timedelta(days=days)).strftime(
+                "%Y-%m-%d %H:%M:%S.%f"
+            )
+            sent = spark.sql(
+                f"SELECT CAST({-1 - i} AS BIGINT) AS user_id, TIMESTAMP '{sent_ts}' AS ts"
+            )
+            # sentinel order among themselves is irrelevant (watermark
+            # is monotone; maxFilesPerTrigger=1 separates batches)
+            sent.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                "n_events",
+                F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                (F.unix_micros(F.col("w.end")) - F.lit(gap_us)).alias("session_end_us"),
+            )
+        )
+        # the stateful plan instantiates one state store per shuffle
+        # partition per micro-batch; a 3-batch demo replay doesn't need
+        # the full width — capture, narrow, and restore the conf (the
+        # streaming plan pins the value at query start)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(tbl)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        pdf = spark.table(tbl).filter(F.col("user_id") >= 0).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # Arrow-path re-materialization (a Python-list local relation would
+    # re-evaluate through Python workers on every downstream action)
+    return spark.createDataFrame(
+        pdf, "user_id long, n_events long, session_start_us long, session_end_us long"
     )
