@@ -455,11 +455,17 @@ def cdc_pipeline_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
-        # materialize before the workdir is removed
-        rows = [(r["schema"], r["user_count"]) for r in sink.read(spark).collect()]
+        # materialize before the workdir is removed; Arrow/pandas path
+        # (a Python-list local relation re-evaluates through a Python
+        # RDD job on every downstream action)
+        pdf = (
+            sink.read(spark)
+            .select(F.col("schema").alias("pgschema"), "user_count")
+            .toPandas()
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, "pgschema string, user_count long")
+    return spark.createDataFrame(pdf, "pgschema string, user_count long")
 
 
 # ----------------------------------------------------------- SQL (§2.5)

@@ -51,11 +51,12 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events").select("event_type", "value")
         ev.coalesce(4).write.mode("overwrite").json(work)
         back = spark.read.schema("event_type string, value double").json(work)
-        rows = _events_agg(back).collect()
+        pdf = _events_agg(back).toPandas()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    # Arrow-path re-materialization (see session_window_streamed)
     return spark.createDataFrame(
-        rows, "event_type string, n_events long, total_value double"
+        pdf, "event_type string, n_events long, total_value double"
     )
 
 
@@ -72,11 +73,12 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("header", True)
             .csv(work)
         )
-        rows = _events_agg(back).collect()
+        pdf = _events_agg(back).toPandas()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    # Arrow-path re-materialization (see session_window_streamed)
     return spark.createDataFrame(
-        rows, "event_type string, n_events long, total_value double"
+        pdf, "event_type string, n_events long, total_value double"
     )
 
 
