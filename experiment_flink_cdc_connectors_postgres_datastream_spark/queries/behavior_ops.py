@@ -161,3 +161,46 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("sample_checksum"),
         )
     )
+
+
+@register(
+    "multi_resolution_rollup",
+    """
+    WITH minute AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS m,
+             COUNT(1) AS n, SUM(value) AS sv
+      FROM events GROUP BY 1),
+    hour AS (
+      SELECT time_bucket(INTERVAL '1 hour', m) AS h,
+             SUM(n) AS n, SUM(sv) AS sv
+      FROM minute GROUP BY 1)
+    SELECT CAST(time_bucket(INTERVAL '1 day', h) AS DATE) AS day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(SUM(sv), 3) AS total_value
+    FROM hour GROUP BY 1
+    """,
+)
+def multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style chained rollup: raw events → minute → hour →
+    day, each level aggregating the PREVIOUS level, not the raw scan.
+
+    The scale pattern of every time-series store: the raw table is
+    read once; coarser resolutions reduce ~60× per level, so the hour
+    and day shuffles are negligible, and in a continuous-aggregate
+    deployment each level is maintained incrementally from the one
+    below (streaming/statestore.py holds the state machinery)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    minute = ev.groupBy(F.window("ts", "1 minute").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+    ).select(F.col("w.start").alias("m"), "n", "sv")
+    hour = minute.groupBy(F.window("m", "1 hour").alias("w")).agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    ).select(F.col("w.start").alias("h"), "n", "sv")
+    return (
+        hour.groupBy(F.window("h", "1 day").alias("w"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 3).alias("total_value"),
+        )
+        .select(F.to_date(F.col("w.start")).alias("day"), "n_events", "total_value")
+    )
