@@ -246,3 +246,55 @@ def session_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pdf, "user_id long, n_events long, session_start_us long, session_end_us long"
     )
+
+
+@register(
+    "dedup_streamed",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the events table is replayed TWICE (two
+    file copies → every record duplicated across batches) through
+    `readStream` + `dropDuplicates(event_id)`; the surviving rows are
+    appended to a memory sink and counted per type.  Hash-matching
+    COUNT(DISTINCT) over the single-copy batch table proves the
+    cross-batch dedup state actually dropped the second copy.
+
+    Unbounded dedup state is fine for a bounded replay; the
+    production form is dropDuplicatesWithinWatermark, where state is
+    evicted past the lateness bound."""
+    work = tempfile.mkdtemp(prefix="dedup_streamed_")
+    tbl = f"dedup_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+        src = os.path.join(work, "src")
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        ev.coalesce(1).write.mode("append").parquet(src)  # the duplicate copy
+        stream = (
+            spark.readStream.schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)  # copies land in separate batches
+            .parquet(src)
+        )
+        q = (
+            stream.dropDuplicates(["event_id"])
+            .writeStream.format("memory")
+            .queryName(tbl)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        pdf = (
+            spark.table(tbl)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, "event_type string, n_unique long")
