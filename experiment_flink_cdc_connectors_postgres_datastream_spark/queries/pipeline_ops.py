@@ -246,3 +246,37 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return contamination_check(corpus, ev, n=5)
+
+
+@register(
+    "train_val_test_split",
+    """
+    WITH t AS (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT source, split, CAST(COUNT(1) AS BIGINT) AS n_docs
+    FROM t GROUP BY source, split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by content hash:
+    the first md5 byte of the doc id partitions [00,cc)/[cc,e6)/[e6,ff]
+    — reproducible across engines, runs, restarts and table growth
+    (a doc's split never changes when new docs arrive, unlike
+    randomSplit). Pure narrow map + one aggregation; the split column
+    is also exactly what a partitioned writer would bucket by."""
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cc", F.lit("train"))
+        .when(h2 < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

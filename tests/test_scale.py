@@ -77,3 +77,12 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     # not a post-scan row filter
     assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters", 1)[1][:200]
     assert q.count() == ev.filter(F.col("month") == 5).count()
+
+
+def test_spread_scan_noop_when_already_parallel(spark):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
+
+    wide = spark.range(0, 1000).repartition(64)
+    assert spread_scan(wide, min_partitions=32) is wide  # guard: untouched
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert spread_scan(narrow, min_partitions=8).rdd.getNumPartitions() == 8
