@@ -153,3 +153,65 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "bigram_logprob_by_source",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1
+      FROM t WHERE len(toks) >= 2),
+    cb AS (SELECT bigram, COUNT(1) AS c_b FROM b GROUP BY bigram),
+    cu AS (SELECT w1, CAST(SUM(c_b) AS BIGINT) AS c_u
+           FROM (SELECT split_part(bigram, ' ', 1) AS w1, c_b FROM cb)
+           GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id, b.source,
+             AVG(ln(CAST(cb.c_b AS DOUBLE) / cu.c_u)) AS lp
+      FROM b JOIN cb USING (bigram) JOIN cu USING (w1)
+      GROUP BY b.doc_id, b.source)
+    SELECT source,
+           CAST(COUNT(1) AS BIGINT) AS n_docs,
+           ROUND(AVG(lp), 4) AS avg_logprob
+    FROM scored GROUP BY source
+    """,
+)
+def bigram_logprob_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-conditional bigram fluency: each document scored by the
+    mean log of its bigrams' MLE conditional probability
+    c(w1 w2)/c(w1·) under the corpus's own statistics — repetitive or
+    out-of-register sources surface at the extremes.  The cheap
+    statistical stand-in for model-based perplexity filtering.
+
+    Scale shape: one explode (same codegen'd shingle machinery as
+    dedup), two count aggregations, then hash joins on bigram / first
+    token — at corpus scale these are the same joins the dedup
+    shingle path already shuffles, and the unigram side is small
+    enough for AQE to broadcast."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    b = docs.select(
+        "doc_id", "source", F.explode(bigrams(toks)).alias("bigram")
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    cb = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
+    cu = (
+        cb.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("c_b").alias("c_u"))
+    )
+    scored = (
+        b.join(cb, "bigram")
+        .join(cu, "w1")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.log(F.col("c_b").cast("double") / F.col("c_u"))).alias("lp"))
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
