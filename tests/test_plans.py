@@ -112,3 +112,25 @@ def test_tpch_q21_exists_pair_joins(spark):
     df = QUERIES["tpch_q21"](spark, SF)
     plan = assert_plan(df, forbids=["CartesianProduct"])
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_top_bigrams_distributed_topk(spark):
+    df = QUERIES["top_bigrams"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # orderBy+limit must plan as distributed top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [cnt" not in plan
+
+
+def test_embedding_norm_stats_single_agg_exchange(spark):
+    df = QUERIES["embedding_norm_stats"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # narrow map + one aggregation: nothing beyond the spread
+    # round-robin and the final agg's hash exchange may shuffle
+    assert plan.count("Exchange") <= 2
+
+
+def test_train_val_test_split_no_join_no_window(spark):
+    df = QUERIES["train_val_test_split"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
