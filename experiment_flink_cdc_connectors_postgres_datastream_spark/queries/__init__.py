@@ -22,6 +22,7 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import pi
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import corpus_ops  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import source_formats  # noqa: F401
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import behavior_ops  # noqa: F401
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import governance_ops  # noqa: F401
 
 # The correctness driver grades the FIRST 50 registered queries, in
 # registration order. Import order above groups by module, which would
@@ -59,9 +60,13 @@ _PRIORITY = [
     # advanced relational
     "pivot_counts", "udaf_weighted_mean", "json_extract_props",
     # analytics
-    "percentile_by_type", "cube_counts", "stratified_sample",
+    "percentile_by_type", "cube_counts",
     # window functions
-    "window_rank_family", "monthly_order_stats",
+    "window_rank_family",
+    # governance (round 2: PII redaction + deterministic sharding are
+    # distinct families; analytics keeps percentile/cube reps and
+    # window-functions keeps rank_family inside the graded window)
+    "pii_redact", "shard_assignment",
     # TPC-H flagships inside the graded window
     "tpch_q1", "tpch_q12",
 ]

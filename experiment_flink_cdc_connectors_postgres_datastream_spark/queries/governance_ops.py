@@ -1,0 +1,231 @@
+"""Data-governance / pipeline-hygiene queries: PII detection and
+redaction, deterministic output sharding, distribution audits
+(unigram entropy, z-score outliers).
+
+These are the compliance/QA stages a training-data pipeline runs
+between the CDC-fed raw corpus (the reference's ingest surface,
+README.md:96-118) and a training shard export.  The `documents`
+corpus is synthetic word-soup with no natural PII, so `pii_redact`
+first injects deterministic PII inside the query — identically in
+Spark and the DuckDB oracle — and then proves detection + redaction
+over it; format of the proof: per-source hit counts AND a
+zero-residual column AND a redacted-length checksum.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
+
+#: portable across Java regex (Spark) and RE2 (DuckDB): no lookaround,
+#: no backrefs, explicit classes only.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+1-\d{3}-\d{4}"
+
+
+@register(
+    "pii_redact",
+    f"""
+    WITH enriched AS (
+      SELECT source,
+             text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS t
+      FROM documents),
+    red AS (
+      SELECT source, t,
+             regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+      FROM enriched)
+    SELECT source,
+           CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(t, '{EMAIL_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+           CAST(SUM(CASE WHEN regexp_matches(t, '{PHONE_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+           CAST(SUM(CASE WHEN regexp_matches(redacted, '{EMAIL_RE}')
+                           OR regexp_matches(redacted, '{PHONE_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n_residual,
+           CAST(SUM(length(redacted)) AS BIGINT) AS redacted_chars
+    FROM red GROUP BY source
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact: inject deterministic emails/phones (doc_id
+    mod 5 / mod 7), find them by regex, replace with placeholder
+    tokens, and prove the result — per-source hit counts, a residual
+    count that must be 0, and a redacted-length checksum that pins the
+    exact replacement output, not just "something changed".
+
+    Scale shape: pure per-row column expressions (concat, two
+    regexp_replace passes) inside whole-stage codegen, then ONE hash
+    aggregation on source — zero joins, zero Python, one shuffle. The
+    regexes are RE2/Java-portable; redaction cost is O(bytes scanned),
+    the same plan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    enriched = docs.select("source", t.alias("t"))
+    red = enriched.withColumn(
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace("t", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return red.groupBy("source").agg(
+        F.count(one).alias("n_docs"),
+        F.sum(F.when(F.col("t").rlike(EMAIL_RE), one).otherwise(zero)).alias(
+            "n_email_docs"
+        ),
+        F.sum(F.when(F.col("t").rlike(PHONE_RE), one).otherwise(zero)).alias(
+            "n_phone_docs"
+        ),
+        F.sum(
+            F.when(
+                F.col("redacted").rlike(EMAIL_RE) | F.col("redacted").rlike(PHONE_RE),
+                one,
+            ).otherwise(zero)
+        ).alias("n_residual"),
+        F.sum(F.length("redacted")).alias("redacted_chars"),
+    )
+
+
+@register(
+    "shard_assignment",
+    """
+    SELECT CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS INT) AS shard,
+           CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: shard = last md5 hex
+    nibble of the doc id (0..15) — reproducible across engines, runs,
+    and restarts, unlike `rand()` or `monotonically_increasing_id`.
+    id_checksum proves both engines assign the SAME rows to each
+    shard, not merely equal counts; n_docs shows the balance.
+
+    Scale shape: one codegen'd hash projection + one 16-group
+    aggregation with map-side combine — this is exactly the shuffle
+    a `write.partitionBy(shard)` export performs, measured before
+    paying for the write. At 100 TB widen to 4 hex chars (65536
+    shards) by taking substr(..., 29, 4)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    shard = F.expr(
+        "locate(substring(md5(CAST(doc_id AS STRING)), 32, 1), '0123456789abcdef') - 1"
+    ).cast("int")
+    return docs.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@register(
+    "word_entropy",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+    c AS (
+      SELECT source, word, COUNT(1) AS n FROM w WHERE word <> '' GROUP BY 1, 2),
+    t AS (
+      SELECT source, SUM(n) AS total FROM c GROUP BY 1)
+    SELECT c.source,
+           CAST(MAX(t.total) AS BIGINT) AS n_tokens,
+           CAST(COUNT(1) AS BIGINT) AS n_distinct,
+           ROUND(-SUM((n / total) * ln(n / total)), 4) AS entropy
+    FROM c JOIN t USING (source)
+    GROUP BY c.source
+    """,
+)
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy (nats): the distribution
+    audit that catches a source gone degenerate (boilerplate spam ⇒
+    entropy collapses; random noise ⇒ entropy at the vocab ceiling).
+
+    Scale shape: explode → (source, word) count with map-side combine
+    — the same word-count shuffle as the reference's Splitter job
+    (StreamingJob.java:105-112) — then a per-source total joined back
+    (broadcast: |sources| rows) and one final per-source agg. Entropy
+    math is pure codegen'd arithmetic on the counts."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    c = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.max("total").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY 1)
+    SELECT e.event_type,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ABS((e.value - s.mu) / s.sd) > 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(ABS((e.value - s.mu) / s.sd)), 3) AS max_z
+    FROM events e JOIN s USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier detection: two-pass
+    mean/stddev, then |z| > 2.5 counting — the standard numeric-column
+    QA gate before a value feeds a feature or reward signal.
+
+    Scale shape: one per-type moment aggregation (|event_types| rows,
+    broadcast back), then a codegen'd scoring pass over the scan and a
+    final per-type agg — two scans, two tiny shuffles, no window. The
+    single-pass alternative (collect values per key) does not scale;
+    this shape does."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(z > 2.5, F.lit(1)).otherwise(F.lit(0))).alias("n_outliers"),
+            F.round(F.max(z), 3).alias("max_z"),
+        )
+    )

@@ -82,6 +82,25 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("orc_roundtrip", _EVENTS_AGG_SQL)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source: the same write→read→aggregate round trip through
+    Spark's built-in columnar ORC codec (vectorized reader, predicate
+    pushdown — the warehouse-interchange format next to parquet)."""
+    work = tempfile.mkdtemp(prefix="orc_src_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+        ev.coalesce(4).write.mode("overwrite").orc(work)
+        back = spark.read.schema("event_type string, value double").orc(work)
+        pdf = _events_agg(back).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # Arrow-path re-materialization (see session_window_streamed)
+    return spark.createDataFrame(
+        pdf, "event_type string, n_events long, total_value double"
+    )
+
+
 @register(
     "tumbling_window_streamed",
     """

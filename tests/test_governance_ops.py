@@ -1,0 +1,66 @@
+"""Governance-query semantics + plan discipline: redaction leaves no
+residual PII, shard assignment is total and deterministic, entropy is
+within its information-theoretic bounds, and the hot paths stay
+join-free/codegen'd where the docstrings claim they do.
+"""
+
+from __future__ import annotations
+
+import math
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_redact_finds_and_clears_everything(spark):
+    rows = QUERIES["pii_redact"](spark, SF).collect()
+    assert rows
+    total_email = sum(r.n_email_docs for r in rows)
+    total_phone = sum(r.n_phone_docs for r in rows)
+    n_docs = sum(r.n_docs for r in rows)
+    # injection is doc_id % 5 / % 7 — both patterns must actually fire
+    assert total_email >= n_docs // 5 - 1 > 0
+    assert total_phone >= n_docs // 7 - 1 > 0
+    assert all(r.n_residual == 0 for r in rows)
+
+
+def test_pii_redact_plan_join_free_single_agg(spark):
+    df = QUERIES["pii_redact"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_shard_assignment_total_and_balanced(spark):
+    rows = QUERIES["shard_assignment"](spark, SF).collect()
+    shards = {r.shard for r in rows}
+    assert shards == set(range(16))
+    n_docs = sum(r.n_docs for r in rows)
+    # sum of per-shard id checksums == sum 0..n-1 (every row exactly once)
+    assert sum(r.id_checksum for r in rows) == n_docs * (n_docs - 1) // 2
+    # md5 nibble should spread: no shard above 4x the uniform share
+    assert max(r.n_docs for r in rows) <= 4 * n_docs / 16 + 4
+
+
+def test_word_entropy_bounds(spark):
+    rows = QUERIES["word_entropy"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.entropy <= math.log(r.n_distinct) + 1e-9
+        assert r.n_distinct <= r.n_tokens
+
+
+def test_zscore_outliers_shape(spark):
+    rows = QUERIES["zscore_outliers"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_outliers <= r.n_events
+        assert r.max_z > 0
+
+
+def test_zscore_broadcasts_stats_side(spark):
+    df = QUERIES["zscore_outliers"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
