@@ -317,3 +317,95 @@ def dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(pdf, "event_type string, n_unique long")
+
+
+@register(
+    "stream_stream_join_streamed",
+    """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT v.user_id,
+           CAST(COUNT(1) AS BIGINT) AS n_pairs,
+           CAST(SUM(epoch_us(c.ts) - epoch_us(v.ts)) AS BIGINT) AS lag_us_checksum
+    FROM v JOIN c ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
+    GROUP BY v.user_id
+    """,
+)
+def stream_stream_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time STREAM-STREAM inner join: views and clicks read as
+    two independent file streams, joined per user with the time-range
+    constraint click ∈ [view, view + 1h], matched pairs appended to a
+    memory sink and aggregated per user.  Hash-matching the batch
+    range-join oracle (pair count AND the summed view→click lag in
+    exact integer microseconds) proves the streaming join emitted
+    exactly the batch pair set — the enrichment-join shape the
+    reference materializes between its two CDC topics
+    (StreamingJobWithCustomDeserializer.java:93-118).
+
+    Inner stream-stream joins emit matches as rows arrive (no
+    watermark wait); the watermarks + time bound are what let Spark
+    evict join state once the other side can no longer match — the
+    property that keeps state bounded on an unbounded stream. The
+    per-user aggregation of emitted pairs runs as a normal batch over
+    the sink table."""
+    work = tempfile.mkdtemp(prefix="ssj_streamed_")
+    tbl = f"ssj_streamed_{uuid.uuid4().hex[:8]}"
+    schema = "user_id long, ts timestamp, event_type string"
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+        src = os.path.join(work, "src")
+        ev.coalesce(2).write.mode("overwrite").parquet(src)
+        views = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "0 seconds")
+        )
+        clicks = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "0 seconds")
+        )
+        joined = views.join(
+            clicks,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        ).select(
+            F.col("v_user").alias("user_id"),
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        )
+        # stateful join instantiates a state store per shuffle
+        # partition; narrow for the demo replay, restore after
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(tbl)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        pdf = (
+            spark.table(tbl)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("lag_us").alias("lag_us_checksum"),
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # Arrow-path re-materialization (see session_window_streamed)
+    return spark.createDataFrame(pdf, "user_id long, n_pairs long, lag_us_checksum long")
