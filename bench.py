@@ -72,6 +72,12 @@ EXTENDED_QUERIES = [
     "embedding_quantize_error",
     "type_token_ratio",
     "top_bigrams",
+    # round 2: governance family (regex-heavy redaction is a genuine
+    # throughput surface; entropy is the word-count shuffle shape)
+    "pii_redact",
+    "word_entropy",
+    "shard_assignment",
+    "zscore_outliers",
 ]
 
 
