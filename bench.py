@@ -78,6 +78,7 @@ EXTENDED_QUERIES = [
     "word_entropy",
     "shard_assignment",
     "zscore_outliers",
+    "curation_pipeline",
 ]
 
 

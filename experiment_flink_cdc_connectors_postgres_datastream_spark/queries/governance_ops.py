@@ -229,3 +229,89 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 3).alias("max_z"),
         )
     )
+
+
+@register(
+    "curation_pipeline",
+    """
+    WITH feat AS (
+      SELECT doc_id, source, lower(text) AS lt, text,
+             len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('the','a','an','of','and','to','in','is','it','that'))) AS n_stop,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             length(text) AS n_chars_calc
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, lt, n_tokens,
+             0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+               + 0.3 * least(CAST(n_stop AS DOUBLE) / n_tokens * 10.0, 1.0)
+               + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars_calc * 5.0, 1.0)) AS q,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('the','a','of','and','to'))) AS s_en,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('der','die','das','und','ist'))) AS s_de,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('el','la','de','y','que'))) AS s_es,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('le','la','et','les','des'))) AS s_fr
+      FROM feat),
+    cand AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lt, '\\s+', ' ', 'g'))) AS fp
+      FROM scored
+      WHERE q >= 0.75 AND n_tokens BETWEEN 20 AND 80
+        AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr),
+    flagged AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                  THEN 1 ELSE 0 END AS is_kept
+      FROM cand)
+    SELECT source,
+           CAST(COUNT(1) AS BIGINT) AS n_candidates,
+           CAST(SUM(is_kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN is_kept = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+    FROM flagged GROUP BY source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data
+    team actually ships: quality score ≥ 0.75 AND 20–80 tokens AND
+    predicted-English, then exact dedup by normalized-text
+    fingerprint keeping the lowest doc id.  Per-source survivor counts
+    plus a kept-id checksum prove both engines curate the SAME corpus.
+
+    Scale shape: every filter is a codegen'd column expression over
+    ONE documents scan (no intermediate materialization); dedup is a
+    min-over-fingerprint window — one hash shuffle on fp, which is
+    also the natural output bucketing for the surviving corpus — then
+    one per-source aggregation. Filters run BEFORE the shuffle, so
+    the dedup exchange only carries survivors (at 100 TB the quality
+    gate typically drops half the bytes before any network cost)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import (
+        fingerprint,
+        lang_scores,
+        quality_features,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = lang_scores(quality_features(docs))
+    cand = fingerprint(
+        scored.filter(
+            (F.col("quality_score") >= 0.75)
+            & F.col("n_tokens").between(20, 80)
+            & (F.col("pred_lang") == "en")
+        )
+    ).select("doc_id", "source", "fp")
+    is_kept = (
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+    ).cast("int")
+    flagged = cand.select("doc_id", "source", is_kept.alias("is_kept"))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("is_kept").alias("n_kept"),
+        F.sum(F.when(F.col("is_kept") == 1, F.col("doc_id")).otherwise(F.lit(0))).alias(
+            "kept_checksum"
+        ),
+    )

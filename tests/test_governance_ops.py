@@ -64,3 +64,17 @@ def test_zscore_broadcasts_stats_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_pipeline_invariants_and_plan(spark):
+    df = QUERIES["curation_pipeline"](spark, SF)
+    # plan BEFORE executing: post-collect the AQE plan string repeats
+    # itself (Final + Initial sections), double-counting exchanges
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # filters fold into the scan-side project; only the fp window
+    # shuffle and the final source agg may exchange
+    assert plan.count("Exchange") <= 2
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_candidates
