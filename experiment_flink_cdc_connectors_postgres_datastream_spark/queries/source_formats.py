@@ -409,3 +409,54 @@ def stream_stream_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
     # Arrow-path re-materialization (see session_window_streamed)
     return spark.createDataFrame(pdf, "user_id long, n_pairs long, lag_us_checksum long")
+
+
+@register(
+    "schema_merge_roundtrip",
+    """
+    SELECT event_type,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
+           ROUND(SUM(CASE WHEN event_id % 2 = 1 THEN value ELSE 0 END), 3) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def schema_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake: generation 1 files carry
+    (event_id, event_type), generation 2 adds a `value` column; the
+    merged read (`mergeSchema`) back-fills NULL for gen-1 rows.  The
+    oracle recomputes the same split from the base table, so the hash
+    match proves the merged scan neither drops rows nor mis-aligns the
+    added column — the upgrade path the reference leaves explicitly
+    untested (README.md:141-144, 'schema evolution not tested').
+
+    Scale note: mergeSchema reconciles footers at planning time (cost
+    ∝ #files, not bytes); production pins the superset schema in a
+    catalog and reads with an explicit schema instead — shown here
+    with the footer-merge path because that is the evolution moment
+    itself."""
+    work = tempfile.mkdtemp(prefix="schema_merge_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        gen1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+        gen2 = ev.filter(F.col("event_id") % 2 == 1)
+        gen1.coalesce(2).write.mode("overwrite").parquet(work)
+        gen2.coalesce(2).write.mode("append").parquet(work)
+        back = spark.read.option("mergeSchema", True).parquet(work)
+        pdf = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count("value").alias("n_with_value"),
+                F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 3).alias("total_value"),
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # Arrow-path re-materialization (see session_window_streamed)
+    return spark.createDataFrame(
+        pdf, "event_type string, n_events long, n_with_value long, total_value double"
+    )
