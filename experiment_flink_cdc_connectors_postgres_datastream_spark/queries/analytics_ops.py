@@ -264,3 +264,40 @@ def approx_percentile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.9, 10000)").alias("p90"),
         F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
     )
+
+
+@register(
+    "variant_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once into an open-schema binary-encoded value,
+    then typed ``variant_get`` path extraction — the engine-native
+    path for JSON columns whose schema drifts (vs `json_extract_props`
+    which string-parses per access).  Hash-matched to the same
+    DuckDB JSON oracle, proving the VARIANT encode/decode is lossless
+    for the extracted field.
+
+    Scale shape: parse + extract are codegen'd per-row expressions;
+    one aggregation shuffle. At 100 TB the win over repeated
+    get_json_object grows with the number of fields extracted per row
+    (one parse, N typed gets)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    v = ev.withColumn("pv", F.parse_json(F.col("props")))
+    k = F.variant_get("pv", "$.k", "long")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.sum(F.when(k >= 50, F.lit(1)).otherwise(F.lit(0))).alias("n_high"),
+        )
+    )

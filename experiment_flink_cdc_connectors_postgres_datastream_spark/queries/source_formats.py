@@ -460,3 +460,63 @@ def schema_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pdf, "event_type string, n_events long, n_with_value long, total_value double"
     )
+
+
+@register(
+    "stream_static_join_streamed",
+    """
+    SELECT user_id % 3 AS tier,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 3) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_static_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join: the events stream joined against
+    a static dimension (user → tier) loaded as a plain batch
+    DataFrame, aggregated per tier after the sink.  This is the
+    reference's core enrichment move — a CDC-materialized table
+    joined to the live stream (README.md:96-118) — in Structured
+    Streaming form: the static side needs no watermark or state, and
+    Catalyst broadcasts it into every micro-batch.
+
+    Hash-matching the batch oracle proves no stream row is lost or
+    duplicated through the join. The dim here derives from the same
+    events table (distinct user → tier) so the oracle is closed-form."""
+    work = tempfile.mkdtemp(prefix="ssj_static_")
+    tbl = f"ssj_static_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+        src = os.path.join(work, "src")
+        ev.coalesce(2).write.mode("overwrite").parquet(src)
+        dim = (
+            ev.select("user_id")
+            .distinct()
+            .withColumn("tier", F.col("user_id") % 3)
+        )
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        joined = stream.join(F.broadcast(dim), "user_id").select("tier", "value")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(tbl)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        pdf = (
+            spark.table(tbl)
+            .groupBy("tier")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 3).alias("total_value"),
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # Arrow-path re-materialization (see session_window_streamed)
+    return spark.createDataFrame(pdf, "tier long, n_events long, total_value double")
