@@ -79,6 +79,7 @@ EXTENDED_QUERIES = [
     "shard_assignment",
     "zscore_outliers",
     "curation_pipeline",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -429,3 +429,67 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via PPJoin-style prefix filtering
+    (Xiao et al., WWW'08): identical results to ``ngram_jaccard_pairs``
+    at the same threshold, but the self-join runs only on each
+    document's PREFIX — its rarest ``|S| - ceil(t·|S|) + 1`` shingles
+    in a global document-frequency order — because two sets with
+    Jaccard ≥ t must share at least one prefix element.
+    Output: id_a, id_b, jaccard (≥ threshold, id_a < id_b).
+
+    Why this is the high-threshold scale shape: at t = 0.8 the prefix
+    is ~20% of each set, so join traffic drops ~25× versus the full
+    shingle self-join — and hot (stopword-run) shingles sit at the END
+    of the df order, so they never enter a prefix at all; no frequency
+    cap needed, and the metric stays the textbook Jaccard over ALL
+    shingles. Candidates are then verified exactly on doc-sized shingle
+    arrays (`array_intersect`), shuffling only candidate pairs."""
+    from pyspark.sql.window import Window
+
+    sh = shingle_hashes(df, text_col, id_col, n).localCheckpoint(eager=False)
+    dfreq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        sh.join(dfreq, "_sh")
+        .withColumn(
+            "_r",
+            F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_sh")),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+    )
+    prefix = ranked.filter(
+        F.col("_r")
+        <= F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
+    ).select("_id", "_sh")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_sh")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+    sets = sh.groupBy("_id").agg(F.collect_list("_sh").alias("_set"))
+    n_inter = F.size(F.array_intersect("_set_a", "_set_b"))
+    jac = n_inter.cast("double") / (
+        F.size("_set_a") + F.size("_set_b") - n_inter
+    ).cast("double")
+    return (
+        cand.join(
+            sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_set_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_set_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

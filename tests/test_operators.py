@@ -254,3 +254,26 @@ def test_approx_percentile_close_to_exact(spark):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (k, a, e)
+
+
+def test_jaccard_prefix_equals_full_selfjoin(spark):
+    """Prefix filtering is an optimization, not an approximation: at
+    the same threshold it must return EXACTLY the full self-join's
+    pairs (PPJoin completeness lemma)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.8).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_prefix_pairs(docs, min_jaccard=0.8).collect()
+    }
+    assert pref == full
+    assert pref  # non-vacuous: the corpus plants near-dups
