@@ -86,8 +86,11 @@ class ParquetUpsertSink:
       an atomic manifest rename, so a crash mid-write can never
       destroy previously-committed rows;
     - within a batch, duplicate keys are resolved by ``seq_cols``
-      (highest wins); without ``seq_cols`` the LAST occurrence wins
-      deterministically (input order), not an arbitrary ``max_by`` tie.
+      (highest wins); without ``seq_cols`` the last occurrence *within
+      each partition* wins (``monotonically_increasing_id`` orders rows
+      per-partition only, so across partitions the winner follows
+      partition layout, not global input order — supply ``seq_cols``
+      when cross-partition determinism matters).
     """
 
     def __init__(self, path: str, key_cols: list[str], seq_cols: list[str] | None = None,

@@ -189,11 +189,23 @@ class GenerationalStateStore:
         """Publish ``df`` (which must carry ``_bucket`` and contain the
         COMPLETE current rows of every bucket in ``touched_buckets``) as
         generation ``version``. Untouched buckets keep their previous
-        generation via the manifest."""
+        generation via the manifest.
+
+        Replay-safe staging: ``df`` is typically a LAZY plan that reads
+        the previous state through the current manifest. On foreachBatch
+        replay after a crash between manifest publish and the engine's
+        checkpoint commit, that manifest already points touched buckets
+        at this very version's directory — deleting it before the write
+        would destroy the write's own input. So each attempt stages into
+        a directory that does not exist yet (``gen-<v>``, then
+        ``gen-<v>-r<k>``), never deleting a prior attempt; the manifest
+        flip re-points buckets at the new attempt and ``_gc`` reaps the
+        orphaned one once no retained manifest references it."""
         gen = f"gen-{version}"
-        gen_path = self._io.path(gen)
-        if self._io.exists(gen_path):  # idempotent batch replay
-            self._io.delete(gen_path)
+        attempt = 0
+        while self._io.exists(self._io.path(gen)):
+            attempt += 1
+            gen = f"gen-{version}-r{attempt}"
         (
             df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)

@@ -79,6 +79,36 @@ def test_crash_before_manifest_publish_keeps_previous_state(spark, tmp_path):
     assert out == {1: "a2", 2: "b"}
 
 
+def test_replay_after_manifest_publish_does_not_destroy_lazy_input(spark, tmp_path):
+    """Crash window: manifest-<v> published, engine checkpoint NOT yet
+    committed → foreachBatch replays batch v. The replay's merged
+    DataFrame lazily reads prev state through the current manifest,
+    which points the touched buckets at gen-<v> itself. commit() must
+    stage the rewrite elsewhere (never delete gen-<v> pre-write), or
+    the write consumes its own deleted input and state is lost."""
+    store = _mk(spark, tmp_path)
+    _commit_rows(spark, store, [(1, "a"), (2, "b")], version=0)
+    _commit_rows(spark, store, [(1, "a2")], version=1)  # first attempt of batch 1
+
+    # replay batch 1 exactly as run_compacted_aggregate would: prev is a
+    # LAZY read through the current manifest (which references gen-1)
+    replay = _mk(spark, tmp_path)
+    _commit_rows(spark, replay, [(1, "a2")], version=1)
+
+    out = {r["k"]: r["v"] for r in replay.read().collect()}
+    assert out == {1: "a2", 2: "b"}
+    # the replay staged into a fresh attempt dir and re-pointed the manifest
+    manifest = json.loads((tmp_path / "state" / "manifest-1.json").read_text())
+    bucket_1 = store.with_bucket(
+        spark.createDataFrame([(1, "x")], "k long, v string")
+    ).collect()[0][BUCKET_COL]
+    assert manifest["buckets"][str(bucket_1)] == "gen-1-r1"
+    # a third attempt picks the next free staging dir
+    replay2 = _mk(spark, tmp_path)
+    _commit_rows(spark, replay2, [(1, "a2")], version=1)
+    assert {r["k"]: r["v"] for r in replay2.read().collect()} == {1: "a2", 2: "b"}
+
+
 def test_generation_count_is_bounded_by_gc(spark, tmp_path):
     store = _mk(spark, tmp_path, n_buckets=2, max_generations=3)
     for v in range(6):
