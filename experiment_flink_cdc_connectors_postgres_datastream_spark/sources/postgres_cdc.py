@@ -25,9 +25,13 @@ Failure semantics: polling uses ``pg_logical_slot_peek_changes``
 i.e. only after Spark has durably checkpointed the batch's end
 offset. Until then every planned-but-uncommitted change remains in
 the slot, so ``partitions()`` can re-serve any checkpointed span by
-re-peeking after a driver restart; a fresh reader detects a restart
-by the slot already existing and seeds its LSN watermark from the
-slot's confirmed position instead of re-running the snapshot. A
+re-peeking after a driver restart (with a doubling window, so spans
+beyond the first ``poll_batch_size`` changes are still reachable); a
+fresh reader detects a restart by the slot existing AND having been
+advanced at least once (confirmed_lsn > 0 proves a batch committed)
+and seeds its LSN watermark from the confirmed position instead of
+re-running the snapshot — a never-advanced slot is treated as a fresh
+start, because its snapshot may not have reached the offset log. A
 wal-phase span that cannot be recovered from the slot raises rather
 than silently returning an empty batch.
 
@@ -304,6 +308,21 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
                 rows.append((env, lsn, rec.get("timestamp_ms", 0)))
         return rows
 
+    def _peek_covering(self, span_end: int) -> list[dict[str, Any]]:
+        """Peek from the slot with a doubling window until the view
+        covers ``span_end`` or the slot is exhausted (fewer rows back
+        than asked for). Peeks are non-destructive, so re-reading a
+        growing prefix costs only the re-decode."""
+        limit = self.config.poll_batch_size
+        while True:
+            changes = self.client.peek_changes(limit)
+            if len(changes) < limit:
+                return changes  # slot exhausted: nothing more to see
+            max_lsn = max((c.get("lsn_int", 0) for c in changes), default=0)
+            if max_lsn + 1 >= span_end:
+                return changes
+            limit *= 2
+
     def _snapshot_rows(self) -> list[tuple]:
         rows: list[tuple] = []
         for schema, table in self.client.list_tables():
@@ -315,19 +334,34 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         if not self._snapshot_done:
-            # Slot first: no gap between snapshot and tail. If the slot
-            # already exists, a previous incarnation snapshotted — this
-            # is a restart: seed the watermark from the slot's durable
-            # confirmed position instead of re-running the snapshot.
+            # Slot first: no gap between snapshot and tail. A
+            # pre-existing slot *usually* means a previous incarnation
+            # snapshotted — but only a slot that has been ADVANCED
+            # proves a batch ever committed (advance happens strictly
+            # after checkpoint, and only for post-snapshot batches).
+            # confirmed_lsn==0 therefore means the previous incarnation
+            # died before any WAL batch committed: its snapshot may
+            # never have reached Spark's offset log, and seeding the
+            # watermark here would plan the first span as (0, max_lsn+1)
+            # — which partitions() serves with WAL rows only, silently
+            # dropping every snapshot row. Treat it as a fresh start and
+            # re-run the snapshot; if the snapshot batch *did* commit,
+            # Spark never asks for span (0,1) again and the extra read
+            # is discarded (op='r' rows are idempotent under downstream
+            # last-write-wins compaction in any case).
             created = self.client.ensure_slot()
-            if created:
+            if created or self.client.slot_confirmed_lsn() == 0:
                 self._pending[(0, 1)] = self._snapshot_rows()
                 self._snapshot_done = True
                 self._last_lsn = 1
                 return {"phase": "wal", "lsn": 1}
             self._snapshot_done = True
-            self._last_lsn = max(1, self.client.slot_confirmed_lsn() + 1)
-        changes = self.client.peek_changes(self.config.poll_batch_size)
+            self._last_lsn = self.client.slot_confirmed_lsn() + 1
+        # Grow the peek window past already-planned-but-uncommitted
+        # changes (they stay in the slot until commit advances it) —
+        # a fixed-size peek would re-see only the oldest uncommitted
+        # span and stall planning until a commit.
+        changes = self._peek_covering(self._last_lsn + 1)
         rows = self._changes_to_rows(changes, self._last_lsn)
         if rows:
             max_lsn = max(lsn for _, lsn, _ in rows)
@@ -352,8 +386,13 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
         if rows is None:
             # Restart replay of a planned-but-uncommitted wal batch:
             # the slot was not advanced past it, so re-peek and filter
-            # to the requested range.
-            changes = self.client.peek_changes(self.config.poll_batch_size)
+            # to the requested range. Peek windows grow until they
+            # cover the span's end — with several uncommitted spans in
+            # flight at crash time (commit lag, multi-batch triggers),
+            # later spans lie beyond the first poll_batch_size changes
+            # and a single fixed-size peek would falsely conclude the
+            # slot cannot serve them.
+            changes = self._peek_covering(span[1])
             rows = [
                 r
                 for r in self._changes_to_rows(changes, span[0])

@@ -204,6 +204,42 @@ def test_restart_skips_snapshot_and_resumes_from_confirmed_lsn():
     assert off["lsn"] == client.confirmed_lsn + 1
 
 
+def test_restart_before_any_commit_reruns_snapshot():
+    """Crash after the slot was created but before ANY batch committed
+    (confirmed_lsn still 0): the old slot-exists heuristic would skip
+    the snapshot and the first planned span would silently contain WAL
+    rows only. A never-advanced slot must be treated as a fresh start."""
+    client = FakeClient()
+    r1 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    r1.latestOffset()              # slot created, snapshot planned — then crash
+    assert client.slot_created and client.confirmed_lsn == 0
+    r2 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    rows = _drain(r2)              # no checkpoint survived: full re-run
+    envs = [json.loads(v) for v, _, _ in rows]
+    assert [e["op"] for e in envs] == ["r", "c", "u"]   # snapshot NOT dropped
+    assert envs[0]["after"]["full_name"] == "susan smith"
+
+
+def test_replay_of_span_beyond_peek_window():
+    """Two planned-but-uncommitted spans at crash time: the second lies
+    beyond the first poll_batch_size changes, so a single fixed-size
+    peek can't see it. The replay (and planning) peeks must grow their
+    window instead of raising/stalling."""
+    client = FakeClient()
+    r1 = PostgresCDCStreamReader(PostgresCDCConfig(poll_batch_size=1), client=client)
+    r1.latestOffset()
+    r1.commit({"phase": "wal", "lsn": 1})
+    assert r1.latestOffset() == {"phase": "wal", "lsn": 11}   # span (1,11) planned
+    assert r1.latestOffset() == {"phase": "wal", "lsn": 21}   # span (11,21) planned
+    # crash with both spans uncommitted; a fresh reader must serve the
+    # SECOND span even though peek(poll_batch_size) only shows the first
+    r2 = PostgresCDCStreamReader(PostgresCDCConfig(poll_batch_size=1), client=client)
+    [part] = r2.partitions({"phase": "wal", "lsn": 11}, {"phase": "wal", "lsn": 21})
+    envs = [json.loads(v) for v, _, _ in part.rows]
+    assert [e["op"] for e in envs] == ["u"]
+    assert envs[0]["after"]["full_name"] == "sue smith"
+
+
 def test_unserveable_wal_range_raises_instead_of_empty():
     client = FakeClient()
     client.slot_created = True
