@@ -30,6 +30,19 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def md5_long(col: Column) -> Column:
+    """60-bit hash from the md5 hex prefix: conv(substr(md5(s),1,15)).
+
+    Cross-engine reproducible — DuckDB computes the identical value as
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` — which makes
+    whole signature pipelines oracle-gradeable end to end. xxhash64
+    remains the PRODUCTION hash family (one codegen'd call on native
+    bytes vs md5's string render + digest + hex parse, ~5× cheaper);
+    the ``hash_family="md5"`` paths below exist so the driver can
+    value-hash-grade the same pipeline shape, not as the scale path."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct n-gram token shingles of a text column (array<string>).
 
@@ -50,12 +63,15 @@ def shingle_hashes(
     id_col: str = "doc_id",
     n: int = 3,
     distinct: bool = True,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """Distinct n-gram shingle hashes per document: ``(_id, _sh)``
-    with ``_sh = xxhash64(tok_i, …, tok_{i+n-1})``.
+    with ``_sh = xxhash64(tok_i, …, tok_{i+n-1})`` (or, with
+    ``hash_family="md5"``, :func:`md5_long` of the space-joined gram —
+    the oracle-gradeable family).
 
     Hot-path formulation: posexplode tokens → per-document window
-    ``lead`` → one multi-column xxhash64 — everything whole-stage
+    ``lead`` → one multi-column hash — everything whole-stage
     codegen'd (the higher-order `shingles` expression is interpreted
     and ~10× slower). The window shuffle partitions by document id,
     which is exactly how shingle work distributes at 100 TB. Shingle
@@ -71,8 +87,12 @@ def shingle_hashes(
     )
     w = Window.partitionBy("_id").orderBy("_pos")
     leads = [F.lead("_tok", j).over(w) for j in range(1, n)]
+    if hash_family == "md5":
+        gram_hash = md5_long(F.concat_ws(" ", F.col("_tok"), *leads))
+    else:
+        gram_hash = F.xxhash64(F.col("_tok"), *leads)
     sh = tok.select(
-        "_id", F.xxhash64(F.col("_tok"), *leads).alias("_sh"), leads[-1].isNotNull().alias("_full") if leads else F.lit(True).alias("_full")
+        "_id", gram_hash.alias("_sh"), leads[-1].isNotNull().alias("_full") if leads else F.lit(True).alias("_full")
     ).filter(F.col("_full")).select("_id", "_sh")
     return sh.dropDuplicates(["_id", "_sh"]) if distinct else sh
 
@@ -101,24 +121,37 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     n: int = 3,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """Bulk MinHash signatures over hashed shingles: ``num_hashes``
-    codegen'd ``min(xxhash64(shingle_hash, k))`` aggregations. Partial
+    codegen'd ``min(h_k(shingle_hash))`` aggregations (h_k = xxhash64
+    seeded by k, or the md5-derived family for oracle grading). Partial
     aggregation reduces shingles map-side, so the agg shuffle carries
     one row per document. Output: ``_id``, ``_sig`` (array<bigint>)."""
-    sh = shingle_hashes(df, text_col, id_col, n)
-    aggs = [F.min(F.xxhash64(F.col("_sh"), F.lit(k))).alias(f"_h{k}") for k in range(num_hashes)]
+    sh = shingle_hashes(df, text_col, id_col, n, hash_family=hash_family)
+    if hash_family == "md5":
+        def hk(k: int) -> Column:
+            return md5_long(F.concat_ws(":", F.lit(k), F.col("_sh").cast("string")))
+    else:
+        def hk(k: int) -> Column:
+            return F.xxhash64(F.col("_sh"), F.lit(k))
+    aggs = [F.min(hk(k)).alias(f"_h{k}") for k in range(num_hashes)]
     sigs = sh.groupBy("_id").agg(*aggs)
     return sigs.select("_id", F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias("_sig"))
 
 
-def minhash_bands(sig_col: Column, bands: int, rows: int) -> Column:
+def minhash_bands(sig_col: Column, bands: int, rows: int, hash_family: str = "xx") -> Column:
     """LSH band keys: hash each contiguous ``rows``-slice of the
     signature → array<bigint> of ``bands`` bucket keys."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.concat_ws(",", F.slice(sig_col, b * rows + 1, rows)), b),
-    )
+    if hash_family == "md5":
+        def band_key(b):
+            return md5_long(
+                F.concat_ws(":", b.cast("string"), F.concat_ws(",", F.slice(sig_col, b * rows + 1, rows)))
+            )
+    else:
+        def band_key(b):
+            return F.xxhash64(F.concat_ws(",", F.slice(sig_col, b * rows + 1, rows)), b)
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
 
 
 def minhash_candidate_pairs(
@@ -128,6 +161,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     min_est_jaccard: float = 0.5,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -140,9 +174,14 @@ def minhash_candidate_pairs(
     # the signature subplan feeds three consumers (band explode + both
     # sides of the pair join); localCheckpoint materializes it once
     # instead of recomputing the explode+agg lineage per consumer
-    sig = minhash_signatures(df, text_col, id_col, num_hashes).localCheckpoint(eager=False)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, hash_family=hash_family
+    ).localCheckpoint(eager=False)
     banded = sig.select(
-        "_id", F.posexplode(minhash_bands(F.col("_sig"), bands, rows)).alias("_band", "_bh")
+        "_id",
+        F.posexplode(minhash_bands(F.col("_sig"), bands, rows, hash_family=hash_family)).alias(
+            "_band", "_bh"
+        ),
     )
     left = banded.select(F.col("_id").alias("id_a"), "_band", "_bh")
     right = banded.select(F.col("_id").alias("id_b"), "_band", "_bh")
@@ -174,8 +213,12 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 1,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """Bulk 64-bit SimHash signatures over token n-grams.
+    (With ``hash_family="md5"`` features carry 60 effective bits —
+    the md5-prefix hash is 15 hex chars — so signature bits 60-63 are
+    structurally 0 on both engines; hamming semantics are unaffected.)
 
     Hashed features (``shingle_hashes``); per bit position, a
     codegen'd ``sum(±1)`` aggregation counts set bits (map-side
@@ -183,12 +226,13 @@ def simhash_signatures(
     vector is reassembled into a single bigint. Output: ``_id``,
     ``_sig``."""
     if n > 1:
-        feats = shingle_hashes(df, text_col, id_col, n)
+        feats = shingle_hashes(df, text_col, id_col, n, hash_family=hash_family)
     else:
+        tok_hash = md5_long(F.col("_tok")) if hash_family == "md5" else F.xxhash64("_tok")
         feats = spread_scan(df).select(
             F.col(id_col).alias("_id"),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
-        ).select("_id", F.xxhash64("_tok").alias("_sh"))
+        ).select("_id", tok_hash.alias("_sh"))
     # Lane-packed bit counting: two 32-bit counters per long (bit 2g in
     # the low lane, bit 2g+1 in the high lane) ⇒ 32 sum columns + one
     # count instead of 64 sums. Halves the agg buffer and the generated
@@ -237,6 +281,7 @@ def simhash_near_pairs(
     max_hamming: int = 7,
     blocks: int = 8,
     n: int = 3,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """SimHash near-dup pairs with block-key LSH: split the 64-bit
     signature into ``blocks`` bands; candidate pairs agree on at least
@@ -247,7 +292,9 @@ def simhash_near_pairs(
     # barrier: the signature subplan (explode + 64-way sum agg) feeds
     # BOTH sides of the self-join — materialize it once, as in
     # minhash_candidate_pairs
-    sig = simhash_signatures(df, text_col, id_col, n=n).localCheckpoint(eager=False)
+    sig = simhash_signatures(
+        df, text_col, id_col, n=n, hash_family=hash_family
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "_id",
         "_sig",

@@ -99,20 +99,28 @@ def cosine_topk(
     ).filter(F.col("rank") <= k)
 
 
-def _lsh_weight(bit: int, i: Column) -> Column:
+def _lsh_weight(bit: int, i: Column, hash_family: str = "xx") -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1):
-    derived from xxhash64(dim_index, bit) — reproducible everywhere."""
-    h = F.xxhash64(i, F.lit(bit))
+    derived from a hash of (dim_index, bit) — reproducible everywhere.
+    The "md5" family uses the md5-prefix hash (identically computable
+    in DuckDB) so LSH bucketing is oracle-gradeable; xxhash64 stays the
+    production family."""
+    if hash_family == "md5":
+        from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
+
+        h = md5_long(F.concat_ws(",", F.lit(bit), i.cast("string")))
+    else:
+        h = F.xxhash64(i, F.lit(bit))
     return (F.pmod(h, F.lit(2000)).cast("double") - F.lit(1000.0)) / F.lit(1000.0)
 
 
-def sign_lsh_signature(vec: Column, bits: int = 8) -> Column:
+def sign_lsh_signature(vec: Column, bits: int = 8, hash_family: str = "xx") -> Column:
     """Random-hyperplane LSH bucket id (long): bit b = sign(v · w_b)
     where w_b is a deterministic pseudo-random hyperplane."""
     dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
     def bit_term(b: int) -> Column:
         proj = F.aggregate(
-            F.zip_with(vec, dim_idx, lambda x, i: x.cast("double") * _lsh_weight(b, i)),
+            F.zip_with(vec, dim_idx, lambda x, i: x.cast("double") * _lsh_weight(b, i, hash_family)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -132,18 +140,21 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
+    hash_family: str = "xx",
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket
     (equi-join on bucket id — shuffles scale with bucket sizes, not
     |corpus|×|queries|). Recall is tunable via ``bits``.
     Output: qid, vec_id, sim, rank."""
     c = spread_scan(corpus).select(
-        F.col(id_col), F.col(vec_col), sign_lsh_signature(F.col(vec_col), bits).alias("_bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_signature(F.col(vec_col), bits, hash_family).alias("_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        sign_lsh_signature(F.col(vec_col), bits).alias("_bucket"),
+        sign_lsh_signature(F.col(vec_col), bits, hash_family).alias("_bucket"),
     )
     scored = (
         c.join(q, "_bucket")

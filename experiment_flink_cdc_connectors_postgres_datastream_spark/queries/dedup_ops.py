@@ -1,9 +1,10 @@
 """Deduplication queries (§7.4 extensions) over `documents`.
 
-`dedup_exact` and `dedup_ngram_jaccard` have full SQL oracles (the
-exact-Jaccard self-join is plain SQL). MinHash/SimHash signatures use
-xxhash64, which DuckDB lacks → rows-only oracle per the driver
-contract.
+All families carry full value-hash SQL oracles. MinHash/SimHash are
+graded on the md5-prefix hash family (`operators.dedup.md5_long`),
+which DuckDB reproduces exactly via
+``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``; the operators'
+production default remains xxhash64 (cheaper, pytest-covered).
 """
 
 from __future__ import annotations
@@ -67,19 +68,91 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash")  # xxhash64 signatures → rows-only oracle
+#: shared oracle fragment: per-document DISTINCT 3-gram shingles hashed
+#: with the md5-prefix family (= `operators.dedup.md5_long`)
+_MD5_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS _id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+            FROM toks))
+"""
+
+
+@register(
+    "dedup_minhash",
+    f"""
+    WITH
+    {_MD5_SHINGLE_CTE},
+    mins AS (
+      SELECT _id, k,
+             MIN(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(sh_h AS VARCHAR)), 1, 15)) AS BIGINT)) AS mh
+      FROM sh CROSS JOIN range(32) t(k)
+      GROUP BY _id, k),
+    sigs AS (SELECT _id, list(mh ORDER BY k) AS sig FROM mins GROUP BY _id),
+    bands AS (
+      SELECT _id, b,
+             CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+                   array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',')), 1, 15)) AS BIGINT) AS bh
+      FROM sigs CROSS JOIN range(8) t(b)),
+    cand AS (
+      SELECT DISTINCT x._id AS id_a, y._id AS id_b
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x._id < y._id),
+    agree AS (
+      SELECT id_a, id_b, SUM(CASE WHEN ea = eb THEN 1 ELSE 0 END) AS n_agree
+      FROM (SELECT id_a, id_b, unnest(sa.sig) AS ea, unnest(sb.sig) AS eb
+            FROM cand JOIN sigs sa ON sa._id = id_a JOIN sigs sb ON sb._id = id_b)
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, ROUND(CAST(n_agree AS DOUBLE) / 32.0, 4) AS est_jaccard
+    FROM agree WHERE ROUND(CAST(n_agree AS DOUBLE) / 32.0, 4) >= 0.3
+    """,
+)
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (est. Jaccard ≥ 0.3)."""
+    """MinHash+LSH near-dup candidate pairs (est. Jaccard ≥ 0.3), on
+    the md5-derived hash family so the full signature→band→pair
+    pipeline is value-hash graded against DuckDB; the production
+    default stays xxhash64 (pytest-covered near-dup recall)."""
     return minhash_candidate_pairs(
-        load_table(spark, sf_dir, "documents"), min_est_jaccard=0.3
+        load_table(spark, sf_dir, "documents"), min_est_jaccard=0.3, hash_family="md5"
     )
 
 
-@register("dedup_simhash")  # xxhash64 signatures → rows-only oracle
+@register(
+    "dedup_simhash",
+    f"""
+    WITH
+    {_MD5_SHINGLE_CTE},
+    sizes AS (SELECT _id, COUNT(1) AS n FROM sh GROUP BY _id),
+    bits AS (
+      SELECT _id, bit, SUM((sh_h >> CAST(bit AS INT)) & 1) AS c
+      FROM sh CROSS JOIN range(60) t(bit)
+      GROUP BY _id, bit),
+    sigs AS (
+      SELECT _id,
+             CAST(SUM(CASE WHEN 2 * c > n THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+      FROM bits JOIN sizes USING (_id)
+      GROUP BY _id),
+    bands AS (
+      SELECT _id, sig, b, (sig >> CAST(b * 8 AS INT)) & 255 AS bh
+      FROM sigs CROSS JOIN range(8) t(b))
+    SELECT DISTINCT x._id AS id_a, y._id AS id_b,
+           CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+    FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x._id < y._id
+    WHERE bit_count(xor(x.sig, y.sig)) <= 7
+    """,
+)
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (3-gram features) near-dup pairs within hamming radius 7
-    (8-band LSH, exhaustive at that radius by pigeonhole)."""
-    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=7, blocks=8, n=3)
+    (8-band LSH, exhaustive at that radius by pigeonhole), on the
+    md5-derived feature family (60 effective bits) so signatures and
+    pairs are value-hash graded; production default stays xxhash64."""
+    return simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=7, blocks=8, n=3, hash_family="md5"
+    )
 
 
 _JACCARD_PAIRS_CTE = """

@@ -1,8 +1,10 @@
 """Similarity-search queries (§7.4 extensions) over `embeddings`.
 
 The brute-force cosine top-k has a full SQL oracle (DuckDB zipped
-unnest → dot product in double). The LSH-bucketed variants depend on
-xxhash64-derived hyperplanes → rows-only oracle.
+unnest → dot product in double). The graded LSH variant derives its
+hyperplanes from the md5-prefix hash so bucketing is oracle-exact too
+(production default stays xxhash64); IVF depends on a k-means fit →
+rows-only oracle by contract.
 """
 
 from __future__ import annotations
@@ -79,12 +81,56 @@ def embedding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_lsh")  # xxhash64 hyperplanes → rows-only oracle
+@register(
+    "similarity_topk_lsh",
+    """
+    WITH w AS (
+      SELECT b, i,
+             (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 2000 - 1000) / 1000.0 AS wt
+      FROM range(4) tb(b) CROSS JOIN range(64) ti(i)),
+    e AS (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS i
+          FROM embeddings),
+    proj AS (
+      SELECT vec_id, b, SUM(CAST(x AS DOUBLE) * wt) AS p
+      FROM e JOIN w USING (i)
+      GROUP BY vec_id, b),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id),
+    pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+             SUM(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE)) AS dp,
+             SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS qn,
+             SUM(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE)) AS cn
+      FROM (SELECT vec_id, unnest(embedding) AS qe,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id % 100 = 0) q
+      JOIN (SELECT vec_id, unnest(embedding) AS ce,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings) c ON q.i = c.i AND q.vec_id <> c.vec_id
+      JOIN sig sq ON sq.vec_id = q.vec_id
+      JOIN sig sc ON sc.vec_id = c.vec_id AND sc.bucket = sq.bucket
+      GROUP BY q.vec_id, c.vec_id),
+    scored AS (
+      SELECT qid, vec_id, ROUND(dp / (sqrt(qn) * sqrt(cn)), 6) AS sim FROM pairs),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
 def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via sign-LSH bucketing (scale path)."""
+    """Approximate top-10 via sign-LSH bucketing (scale path), with
+    md5-derived hyperplane weights so bucket assignment and within-
+    bucket ranking are value-hash graded against DuckDB; production
+    default stays xxhash64 hyperplanes."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_bucketed_topk(emb, queries, k=10, bits=4)
+    return lsh_bucketed_topk(emb, queries, k=10, bits=4, hash_family="md5")
 
 
 @register("similarity_topk_ivf")  # kmeans cells → rows-only oracle
