@@ -61,12 +61,21 @@ PACKING_SCHEMA = (
 )
 
 
+def derive_pack_groups(n_rows: int, parallelism: int, rows_per_group: int = 1_000_000) -> int:
+    """Packing-group count that scales with the input: never below the
+    cluster's parallelism (no idle cores on small corpora), and one
+    extra group per ``rows_per_group`` rows beyond that (bounded pandas
+    group memory at any corpus size)."""
+    return max(parallelism, -(-n_rows // rows_per_group))
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 256,
-    n_groups: int = 32,
+    n_groups: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    rows_per_group: int = 1_000_000,
 ) -> DataFrame:
     """Greedy first-fit sequence packing: assign whole documents to
     bins of at most ``budget`` tokens (docs longer than the budget get
@@ -79,7 +88,21 @@ def pack_sequences(
     by a linear greedy scan in Arrow batches. Bin ids are unique
     across groups (bin_id = group + k·n_groups). Output one row per
     document: pack_group, bin_id, doc_id, n_tokens, bin_fill (the
-    bin's total after packing)."""
+    bin's total after packing).
+
+    Group sizing: when ``n_groups`` is None it is derived as
+    max(cluster parallelism, ceil(rows / rows_per_group)) — the scan
+    parallelism and per-group pandas memory both scale with the input
+    instead of a fixed cap (a fixed 32 capped the greedy stage at 32
+    tasks regardless of corpus size). Only (id, n_tokens, group) rows
+    cross into Python, so a 1M-row group is ~24 MB of Arrow batch. The
+    row count comes from ``df.count()`` — metadata-only on parquet
+    scans. Pass an explicit ``n_groups`` when bin ids must be
+    reproducible across differently-sized clusters."""
+    if n_groups is None:
+        n_groups = derive_pack_groups(
+            df.count(), df.sparkSession.sparkContext.defaultParallelism, rows_per_group
+        )
     counted = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(tokens(F.col(text_col))).alias("n_tokens"),

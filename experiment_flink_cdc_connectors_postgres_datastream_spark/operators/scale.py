@@ -21,16 +21,29 @@ def spread_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (JSON encode/decode, shingle hashing, tokenization, vector math)
     runs on every core instead of serializing on the scan's few tasks.
 
-    At production scale a 100-TB table arrives as thousands of splits
+    At production scale a 100-TB table arrives as thousands of files
     and this is a no-op (the guard never fires); it fires only when a
-    source has fewer splits than cores — single-file extracts,
+    source has fewer files than cores — single-file extracts,
     compacted single-row-group parquet, tiny demo topics — exactly the
     case where the repartition shuffle is small by construction. This
     guards the map stage's *parallelism*; AQE guards the reduce side.
+
+    Probe discipline: the guard reads ``df.inputFiles()`` (the plan's
+    already-resolved file index — no job, no RDD) instead of
+    ``df.rdd.getNumPartitions()``, which forced a plan→RDD conversion
+    on every query build and throws on streaming DataFrames. File
+    count under-estimates split count for multi-split giant files, so
+    the guard can fire a redundant (cheap, parallelism-preserving)
+    repartition there; non-file plans (local relations, streams) pass
+    through untouched.
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # streaming / non-file-resolvable plans
+        return df
+    if files and len(files) < target:
         return df.repartition(target)
     return df
 

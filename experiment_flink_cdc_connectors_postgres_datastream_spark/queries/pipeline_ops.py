@@ -47,9 +47,10 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sequence_packing")  # greedy first-fit: not SQL-expressible
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy token-budget sequence packing (budget 256, 32 hash
-    groups): one row per doc with its assigned bin."""
-    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=256, n_groups=32)
+    """Greedy token-budget sequence packing (budget 256; hash-group
+    count derived from input size and cluster parallelism): one row
+    per doc with its assigned bin."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=256)
 
 
 @register(

@@ -43,6 +43,23 @@ def test_packing_respects_budget_and_keeps_every_doc(spark):
         assert fills[r["bin_id"]] == r["bin_fill"]
 
 
+def test_packing_group_count_scales_with_input(spark):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.chunking import derive_pack_groups
+
+    # floor: cluster parallelism (no idle cores on small corpora)
+    assert derive_pack_groups(500, parallelism=32) == 32
+    # scale: one group per rows_per_group beyond the floor — a 10B-row
+    # corpus gets 10k greedy tasks, not a fixed 32-task cap
+    assert derive_pack_groups(10_000_000_000, parallelism=32) == 10_000
+    assert derive_pack_groups(2_500_000, parallelism=2, rows_per_group=1_000_000) == 3
+    # derived path runs end to end and still keeps every doc
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, budget=16, rows_per_group=10).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(50))
+
+
 def test_packing_oversized_doc_gets_own_bin(spark):
     docs = spark.createDataFrame(
         [(1, " ".join(["w"] * 500)), (2, "a b"), (3, "c d")],

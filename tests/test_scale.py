@@ -79,10 +79,20 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert q.count() == ev.filter(F.col("month") == 5).count()
 
 
-def test_spread_scan_noop_when_already_parallel(spark):
+def test_spread_scan_fires_only_for_under_split_file_scans(spark, tmp_path):
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
 
-    wide = spark.range(0, 1000).repartition(64)
-    assert spread_scan(wide, min_partitions=32) is wide  # guard: untouched
-    narrow = spark.range(0, 1000).coalesce(1)
+    # single-file parquet (the compacted-extract case): spread to target
+    spark.range(0, 1000).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    narrow = spark.read.parquet(str(tmp_path / "one"))
     assert spread_scan(narrow, min_partitions=8).rdd.getNumPartitions() == 8
+
+    # many-file scan at/above target parallelism: untouched (no-op at scale)
+    spark.range(0, 1000).repartition(8).write.mode("overwrite").parquet(str(tmp_path / "many"))
+    wide = spark.read.parquet(str(tmp_path / "many"))
+    assert spread_scan(wide, min_partitions=4) is wide
+
+    # non-file plans (local relations, streams) pass through untouched —
+    # the probe must not force a plan→RDD conversion to find out
+    local = spark.range(0, 100).coalesce(1)
+    assert spread_scan(local, min_partitions=8) is local
