@@ -16,7 +16,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import tokens
 
 
@@ -79,9 +78,9 @@ def shingle_hashes(
     joins/aggregations shuffle longs, never strings."""
     from pyspark.sql.window import Window
 
-    # tokenize+explode happens BEFORE the window's _id shuffle — spread
-    # an under-parallel scan so that map stage isn't single-task
-    df = spread_scan(df)
+    # the _id window shuffle immediately redistributes the exploded
+    # tokens, so pre-spreading the scan only adds a shuffle (measured
+    # 1.2-1.6× slower at sf0.1); the explode itself is cheap
     tok = df.select(
         F.col(id_col).alias("_id"), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok")
     )
@@ -229,7 +228,7 @@ def simhash_signatures(
         feats = shingle_hashes(df, text_col, id_col, n, hash_family=hash_family)
     else:
         tok_hash = md5_long(F.col("_tok")) if hash_family == "md5" else F.xxhash64("_tok")
-        feats = spread_scan(df).select(
+        feats = df.select(
             F.col(id_col).alias("_id"),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
         ).select("_id", tok_hash.alias("_sh"))

@@ -161,10 +161,8 @@ def build_vocab(df: DataFrame, text_col: str = "text", size: int = 100) -> DataF
     survivors only."""
     from pyspark.sql.window import Window
 
-    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
-
     term_counts = (
-        spread_scan(df).select(F.explode(tokens(F.col(text_col))).alias("term"))
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -187,9 +185,7 @@ def encode_tokens(
     sequence model. posexplode keeps positions; the vocab join is
     broadcast (vocab is ~1e5 rows at most by construction); the
     re-assembly sorts (pos, id) structs inside one aggregation."""
-    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
-
-    toks = spread_scan(df).select(
+    toks = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
     ).filter(F.col("term") != "")

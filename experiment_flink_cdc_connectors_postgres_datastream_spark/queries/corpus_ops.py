@@ -49,7 +49,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's list_aggregate); one map-side-combined aggregation on a
     handful of labels.  min/max match the oracle exactly; avg is
     rounded to absorb row-order summation skew."""
-    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     n = emb.select("label", l2_norm(F.col("embedding")).alias("nrm"))
     return n.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
@@ -87,7 +87,7 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping a quantized ANN index.  Round-half-up is pinned as
     floor(x/scale + 0.5) in BOTH engines so midpoint rounding can't
     skew the hash.  Narrow map + one tiny aggregation."""
-    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("label", int8_quantize_error(F.col("embedding")).alias("qerr"))
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),

@@ -130,7 +130,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).filter(F.col("l_shipdate") > cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -171,7 +171,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     return (
         region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
         .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
@@ -248,7 +248,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 forecasting revenue: pure filter+aggregate, every
     predicate pushed to the scan."""
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).filter(
+    li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_discount") >= 0.03)
@@ -286,7 +286,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).filter(F.col("l_returnflag") == "R")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         cust.join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
         .join(orders, F.col("o_custkey") == F.col("c_custkey"))
@@ -314,7 +314,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promotion effect: conditional decimal aggregation with
     a broadcast part join (part is the small side here)."""
     part = F.broadcast(load_table(spark, sf_dir, "part"))
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).filter(
+    li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
     )

@@ -235,10 +235,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is bit-identical in both engines; ties broken by term.
     Three shuffles total: tf groupBy, df groupBy (tiny), per-doc
     top-k window — the df and corpus-size sides broadcast."""
-    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = spread_scan(docs).select(
+    toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

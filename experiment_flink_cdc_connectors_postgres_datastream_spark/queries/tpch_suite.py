@@ -40,7 +40,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
-from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.relational import (
     _DEC,
@@ -76,7 +75,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("o_orderdate") < _ts("1996-04-01 00:00:00"))
     )
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).select("l_orderkey", "l_shipdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
         orders.join(
             li,
@@ -124,7 +123,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
     )
-    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
@@ -175,7 +174,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).filter(
+    li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
     )
@@ -229,7 +228,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_type") == "ECONOMY"
     ).select("p_partkey")
-    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
@@ -291,7 +290,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%red%")
     ).select("p_partkey")
-    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
@@ -328,7 +327,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).filter(
+    li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
     )
@@ -395,7 +394,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: scalar subquery (global max) realized
     as a broadcast single-row join — the revenue comparison happens
     on exact decimals, never on driver-collected floats."""
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).filter(
+    li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
     )
@@ -434,7 +433,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") != "PROMO")
         & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
     )
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).select("l_partkey", "l_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
         part.join(li, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
@@ -463,7 +462,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#23"
     ).select("p_partkey")
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     li_rel = li.join(part, F.col("p_partkey") == F.col("l_partkey")).select(
@@ -503,7 +502,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 large-volume customer: IN-subquery with HAVING
     becomes an aggregate → filter → semi join; quantity sums are
     exact (integer-valued doubles)."""
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).select("l_orderkey", "l_quantity")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
@@ -565,7 +564,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size") >= 1)
         & (F.col("p_size") <= 15)
     )
-    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(
@@ -595,7 +594,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("red%")
     ).select("p_partkey")
-    li = spread_scan(load_table(spark, sf_dir, "lineitem")).select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
     heavy = (
@@ -635,7 +634,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped after order date). EXISTS + NOT EXISTS pair over the same
     fact table → left-semi then left-anti joins on (orderkey,
     ¬suppkey) with a non-equi residual on the anti side."""
-    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
@@ -756,7 +755,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     pairs = (
-        spread_scan(load_table(spark, sf_dir, "lineitem"))
+        load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .distinct()
         .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -808,7 +807,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a broadcast single-row join of the exact-decimal total; the
     fraction comparison happens on identically-rounded doubles in
     both engines."""
-    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = F.broadcast(
         load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
