@@ -4,13 +4,14 @@ Debezium-format JSON envelopes compatible with ``cdc.parse_cdc``.
 
 Reference parity (StreamingJobWithCustomDeserializer.java:64-78 source
 builder): hostname/port/database/username/password/schema-allowlist/
-slot name/decoding plugin are the same knobs. The reference embeds
-Debezium with the ``pgoutput`` plugin; we poll
-``pg_logical_slot_get_changes`` with ``wal2json`` (format-version 2 —
-one JSON object per change, textual, no binary decoding needed),
-which requires the same server config (``wal_level=logical``,
-docker-compose.yaml:10; ``REPLICA IDENTITY FULL`` for before-images,
-setup_source_db1.sql:11,17).
+slot name/decoding plugin are the same knobs. Two decoding plugins:
+``wal2json`` (format-version 2 — one JSON object per change, textual)
+and ``pgoutput`` — the reference's own plugin (SJCD:67) and the one
+managed Postgres offerings universally ship — decoded by
+:mod:`.pgoutput` into the same record shape (requires a publication,
+``publication_names``). Both need the same server config
+(``wal_level=logical``, docker-compose.yaml:10; ``REPLICA IDENTITY
+FULL`` for before-images, setup_source_db1.sql:11,17).
 
 Offsets: ``{"phase": "snapshot"}`` → ``{"phase": "wal", "lsn": N}``;
 the snapshot and the slot tail hand off without loss because the slot
@@ -81,6 +82,7 @@ class PostgresCDCConfig:
     table_list: list[str] = field(default_factory=list)  # empty = all
     slot_name: str = "experiment_flink_cdc_connectors_postgres_datastream_spark_slot"
     plugin_name: str = "wal2json"
+    publication_names: str = "experiment_flink_cdc_connectors_postgres_datastream_spark_pub"
     poll_batch_size: int = 1000
 
     @classmethod
@@ -98,6 +100,7 @@ class PostgresCDCConfig:
             table_list=split(options.get("table_list", "")),
             slot_name=options.get("slot_name", cls.slot_name),
             plugin_name=options.get("plugin_name", "wal2json"),
+            publication_names=options.get("publication_names", cls.publication_names),
             poll_batch_size=int(options.get("poll_batch_size", "1000")),
         )
 
@@ -251,9 +254,19 @@ class PostgresReplicationClient:
 
     def peek_changes(self, limit: int) -> list[dict[str, Any]]:  # pragma: no cover - needs server
         """Read up to ``limit`` changes from the slot WITHOUT consuming
-        them (wal2json v2). The slot position moves only via
-        ``advance_slot`` after checkpoint, so an uncommitted batch is
-        always re-readable. Each dict gets ``lsn_int`` injected."""
+        them. The slot position moves only via ``advance_slot`` after
+        checkpoint, so an uncommitted batch is always re-readable.
+        Each record dict gets ``lsn_int`` injected.
+
+        Plugin dispatch: ``wal2json`` peeks text-mode JSON (format
+        version 2); ``pgoutput`` — the reference's own plugin, and the
+        only one most managed Postgres offerings ship — peeks binary
+        messages and decodes them with :class:`~.pgoutput
+        .PgOutputDecoder` into the SAME record shape, so everything
+        downstream is plugin-agnostic. pgoutput requires a publication
+        (``publication_names``) covering the captured tables."""
+        if self.config.plugin_name == "pgoutput":
+            return self._peek_pgoutput(limit)
         out: list[dict[str, Any]] = []
         with self._connect() as conn, conn.cursor() as cur:
             cur.execute(
@@ -267,6 +280,28 @@ class PostgresReplicationClient:
                 rec["lsn_int"] = (int(hi, 16) << 32) | int(lo, 16)
                 rec.setdefault("xid", xid)
                 out.append(rec)
+        return out
+
+    def _peek_pgoutput(self, limit: int) -> list[dict[str, Any]]:  # pragma: no cover - needs server
+        """Binary peek + stateful decode. A fresh decoder per peek is
+        correct AND required: every peek restarts from the slot's
+        confirmed position, so the Relation registrations at the head
+        of the window are re-read each time."""
+        from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.pgoutput import PgOutputDecoder
+
+        decoder = PgOutputDecoder()
+        out: list[dict[str, Any]] = []
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(
+                "SELECT lsn, xid, data FROM pg_logical_slot_peek_binary_changes(%s, NULL, %s, "
+                "'proto_version', '1', 'publication_names', %s)",
+                (self.config.slot_name, limit, self.config.publication_names),
+            )
+            for lsn, _xid, data in cur.fetchall():
+                hi, lo = lsn.split("/")
+                rec = decoder.decode((int(hi, 16) << 32) | int(lo, 16), bytes(data))
+                if rec is not None:
+                    out.append(rec)
         return out
 
 
@@ -310,17 +345,22 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
 
     def _peek_covering(self, span_end: int) -> list[dict[str, Any]]:
         """Peek from the slot with a doubling window until the view
-        covers ``span_end`` or the slot is exhausted (fewer rows back
-        than asked for). Peeks are non-destructive, so re-reading a
-        growing prefix costs only the re-decode."""
+        covers ``span_end`` or the slot is exhausted. Exhaustion is
+        detected by the LSN horizon no longer advancing when the window
+        grows — NOT by ``len(changes) < limit``, which under-counts for
+        pgoutput (Begin/Relation/Commit messages consume window slots
+        but decode to no row change). Peeks are non-destructive, so
+        re-reading a growing prefix costs only the re-decode."""
         limit = self.config.poll_batch_size
+        prev_max = -1
         while True:
             changes = self.client.peek_changes(limit)
-            if len(changes) < limit:
-                return changes  # slot exhausted: nothing more to see
-            max_lsn = max((c.get("lsn_int", 0) for c in changes), default=0)
-            if max_lsn + 1 >= span_end:
+            if not changes:
                 return changes
+            max_lsn = max(c.get("lsn_int", 0) for c in changes)
+            if max_lsn + 1 >= span_end or max_lsn <= prev_max:
+                return changes
+            prev_max = max_lsn
             limit *= 2
 
     def _snapshot_rows(self) -> list[tuple]:
