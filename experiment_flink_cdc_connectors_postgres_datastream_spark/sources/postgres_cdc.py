@@ -484,7 +484,31 @@ if _HAS_DATASOURCE_API:
         ``spark.readStream.format("postgres_cdc").options(...)``."""
         spark.dataSource.register(PostgresCDCDataSource)
 
+    def register_cdc_table(spark, name: str, **options: str) -> None:
+        """Catalog DDL registration — the reference's
+        ``executeSql("CREATE TABLE … WITH (connector=…)")`` surface
+        (StreamingJobWithCustomDeserializer.java:156-174): after this,
+        ``spark.readStream.table(name)`` (or the same from SQL tooling)
+        tails the CDC stream, and the table definition survives in the
+        catalog like any other ``USING``-provider table.
+
+        Identifiers are validated and option values escaped before
+        being rendered into the DDL string."""
+        if not all(part.replace("_", "").isalnum() for part in name.split(".")):
+            raise ValueError(f"invalid table identifier: {name!r}")
+        register(spark)
+        opts = ""
+        if options:
+            rendered = ", ".join(
+                f"{k} '{str(v).replace(chr(39), chr(39) * 2)}'" for k, v in sorted(options.items())
+            )
+            opts = f" OPTIONS ({rendered})"
+        spark.sql(f"CREATE TABLE IF NOT EXISTS {name} USING postgres_cdc{opts}")
+
 else:  # pragma: no cover
 
     def register(spark) -> None:
+        raise ImportError("postgres_cdc source requires the Spark 4 Python DataSource API")
+
+    def register_cdc_table(spark, name: str, **options: str) -> None:
         raise ImportError("postgres_cdc source requires the Spark 4 Python DataSource API")

@@ -261,6 +261,35 @@ def test_slot_advances_only_on_commit():
     assert client.confirmed_lsn == 10         # advanced to last committed change
 
 
+def test_catalog_ddl_registration(spark):
+    """CREATE TABLE … USING postgres_cdc — parity with the reference's
+    executeSql connector DDL (SJCD:156-174): the table lives in the
+    catalog and readStream.table() tails the stream with the raw CDC
+    schema."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import (
+        RAW_CDC_SCHEMA,
+        register_cdc_table,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS cdc_users_ddl")
+    register_cdc_table(
+        spark, "cdc_users_ddl", hostname="h", plugin_name="pgoutput", publication_names="p1"
+    )
+    try:
+        df = spark.readStream.table("cdc_users_ddl")
+        assert df.isStreaming and df.schema == RAW_CDC_SCHEMA
+        assert any(t.name == "cdc_users_ddl" for t in spark.catalog.listTables())
+        desc = {r["col_name"]: r["data_type"] for r in spark.sql("DESCRIBE TABLE EXTENDED cdc_users_ddl").collect()}
+        assert desc.get("Name") == "postgres_cdc"  # provider recorded in catalog
+        register_cdc_table(spark, "cdc_users_ddl", hostname="h")  # idempotent
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdc_users_ddl")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid table identifier"):
+        register_cdc_table(spark, "bad name; drop")
+
+
 def test_config_from_options_parses_lists():
     cfg = PostgresCDCConfig.from_options(
         {"schema_list": "schema1, schema2", "table_list": "users", "port": "5434"}

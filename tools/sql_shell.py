@@ -75,10 +75,17 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_session("sql_shell")
     register_views(spark, sf_dir)
+    try:  # connector DDL: CREATE TABLE ... USING postgres_cdc OPTIONS (...)
+        from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import register as register_cdc_source
+
+        register_cdc_source(spark)
+        cdc_note = "   CREATE TABLE ... USING postgres_cdc"
+    except ImportError:
+        cdc_note = ""
     interactive = sys.stdin.isatty()
     if interactive:
         print(f"tables from {sf_dir}: {' '.join(TABLES)}")
-        print("end statements with ';'   \\d tables   \\explain <sql>   \\q quit")
+        print(f"end statements with ';'   \\d tables   \\explain <sql>   \\q quit{cdc_note}")
     buf: list[str] = []
     while True:
         if interactive:
