@@ -25,50 +25,52 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import be
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import governance_ops  # noqa: F401
 
 # The correctness driver grades the FIRST 50 registered queries, in
-# registration order. Import order above groups by module, which would
-# push entire operator families (dedup, similarity, multimodal,
-# analytics, window functions) past the cap with no driver signal.
-# Reorder so the first 50 contain at least one representative of every
-# family — §2 reference surface first, then the LLM-pipeline operators,
-# then analytics/window reps, then TPC-H flagships (q1, plus q12 whose
-# oracle carried the BIGINT-cast fix). Everything else keeps its
-# original relative order after the priority block.
+# registration order. Rounds 1-2 graded the reference-surface + text +
+# dedup + similarity + analytics representatives (all green in
+# CORRECTNESS_r02 except harness-artifact tokens_to_ids, since fixed).
+# Round 3 ROTATES the window: re-grade the four rows whose status
+# changed since r2 (tokens_to_ids csv-scalar fix; minhash/simhash/
+# sign-LSH gained full md5-family oracles), then fill with queries the
+# driver has never graded — streamed twins, source formats, behavior
+# analytics, governance, pipeline shaping, window functions, heavier
+# TPC-H — so cumulative driver-verified coverage approaches the full
+# registry. Everything graded green in r2 stays registered (and
+# locally verified via tools/verify_local.py) after the priority block.
 _PRIORITY = [
-    # §2 reference surface (the contract with the reference repo)
-    "project_filter", "derived_key", "union_schemas", "keyed_count",
-    "route_demux", "tokenize", "compact_latest", "count_live_by",
-    "tumbling_window", "changelog_diff", "upsert_sink_shape",
-    "cdc_parse_envelope", "cdc_pipeline", "sql_group_count",
-    "grouped_count_alias", "cdc_pipeline_streamed",
-    # text analysis
-    "token_count", "quality_score", "lang_id", "doc_fingerprint",
-    "text_stats_by_source", "vocab_top_terms", "tokens_to_ids",
-    "tfidf_top_terms",
-    # dedup
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
-    "dedup_simhash", "dedup_clusters",
-    # similarity / embeddings (embedding_norm_stats carries a full
-    # value-hash oracle where embedding_near_dup was rows-only; the
-    # near-dup scale path stays covered by similarity_topk_lsh)
-    "similarity_topk", "embedding_stats", "similarity_topk_lsh",
-    "similarity_topk_ivf", "embedding_norm_stats",
-    # multimodal + corpus audit (top_bigrams is full-oracle where
-    # multimodal_feature_topk was rows-only pandas internals)
-    "multimodal_meta", "multimodal_decode", "top_bigrams",
-    # windows / temporal joins
-    "sliding_window", "session_window", "asof_join",
-    # advanced relational
-    "pivot_counts", "udaf_weighted_mean", "json_extract_props",
-    # analytics
-    "percentile_by_type", "cube_counts",
+    # status changed since r2 — needs a fresh driver grade
+    "tokens_to_ids", "dedup_minhash", "dedup_simhash",
+    "similarity_topk_lsh",
+    # streamed twins (stream-batch consistency graded end-to-end)
+    "tumbling_window_streamed", "session_window_streamed",
+    "dedup_streamed", "stream_stream_join_streamed",
+    "stream_static_join_streamed",
+    # source / format round trips
+    "jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip",
+    "schema_merge_roundtrip",
+    # behavior analytics
+    "funnel_conversion", "retention_cohorts", "mixture_sample",
+    "multi_resolution_rollup",
+    # governance / curation
+    "word_entropy", "zscore_outliers", "curation_pipeline",
+    # pipeline shaping
+    "doc_chunking", "repetition_ratio", "normalize_text",
+    "length_band_filter", "interval_join_counts",
+    "hash_sample_per_group", "salted_agg_demo", "contamination_check",
+    "train_val_test_split",
+    # corpus audit
+    "embedding_quantize_error", "type_token_ratio",
+    "bigram_logprob_by_source",
+    # dedup endpoints not yet driver-graded
+    "dedup_apply_fuzzy", "dedup_jaccard_prefix",
     # window functions
-    "window_rank_family",
-    # governance (round 2: PII redaction + deterministic sharding are
-    # distinct families; analytics keeps percentile/cube reps and
-    # window-functions keeps rank_family inside the graded window)
-    "pii_redact", "shard_assignment",
-    # TPC-H flagships inside the graded window
-    "tpch_q1", "tpch_q12",
+    "ntile_quartiles", "window_lag_delta", "window_running_sum",
+    "window_moving_avg", "window_first_last",
+    # relational breadth
+    "agg_stats", "rollup_counts", "set_ops",
+    "customers_without_orders", "grouping_sets_count",
+    "variant_extract",
+    # heavier TPC-H (q1/q12 were graded green in r2)
+    "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q18", "tpch_q21",
 ]
 
 
