@@ -1,0 +1,194 @@
+"""LIVE-server integration test for the Postgres CDC source (S1).
+
+The sandbox has neither psycopg2 nor a Postgres server, so the module
+is skipped there — the point is that the real-client code path
+(`PostgresReplicationClient`: ensure_slot / peek / advance / snapshot)
+is provable OUTSIDE the sandbox with zero code changes:
+
+    POSTGRES_CDC_TEST_DSN="host=localhost port=5432 dbname=postgres \
+        user=postgres password=pg" pytest tests/test_postgres_cdc_live.py
+
+Requirements on the target server (mirrors the reference's
+docker-compose.yaml:10 + setup_source_db1.sql:11,17):
+  - wal_level=logical, free replication slot
+  - wal2json plugin installed (the pgoutput variant additionally
+    creates a publication; it is skipped on servers that refuse)
+  - the role may CREATE SCHEMA and replication slots
+
+Everything is created under a scratch schema + uniquely-named slot and
+dropped afterwards, so the test is re-runnable and side-effect free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+
+DSN = os.environ.get("POSTGRES_CDC_TEST_DSN", "")
+if not DSN:
+    pytest.skip(
+        "POSTGRES_CDC_TEST_DSN not set; the live CDC integration test "
+        "needs a reachable Postgres with wal_level=logical",
+        allow_module_level=True,
+    )
+psycopg2 = pytest.importorskip("psycopg2")
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import (  # noqa: E402
+    PostgresCDCConfig,
+    PostgresCDCStreamReader,
+)
+
+
+def _dsn_params() -> dict[str, str]:
+    return dict(kv.split("=", 1) for kv in DSN.split())
+
+
+def _connect():
+    try:
+        conn = psycopg2.connect(DSN)
+    except Exception as e:  # pragma: no cover - env-dependent
+        pytest.skip(f"cannot connect to POSTGRES_CDC_TEST_DSN: {e}")
+    conn.autocommit = True
+    return conn
+
+
+@pytest.fixture()
+def scratch():
+    """Scratch schema + table + unique slot name; dropped on exit."""
+    run_id = uuid.uuid4().hex[:8]
+    schema = f"cdc_it_{run_id}"
+    slot = f"cdc_it_slot_{run_id}"
+    pub = f"cdc_it_pub_{run_id}"
+    conn = _connect()
+    cur = conn.cursor()
+    cur.execute(f'CREATE SCHEMA "{schema}"')
+    cur.execute(
+        f'CREATE TABLE "{schema}".users ('
+        "id integer PRIMARY KEY, full_name text)"
+    )
+    # before-images on UPDATE/DELETE, as the reference requires
+    cur.execute(f'ALTER TABLE "{schema}".users REPLICA IDENTITY FULL')
+    cur.execute(
+        f'INSERT INTO "{schema}".users VALUES '
+        "(1, 'susan smith'), (2, 'anne smith')"
+    )
+    yield {"conn": conn, "cur": cur, "schema": schema, "slot": slot, "pub": pub}
+    for sql in (
+        f"SELECT pg_drop_replication_slot('{slot}')",
+        f'DROP PUBLICATION IF EXISTS "{pub}"',
+        f'DROP SCHEMA "{schema}" CASCADE',
+    ):
+        try:
+            cur.execute(sql)
+        except Exception:
+            pass
+    conn.close()
+
+
+def _config(scratch, plugin="wal2json") -> PostgresCDCConfig:
+    p = _dsn_params()
+    return PostgresCDCConfig(
+        hostname=p.get("host", "localhost"),
+        port=int(p.get("port", "5432")),
+        database=p.get("dbname", "postgres"),
+        username=p.get("user", "postgres"),
+        password=p.get("password", ""),
+        schema_list=[scratch["schema"]],
+        slot_name=scratch["slot"],
+        plugin_name=plugin,
+        publication_names=scratch["pub"],
+        poll_batch_size=4,  # deliberately tiny: forces the doubling peek window
+    )
+
+
+def _drain(reader, start):
+    """One micro-batch: plan, read, return (envelopes, end_offset)."""
+    end = reader.latestOffset()
+    rows = [r for part in reader.partitions(start, end) for r in reader.read(part)]
+    return [json.loads(v) for v, _lsn, _ts in rows], end
+
+
+def _run_protocol(reader, scratch):
+    """Snapshot batch, then a mutation batch, asserting envelope ops
+    and values; returns the final committed offset."""
+    start = reader.initialOffset()
+    envs, end = _drain(reader, start)
+    assert sorted(e["after"]["id"] for e in envs) == [1, 2]
+    assert {e["op"] for e in envs} == {"r"}
+    assert {e["source"]["schema"] for e in envs} == {scratch["schema"]}
+    reader.commit(end)
+
+    cur = scratch["cur"]
+    cur.execute(f'INSERT INTO "{scratch["schema"]}".users VALUES (3, \'bob jones\')')
+    cur.execute(f'UPDATE "{scratch["schema"]}".users SET full_name = \'sue smith\' WHERE id = 1')
+    cur.execute(f'DELETE FROM "{scratch["schema"]}".users WHERE id = 2')
+
+    envs, end2 = _drain(reader, end)
+    by_op = {e["op"]: e for e in envs}
+    assert set(by_op) == {"c", "u", "d"}
+    assert by_op["c"]["after"] == {"id": 3, "full_name": "bob jones"}
+    assert by_op["u"]["after"]["full_name"] == "sue smith"
+    assert by_op["u"]["before"] is not None, "REPLICA IDENTITY FULL before-image"
+    assert by_op["d"]["after"] is None and by_op["d"]["before"]["id"] == 2
+    reader.commit(end2)
+    return end2
+
+
+def test_wal2json_snapshot_tail_and_restart(scratch):
+    cfg = _config(scratch, plugin="wal2json")
+    end = _run_protocol(PostgresCDCStreamReader(cfg), scratch)
+
+    # Restart: a fresh reader on an advanced slot must NOT re-snapshot
+    # and must resume from the confirmed position.
+    reader2 = PostgresCDCStreamReader(cfg)
+    cur = scratch["cur"]
+    cur.execute(f'INSERT INTO "{scratch["schema"]}".users VALUES (4, \'carol w\')')
+    envs, end3 = _drain(reader2, end)
+    assert {e["op"] for e in envs} == {"c"}, f"re-snapshot or replay leaked: {envs}"
+    assert envs[0]["after"]["id"] == 4
+    assert end3["lsn"] > end["lsn"]
+    reader2.commit(end3)
+
+
+def test_wal2json_uncommitted_batch_replay(scratch):
+    """Crash between planning and checkpoint: a new reader must serve
+    the planned-but-uncommitted span again from the un-advanced slot."""
+    cfg = _config(scratch, plugin="wal2json")
+    reader = PostgresCDCStreamReader(cfg)
+    start = reader.initialOffset()
+    envs, end = _drain(reader, start)
+    reader.commit(end)
+    cur = scratch["cur"]
+    cur.execute(f'INSERT INTO "{scratch["schema"]}".users VALUES (5, \'dave x\')')
+    _envs, end2 = _drain(reader, end)  # planned, NOT committed — "crash"
+
+    replayer = PostgresCDCStreamReader(cfg)
+    rows = [
+        r
+        for part in replayer.partitions(end, end2)
+        for r in replayer.read(part)
+    ]
+    ids = [json.loads(v)["after"]["id"] for v, _l, _t in rows]
+    assert ids == [5]
+
+
+def test_pgoutput_snapshot_and_tail(scratch):
+    """Same protocol through the pgoutput decoding path (requires a
+    publication; skipped where the role cannot create one)."""
+    cur = scratch["cur"]
+    try:
+        cur.execute(
+            f'CREATE PUBLICATION "{scratch["pub"]}" FOR TABLES IN SCHEMA "{scratch["schema"]}"'
+        )
+    except Exception:
+        try:
+            cur.execute(
+                f'CREATE PUBLICATION "{scratch["pub"]}" FOR TABLE "{scratch["schema"]}".users'
+            )
+        except Exception as e:
+            pytest.skip(f"cannot create publication: {e}")
+    cfg = _config(scratch, plugin="pgoutput")
+    _run_protocol(PostgresCDCStreamReader(cfg), scratch)
