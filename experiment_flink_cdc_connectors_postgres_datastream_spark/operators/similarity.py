@@ -270,11 +270,16 @@ def embedding_near_dup_pairs(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_family: str = "xx",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing (near
-    duplicates almost surely share the bucket). Output: id_a, id_b, sim."""
+    duplicates almost surely share the bucket). Output: id_a, id_b, sim.
+    ``hash_family="md5"`` swaps the hyperplane weights onto the
+    md5-prefix hash (DuckDB-computable) for oracle grading."""
     sig = spread_scan(df).select(
-        F.col(id_col), F.col(vec_col), sign_lsh_signature(F.col(vec_col), bits).alias("_bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_signature(F.col(vec_col), bits, hash_family).alias("_bucket"),
     )
     a = sig.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_bucket")

