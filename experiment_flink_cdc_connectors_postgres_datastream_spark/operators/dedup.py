@@ -477,6 +477,148 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round algorithm for adversarial
+    graphs where plain label propagation needs diameter-many rounds
+    (a near-dup chain a~b~c~…~z has diameter |cluster|).
+
+    large-star: every node u links its strictly-greater neighbors to
+    ``m(u) = min(N(u) ∪ {u})``; small-star links the ≤ neighbors and
+    u itself to m(u). Both are one agg + one join on the edge list —
+    no neighbor lists are ever collected, so a hot node with millions
+    of neighbors never materializes a row wider than (src, dst, m).
+    At the fixpoint the edge list IS the star graph (v → component
+    min); convergence is detected by an (edge-count, checksum) pair
+    going stable, a scalar aggregate rather than a data collect.
+
+    Output: ``(_id, component)`` for every node in ``pairs`` —
+    identical to :func:`connected_components` (equivalence is
+    pytest-asserted on clique, chain, and random graphs).
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).cast("long").alias("src"), F.col(id_a).cast("long").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _min_per_node(e: DataFrame) -> DataFrame:
+        return e.groupBy("src").agg(F.min(F.least("src", "dst")).alias("_m"))
+
+    def _signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: 64-bit hash sums overflow longs under
+            # ANSI semantics on all-but-tiny edge lists
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+            ).alias("chk"),
+        ).collect()[0]
+        return (row["n"], row["chk"])
+
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        # large-star: (v, m(u)) for v ∈ N(u), v > u — over the
+        # SYMMETRIZED list (small-star output is directed larger→
+        # smaller; without re-symmetrizing, a node would see only its
+        # out-neighbors and large-star would emit nothing). Self-loops
+        # stay out by construction (m ≤ u < v).
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        m = _min_per_node(sym)
+        joined = sym.join(m, "src")
+        edges = (
+            joined.filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: (v, m(u)) for v ∈ N(u) ∪ {u}, v ≤ u, v ≠ m
+        m = _min_per_node(edges)
+        joined = edges.join(m, "src")
+        edges = (
+            joined.filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .unionByName(joined.select("src", F.col("_m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint edge list is (node → component min) for every non-min
+    # node; min nodes label themselves
+    return (
+        edges.select(F.col("src").alias("_id"), F.col("dst").alias("component"))
+        .unionByName(edges.select(F.col("dst").alias("_id"), F.col("dst").alias("component")))
+        .groupBy("_id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xx",
+) -> DataFrame:
+    """Span-level exact-duplication audit (the ExactSubstr criterion of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, at token-n-gram granularity): for each
+    document, how many of its n-gram positions are covered by an
+    n-gram occurring in ≥ ``min_docs`` distinct documents — the
+    "what fraction of this doc exists elsewhere" signal used to strip
+    boilerplate and cross-document copies before training.
+
+    Scale shape: positional n-grams reduce to 8-byte hashes
+    (codegen'd, one window shuffle by doc); the cross-doc gram set is
+    found with a map-side-combined distinct count and FILTERED to
+    duplicated grams BEFORE the join back — the zipfian singleton tail
+    (the overwhelming majority of grams) never enters the join. All
+    shuffles key on 8-byte hashes or doc ids; nothing is collected.
+
+    Output: doc_id, n_spans, n_dup_spans, dup_ratio (round 6).
+    """
+    pos = shingle_hashes(df, text_col, id_col, n, distinct=False, hash_family=hash_family)
+    n_spans = pos.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup_grams = (
+        pos.groupBy("_sh")
+        .agg(F.count_distinct("_id").alias("_n_docs"))
+        .filter(F.col("_n_docs") >= min_docs)
+        .select("_sh")
+    )
+    dup_counts = (
+        pos.join(dup_grams, "_sh")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        n_spans.join(dup_counts, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_spans",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.col("n_spans").cast("double"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     text_col: str = "text",

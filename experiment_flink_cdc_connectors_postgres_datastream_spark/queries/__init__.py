@@ -60,17 +60,19 @@ _PRIORITY = [
     # corpus audit
     "embedding_quantize_error", "type_token_ratio",
     "bigram_logprob_by_source",
-    # dedup endpoints not yet driver-graded
-    "dedup_apply_fuzzy", "dedup_jaccard_prefix",
+    # dedup endpoints not yet driver-graded (spans + star CC are new
+    # in round 3; sequence_packing / embedding_near_dup converted from
+    # rows-only to full oracles in round 3)
+    "dedup_apply_fuzzy", "dedup_jaccard_prefix", "dedup_spans",
+    "dedup_clusters_star", "sequence_packing", "embedding_near_dup",
     # window functions
     "ntile_quartiles", "window_lag_delta", "window_running_sum",
-    "window_moving_avg", "window_first_last",
     # relational breadth
     "agg_stats", "rollup_counts", "set_ops",
     "customers_without_orders", "grouping_sets_count",
     "variant_extract",
     # heavier TPC-H (q1/q12 were graded green in r2)
-    "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q18", "tpch_q21",
+    "tpch_q3", "tpch_q5", "tpch_q18",
 ]
 
 

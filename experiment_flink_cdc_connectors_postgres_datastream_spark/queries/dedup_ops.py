@@ -273,3 +273,65 @@ def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(
         load_table(spark, sf_dir, "documents"), min_jaccard=0.8
     )
+
+
+@register(
+    "dedup_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 3),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+      FROM t WHERE len(toks) >= 5),
+    dg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    ns AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_spans FROM g GROUP BY doc_id),
+    nd AS (SELECT g.doc_id, CAST(COUNT(1) AS BIGINT) AS n_dup_spans
+           FROM g JOIN dg USING (gram) GROUP BY g.doc_id)
+    SELECT ns.doc_id, ns.n_spans,
+           COALESCE(nd.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+           ROUND(COALESCE(nd.n_dup_spans, 0) / CAST(ns.n_spans AS DOUBLE), 6) AS dup_ratio
+    FROM ns LEFT JOIN nd ON ns.doc_id = nd.doc_id
+    """,
+)
+def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-duplication audit (ExactSubstr at 5-gram
+    granularity, Lee et al. arXiv:2107.06499): per document, how many
+    n-gram positions are covered by a gram found in ≥2 distinct docs.
+    The per-doc counts are hash-family-independent, so the production
+    xxhash64 path is graded directly against a gram-string oracle."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(load_table(spark, sf_dir, "documents"), n=5, min_docs=2)
+
+
+@register(
+    "dedup_clusters_star",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node)
+    SELECT node AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as `dedup_clusters`, computed with the
+    large-star/small-star algorithm (Kiveris et al., SoCC'14) instead
+    of hash-min propagation — the O(log n)-round variant that survives
+    adversarial chain-shaped near-dup graphs at 100 TB, graded against
+    the identical recursive-reachability oracle."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import connected_components_star
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), min_jaccard=0.1)
+    return connected_components_star(pairs).select(
+        F.col("_id").alias("doc_id"), "component"
+    )

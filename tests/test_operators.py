@@ -277,3 +277,57 @@ def test_jaccard_prefix_equals_full_selfjoin(spark):
     }
     assert pref == full
     assert pref  # non-vacuous: the corpus plants near-dups
+
+
+def test_star_cc_equals_hashmin_on_chain_clique_random(spark):
+    """large-star/small-star must produce exactly the labels hash-min
+    propagation produces — including on a 40-node chain, the
+    adversarial diameter case the star algorithm exists for (hash-min
+    needs diameter-many rounds; star converges in O(log n))."""
+    import random
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(1, 40)]
+    clique = [(100 + a, 100 + b) for a in range(4) for b in range(a + 1, 4)]
+    rng = random.Random(7)
+    rand = [(rng.randrange(200, 240), rng.randrange(200, 240)) for _ in range(60)]
+    rand = [(a, b) for a, b in rand if a != b]
+    pairs = spark.createDataFrame(chain + clique + rand, "id_a long, id_b long")
+
+    star = {r["_id"]: r["component"] for r in connected_components_star(pairs).collect()}
+    hashmin = {
+        r["_id"]: r["component"]
+        for r in connected_components(pairs, max_iter=50).collect()
+    }
+    assert star == hashmin
+    # the chain really did collapse to its minimum
+    assert all(star[i] == 1 for i in range(1, 41))
+
+
+def test_duplicated_span_stats_known_answer(spark):
+    """3-token grams, min_docs=2: doc 1 and 2 share 'a b c' and
+    'b c d'; doc 3 is disjoint; doc 4 is too short to emit grams."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import duplicated_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams: 'a b c', 'b c d'   → both shared with doc 2
+            (2, "z a b c d"),    # grams: 'z a b', 'a b c', 'b c d'
+            (3, "p q r s"),      # grams: 'p q r', 'q r s'   → unique
+            (4, "x y"),          # too short for a 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ratio"])
+        for r in duplicated_span_stats(df, n=3, min_docs=2).collect()
+    }
+    assert got == {
+        1: (2, 2, 1.0),
+        2: (3, 2, round(2 / 3, 6)),
+        3: (2, 0, 0.0),
+    }
