@@ -203,3 +203,44 @@ def encode_tokens(
             ).alias("token_ids")
         )
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_k: int = 20) -> DataFrame:
+    """Adjacent-symbol pair statistics at the character stage of BPE
+    tokenizer training: the pair with the highest corpus-weighted
+    count is the next merge a BPE trainer would perform.
+
+    The classic scale trick makes this corpus-size-independent after
+    one pass: reduce the corpus to the DISTINCT-word frequency table
+    first (map-side-combined count, one shuffle on word), then expand
+    each distinct word into its len-1 adjacent character pairs — a
+    table bounded by vocabulary size, not corpus size — and weight
+    pair counts by word frequency. Everything is codegen'd column
+    expressions; top-k is TakeOrderedAndProject (no global sort).
+
+    Output: pair, pair_count (occurrences across the corpus),
+    n_words (distinct words containing the pair), top-k by count with
+    a deterministic pair tie-break."""
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word")).filter(
+        F.length("word") > 0
+    )
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.filter(F.length("word") >= 2).select(
+        "word",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("pair_count"),
+            F.count_distinct("word").alias("n_words"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_k)
+    )

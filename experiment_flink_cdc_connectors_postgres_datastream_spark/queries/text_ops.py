@@ -261,3 +261,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "bpe_pair_counts",
+    r"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      FROM documents),
+    wf AS (SELECT word, COUNT(1) AS freq FROM w
+           WHERE length(word) > 0 GROUP BY word),
+    p AS (
+      SELECT word, freq,
+             unnest(list_transform(range(1, length(word)),
+                    i -> substring(word, i, 2))) AS pair
+      FROM wf WHERE length(word) >= 2)
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates (adjacent character pairs weighted
+    by word frequency) — the distributed inner step of tokenizer
+    training, computed on the distinct-word table so cost is bounded
+    by vocabulary, not corpus size."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=20)
