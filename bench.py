@@ -80,6 +80,12 @@ EXTENDED_QUERIES = [
     "zscore_outliers",
     "curation_pipeline",
     "dedup_jaccard_prefix",
+    # round 3: new / newly-oracled operators
+    "dedup_spans",
+    "dedup_clusters_star",
+    "sequence_packing",
+    "embedding_near_dup",
+    "bpe_pair_counts",
 ]
 
 

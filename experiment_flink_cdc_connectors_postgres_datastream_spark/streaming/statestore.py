@@ -223,6 +223,67 @@ class GenerationalStateStore:
         )
         self._gc(keep_manifests=2)
 
+    # -- savepoints -----------------------------------------------------------
+
+    def savepoint(self, path: str) -> None:
+        """Export the CURRENT state as a self-contained, immutable
+        snapshot at ``path`` — the operational analog of a Flink
+        savepoint (the reference configures a savepoint directory at
+        StreamingJob.java:37-39; this is the trigger side).
+
+        The snapshot is itself a valid store layout (one full
+        ``gen-0`` + a ``manifest-0.json`` owning every bucket), so it
+        can be opened read-only in place or restored into a fresh
+        store root with :meth:`restore_from_savepoint`. The export is
+        one distributed compacting read→write (partition-pruned scans
+        of each owning generation, re-partitioned by bucket); nothing
+        passes through the driver."""
+        state = self.read()
+        if state is None:
+            raise ValueError(f"state store at {self.root!r} has no committed state")
+        io = _Fs(self.spark, path)
+        if io.exists(io.path("manifest-0.json")):
+            raise ValueError(f"savepoint target {path!r} already exists")
+        state.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(f"{path}/gen-0")
+        manifest = {
+            "n_buckets": self.n_buckets,
+            "buckets": {str(b): "gen-0" for b in range(self.n_buckets)},
+        }
+        io.write_text_atomic(
+            io.path("manifest-0.json.tmp"), io.path("manifest-0.json"), json.dumps(manifest)
+        )
+
+    @classmethod
+    def restore_from_savepoint(
+        cls,
+        spark: SparkSession,
+        savepoint_path: str,
+        root: str,
+        key_cols: list[str],
+        max_generations: int = 8,
+    ) -> "GenerationalStateStore":
+        """Materialize a savepoint into a NEW store root and return the
+        store, ready to accept commits — without ever touching the
+        savepoint itself (it stays a valid restore point for other
+        incarnations, exactly how Flink jobs re-launch from a
+        savepoint). The bucket count comes from the savepoint's
+        manifest; the copy is one distributed read→write."""
+        src = _Fs(spark, savepoint_path)
+        manifest = json.loads(src.read_text(src.path("manifest-0.json")))
+        n_buckets = int(manifest["n_buckets"])
+        dst = _Fs(spark, root)
+        if dst.exists(dst.path("manifest-0.json")):
+            raise ValueError(f"restore target {root!r} already has state")
+        spark.read.parquet(f"{savepoint_path}/gen-0").write.mode("errorifexists").partitionBy(
+            BUCKET_COL
+        ).parquet(f"{root}/gen-0")
+        dst.write_text_atomic(
+            dst.path("manifest-0.json.tmp"),
+            dst.path("manifest-0.json"),
+            json.dumps({"n_buckets": n_buckets, "buckets": dict(manifest["buckets"])}),
+        )
+        return cls(spark, root, key_cols, n_buckets=n_buckets, max_generations=max_generations)
+
     def _gc(self, keep_manifests: int) -> None:
         """Best-effort cleanup: drop manifests older than the last
         ``keep_manifests`` and generation dirs referenced by none of

@@ -130,3 +130,40 @@ def test_bucket_count_read_back_from_manifest(spark, tmp_path):
     # a restart configured differently must honor the stored layout
     other = GenerationalStateStore(spark, str(tmp_path / "state"), ["k"], n_buckets=99)
     assert other.n_buckets == 4
+
+
+def test_savepoint_roundtrip_and_independence(spark, tmp_path):
+    """A savepoint is a frozen full snapshot: restoring it into a new
+    root reproduces exactly the rows at trigger time, stays a valid
+    store layout in place, and later commits in either store leave
+    the savepoint (and the other store) untouched."""
+    store = _mk(spark, tmp_path, n_buckets=4)
+    _commit_rows(spark, store, [(k, f"v{k}") for k in range(10)], version=1)
+    _commit_rows(spark, store, [(1, "v1b"), (3, "v3b")], version=2)
+
+    sp = str(tmp_path / "savepoint-1")
+    store.savepoint(sp)
+
+    expected = {(r["k"], r["v"]) for r in store.read().collect()}
+    assert (1, "v1b") in expected and (3, "v3b") in expected and len(expected) == 10
+
+    # the savepoint opens read-only in place as a store
+    frozen = GenerationalStateStore(spark, sp, ["k"], n_buckets=4)
+    assert {(r["k"], r["v"]) for r in frozen.read().collect()} == expected
+
+    # restore into a fresh root; diverge it; savepoint + source intact
+    restored = GenerationalStateStore.restore_from_savepoint(
+        spark, sp, str(tmp_path / "state2"), ["k"]
+    )
+    assert {(r["k"], r["v"]) for r in restored.read().collect()} == expected
+    _commit_rows(spark, restored, [(5, "DIVERGED")], version=3)
+    assert ("5", "DIVERGED") not in {
+        tuple(r) for r in frozen.read().select("k", "v").collect()
+    }
+    assert {(r["k"], r["v"]) for r in store.read().collect()} == expected
+
+    # double-savepoint to the same path refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.savepoint(sp)
