@@ -319,3 +319,44 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "epoch_shuffle",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) AS BIGINT) AS hh
+      FROM documents)
+    SELECT doc_id, CAST(hh % 16 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) AS BIGINT)
+             AS rank_in_shard
+    FROM h
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training consumption: every doc
+    gets a (shard, rank_in_shard) position derived from a seeded hash
+    (seed 0 here; vary the seed per epoch). Two-level on purpose — a
+    GLOBAL row_number would funnel the corpus through one window
+    partition, while per-shard ranks keep the sort parallel (shards ≫
+    cores at 100 TB) and match how training jobs actually consume
+    data: shard files, locally ordered. md5-prefix hash so the order
+    is reproducible in any engine."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":0"))).alias("hh"),
+    )
+    w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+    return (
+        h.withColumn("shard", F.pmod(F.col("hh"), F.lit(16)).cast("int"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("rank_in_shard"),
+        )
+    )
