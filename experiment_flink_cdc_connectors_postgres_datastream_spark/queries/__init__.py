@@ -40,10 +40,12 @@ _PRIORITY = [
     # status changed since r2 — needs a fresh driver grade
     "tokens_to_ids", "dedup_minhash", "dedup_simhash",
     "similarity_topk_lsh",
-    # streamed twins (stream-batch consistency graded end-to-end)
+    # streamed twins (stream-batch consistency graded end-to-end;
+    # cdc_live_count_stateful is the applyInPandasWithState custom
+    # stateful operator, new in round 3)
     "tumbling_window_streamed", "session_window_streamed",
     "dedup_streamed", "stream_stream_join_streamed",
-    "stream_static_join_streamed",
+    "stream_static_join_streamed", "cdc_live_count_stateful",
     # source / format round trips
     "jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip",
     "schema_merge_roundtrip",
@@ -70,7 +72,6 @@ _PRIORITY = [
     # relational breadth
     "agg_stats", "rollup_counts", "set_ops",
     "customers_without_orders", "grouping_sets_count",
-    "variant_extract",
     # heavier TPC-H (q1/q12 were graded green in r2)
     "tpch_q3", "tpch_q5", "tpch_q18",
 ]

@@ -482,3 +482,73 @@ def sql_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT `key`, COUNT(1) AS cnt FROM (SELECT `event_type` AS `key` FROM events) GROUP BY `key`"
     )
+
+
+@register(
+    "cdc_live_count_stateful",
+    f"""
+    WITH src AS ({_FLAT_CDC_SQL}),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pgschema, id ORDER BY ts_ms DESC, lsn DESC) AS rn
+        FROM src) WHERE rn = 1)
+    SELECT pgschema, COUNT(1) AS user_count
+    FROM latest WHERE op <> 'd'
+    GROUP BY pgschema
+    """,
+)
+def cdc_live_count_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship live count through a CUSTOM STATEFUL OPERATOR
+    (`streaming.live_count_with_state`, applyInPandasWithState): the
+    keyed-state mapping of the reference's KeyedProcessFunction +
+    changelog COUNT (SJCD:83,194,204-218), hash-matched against the
+    same batch oracle as `cdc_pipeline` — so the driver grades that
+    per-group live-key state over the streaming path reproduces the
+    relational answer exactly. Groups whose keys are all deleted emit
+    count 0 in update mode and are dropped to match the oracle (which
+    has no row for them)."""
+    import os
+    import shutil
+    import tempfile
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources import read_cdc_file_stream
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming import live_count_with_state
+
+    work = tempfile.mkdtemp(prefix="cdc_stateful_")
+    try:
+        src_dir = os.path.join(work, "src")
+        # one file => availableNow processes everything as one batch;
+        # per-batch emission order is irrelevant to the final counts
+        # anyway (state replays events in (ts_ms, lsn) order)
+        synth_cdc_stream(spark, sf_dir).coalesce(1).write.mode("overwrite").text(src_dir)
+        stream = read_cdc_file_stream(spark, src_dir)
+        flat = with_key(
+            project_flat(parse_cdc(stream, USERS_ROW_SCHEMA), "users", ["id", "full_name"]),
+            "schema",
+            "id",
+        )
+        counts = live_count_with_state(
+            flat, group_col="schema", key_col="key", seq_cols=("ts_ms", "lsn")
+        )
+        # foreachBatch so later batches deterministically overwrite
+        # earlier emissions per group (batch ids are ordered); the
+        # collect is bounded by the group count (4 pg-schemas)
+        results: dict[str, int] = {}
+
+        def absorb(bdf: DataFrame, _bid: int) -> None:
+            for r in bdf.collect():
+                results[r["schema"]] = r["user_count"]
+
+        q = (
+            counts.writeStream.foreachBatch(absorb)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .queryName("cdc_live_count_stateful")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    rows = [(g, n) for g, n in sorted(results.items()) if n > 0]
+    return spark.createDataFrame(rows, "pgschema string, user_count long")

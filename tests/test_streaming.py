@@ -204,3 +204,30 @@ def test_merge_latest_semantics():
     # no prior state
     latest = merge_latest(tie, None, cols, ["seq"])
     assert latest["v"] == "fresh"
+
+
+def test_live_count_with_state_multibatch_golden(spark, cdc_dir, tmp_path):
+    """applyInPandasWithState live counting across TWO micro-batches on
+    the golden walkthrough: updates must not double-count and the
+    delete must decrement — final counts equal the batch answer."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming import live_count_with_state
+
+    stream = read_cdc_file_stream(spark, cdc_dir, max_files_per_trigger=1)
+    counts = live_count_with_state(
+        _flat_users(stream), group_col="schema", key_col="key", seq_cols=("ts_ms", "lsn")
+    )
+    results = {}
+
+    def absorb(bdf, _bid):
+        for r in bdf.collect():
+            results[r["schema"]] = r["user_count"]
+
+    q = (
+        counts.writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {g: n for g, n in results.items() if n > 0} == EXPECTED_COUNTS_AFTER_DELETE
