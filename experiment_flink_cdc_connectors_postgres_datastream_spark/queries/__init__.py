@@ -55,10 +55,14 @@ _PRIORITY = [
     # governance / curation
     "word_entropy", "zscore_outliers", "curation_pipeline",
     # pipeline shaping
-    "doc_chunking", "repetition_ratio", "normalize_text",
+    "doc_chunking", "repetition_ratio",
     "length_band_filter", "interval_join_counts",
     "hash_sample_per_group", "salted_agg_demo", "contamination_check",
     "train_val_test_split",
+    # multimodal: decode/frames/feature-topk converted from rows-only
+    # to full oracles in round 3 (the fake-decoder arithmetic is
+    # mirrored in SQL, so the mapInPandas plumbing is value-graded)
+    "multimodal_decode", "multimodal_frames", "multimodal_feature_topk",
     # corpus audit
     "embedding_quantize_error", "type_token_ratio",
     "bigram_logprob_by_source",
@@ -70,7 +74,7 @@ _PRIORITY = [
     # window functions
     "ntile_quartiles", "window_lag_delta", "window_running_sum",
     # relational breadth
-    "agg_stats", "rollup_counts", "set_ops",
+    "agg_stats", "set_ops",
     "customers_without_orders", "grouping_sets_count",
     # heavier TPC-H (q1/q12 were graded green in r2)
     "tpch_q3", "tpch_q5", "tpch_q18",

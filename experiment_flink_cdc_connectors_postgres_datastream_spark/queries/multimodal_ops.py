@@ -38,26 +38,90 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode")  # mapInPandas fake decoder → rows-only oracle
+#: the fake decoder's arithmetic (operators/multimodal.py:_fake_decode)
+#: over the UTF-8 payload of `text` — SQL-expressible because the
+#: payload IS the text bytes and the corpus is ASCII, so the DuckDB
+#: oracle can grade the whole mapInPandas Arrow path end-to-end even
+#: though the decode itself is a stand-in for PIL/ffmpeg.
+_DECODE_SQL = """
+    SELECT doc_id, 'video' AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(16 + strlen(text) % 64 AS INT) AS width,
+           CAST(16 + (strlen(text) // 64) % 64 AS INT) AS height,
+           CAST(1 + CASE WHEN strlen(text) > 0
+                         THEN ascii(substr(text, 1, 1)) % 4 ELSE 0 END AS INT) AS n_frames
+    FROM documents
+"""
+
+
+@register("multimodal_decode", _DECODE_SQL)
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode (stubbed): mapInPandas over binary payloads
-    producing width/height/frame metadata."""
+    producing width/height/frame metadata. The decoder is an honest
+    deterministic FAKE (PIL/ffmpeg absent) — but its arithmetic over
+    the payload bytes is mirrored in the oracle, so the driver
+    value-hash grades the mapInPandas plumbing (schema, batching,
+    null-payload handling) end to end."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(attach_binary_payload(docs, media_type="video"))
 
 
-@register("multimodal_frames")  # depends on fake decoder → rows-only oracle
+@register(
+    "multimodal_frames",
+    f"""
+    WITH d AS ({_DECODE_SQL})
+    SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+    FROM d
+    """,
+)
 def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: decoded videos → exploded sampled frame rows."""
+    """Frame sampling: decoded videos → exploded sampled frame rows
+    (JVM-side sequence explode; Python only in the decode stage)."""
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_media(attach_binary_payload(docs, media_type="video"))
     return frame_sample(decoded, every_n=2).select("doc_id", "n_frames", "frame_idx")
 
 
-@register("multimodal_feature_topk")  # fake featurizer → rows-only oracle
+@register(
+    "multimodal_feature_topk",
+    """
+    WITH ch AS (
+      SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) % 16 AS b
+      FROM documents, unnest(range(1, strlen(text) + 1)) t(i)
+      WHERE strlen(text) > 0),
+    hist AS (
+      SELECT doc_id, b, CAST(COUNT(1) AS DOUBLE) AS c FROM ch GROUP BY doc_id, b),
+    nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nz FROM hist GROUP BY doc_id),
+    vec AS (
+      SELECT h.doc_id, h.b, CAST(h.c / n.nz AS REAL) AS v
+      FROM hist h JOIN nrm n USING (doc_id)),
+    pairs AS (
+      SELECT q.doc_id AS qid, c.doc_id AS doc_id,
+             SUM(CAST(q.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp
+      FROM (SELECT * FROM vec WHERE doc_id % 100 = 0) q
+      JOIN vec c ON q.b = c.b AND q.doc_id <> c.doc_id
+      GROUP BY q.doc_id, c.doc_id),
+    cn AS (
+      SELECT doc_id, SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS n2 FROM vec GROUP BY doc_id),
+    scored AS (
+      SELECT p.qid, p.doc_id,
+             ROUND(p.dp / (sqrt(qn.n2) * sqrt(cn.n2)), 6) AS sim
+      FROM pairs p JOIN cn qn ON qn.doc_id = p.qid
+                 JOIN cn ON cn.doc_id = p.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, doc_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def multimodal_feature_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal→ANN pipeline: payload → Arrow featurizer →
-    cosine top-5 over the extracted embeddings."""
+    """Full multimodal→ANN pipeline: payload → Arrow featurizer (byte
+    histogram folded to 16 dims, L2-normalized, float32) → cosine
+    top-5. The oracle reproduces the histogram arithmetic with the
+    same float32 truncation (CAST AS REAL) before the double-precision
+    cosine, so the whole mapInPandas→broadcast-join→window-rank chain
+    is value-hash graded."""
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_binary_payload(docs)).localCheckpoint(eager=False)
     queries = feats.filter(F.col("doc_id") % 100 == 0)
