@@ -177,9 +177,11 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     seed: int = 42,
+    quantizer: str = "kmeans",
+    hash_family: str = "xx",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means-partition the
-    corpus into ``nlist`` cells, probe the ``nprobe`` nearest cells per
+    """IVF (inverted-file) approximate top-k: partition the corpus
+    into ``nlist`` cells, probe the ``nprobe`` nearest cells per
     query.
 
     Scale shape: centroids are tiny and live driver/broadcast-side;
@@ -188,55 +190,102 @@ def ivf_topk(
     |corpus|·nprobe/nlist instead of |corpus|·|queries|. Training
     samples the corpus, so the fit cost is bounded regardless of
     corpus size.
+
+    ``quantizer``: ``"kmeans"`` (production default — bounded sampled
+    fit, L2 cell assignment) or ``"sample"`` — a fully deterministic
+    inner-product IVF: centroids are the ``nlist`` corpus vectors
+    with the smallest hash of their id, and BOTH corpus assignment
+    and query probing take the max-dot cell (MIPS-style IVF). The
+    sample quantizer trades cell quality for engine-independent
+    reproducibility, which is what lets the registry value-hash grade
+    the whole assign→probe→rank pipeline against DuckDB; dots are
+    rounded to 6 digits before ranking so cell choice can't flip on
+    summation-order ulps.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    ml_df = spread_scan(corpus).select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
-    )
-    # bounded training set: centroid quality needs a few hundred points
-    # per cell, not the whole corpus — cap the fit at ~256·nlist vectors
-    # (parquet row-count is metadata-only, so count() is cheap) and a
-    # fixed iteration budget, so training cost is O(nlist²·dim), flat in
-    # corpus size
-    target = max(4096, 256 * nlist)
-    n = corpus.count()
-    train = ml_df.select("_features")
-    if n > target:
-        train = train.sample(fraction=min(1.0, (1.2 * target) / n), seed=seed)
-    # random init: an IVF coarse quantizer needs balanced-ish cells,
-    # not optimal clusters — Lloyd iterations from random seeds match
-    # k-means|| quality here at a third of the fit passes
-    km = KMeans(
-        k=nlist, seed=seed, maxIter=8, initMode="random",
-        featuresCol="_features", predictionCol="_cell",
-    )
-    model = km.fit(train)
-    assigned = model.transform(ml_df).select(id_col, vec_col, "_cell")
-
-    centroids = [list(c) for c in model.clusterCenters()]
     spark = corpus.sparkSession
-    # JVM literal structs, not createDataFrame: a Python-list local
-    # relation re-evaluates through a Python-RDD job on every use
-    # (worker startup dominates); nlist×dim literals stay driver/JVM
-    cent_df = F.broadcast(
-        spark.range(1).select(
-            F.inline(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("_cell"),
-                            F.array(*[F.lit(float(x)) for x in c])
-                            .cast("array<double>")
-                            .alias("_centroid"),
-                        )
-                        for i, c in enumerate(centroids)
-                    ]
+    if quantizer == "sample":
+        if hash_family == "md5":
+            from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
+
+            hf = md5_long(F.col(id_col).cast("string"))
+        else:
+            hf = F.xxhash64(F.col(id_col))
+        cent_rows = corpus.select(F.col(id_col), F.col(vec_col), hf.alias("_h")).orderBy(
+            "_h", id_col
+        ).limit(nlist)
+        wcell = Window.orderBy("_h", id_col)  # nlist rows: single-partition window is fine
+        cent_df = F.broadcast(
+            cent_rows.select(
+                (F.row_number().over(wcell) - 1).alias("_cell"),
+                F.col(vec_col).cast("array<double>").alias("_centroid"),
+            )
+        )
+        a_dots = (
+            spread_scan(corpus)
+            .crossJoin(cent_df)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                "_cell",
+                F.round(dot(F.col(vec_col), F.col("_centroid")), 6).alias("_adot"),
+            )
+        )
+        w_assign = Window.partitionBy(id_col).orderBy(F.desc("_adot"), F.asc("_cell"))
+        assigned = (
+            a_dots.select(
+                id_col, vec_col, "_cell", F.row_number().over(w_assign).alias("_arn")
+            )
+            .filter(F.col("_arn") == 1)
+            .drop("_arn")
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        ml_df = spread_scan(corpus).select(
+            F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+        )
+        # bounded training set: centroid quality needs a few hundred points
+        # per cell, not the whole corpus — cap the fit at ~256·nlist vectors
+        # (parquet row-count is metadata-only, so count() is cheap) and a
+        # fixed iteration budget, so training cost is O(nlist²·dim), flat in
+        # corpus size
+        target = max(4096, 256 * nlist)
+        n = corpus.count()
+        train = ml_df.select("_features")
+        if n > target:
+            train = train.sample(fraction=min(1.0, (1.2 * target) / n), seed=seed)
+        # random init: an IVF coarse quantizer needs balanced-ish cells,
+        # not optimal clusters — Lloyd iterations from random seeds match
+        # k-means|| quality here at a third of the fit passes
+        km = KMeans(
+            k=nlist, seed=seed, maxIter=8, initMode="random",
+            featuresCol="_features", predictionCol="_cell",
+        )
+        model = km.fit(train)
+        assigned = model.transform(ml_df).select(id_col, vec_col, "_cell")
+
+        centroids = [list(c) for c in model.clusterCenters()]
+        # JVM literal structs, not createDataFrame: a Python-list local
+        # relation re-evaluates through a Python-RDD job on every use
+        # (worker startup dominates); nlist×dim literals stay driver/JVM
+        cent_df = F.broadcast(
+            spark.range(1).select(
+                F.inline(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("_cell"),
+                                F.array(*[F.lit(float(x)) for x in c])
+                                .cast("array<double>")
+                                .alias("_centroid"),
+                            )
+                            for i, c in enumerate(centroids)
+                        ]
+                    )
                 )
             )
         )
-    )
     # nearest nprobe cells per query: tiny cross product (queries × nlist)
     q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
     q_cells = (
@@ -245,7 +294,7 @@ def ivf_topk(
             query_id_col,
             "_qvec",
             "_cell",
-            dot(F.col("_qvec"), F.col("_centroid")).alias("_cdot"),
+            F.round(dot(F.col("_qvec"), F.col("_centroid")), 6).alias("_cdot"),
         )
     )
     w_probe = Window.partitionBy(query_id_col).orderBy(F.desc("_cdot"), F.asc("_cell"))

@@ -67,17 +67,19 @@ _PRIORITY = [
     "embedding_quantize_error", "type_token_ratio",
     "bigram_logprob_by_source",
     # dedup endpoints not yet driver-graded (spans + star CC are new
-    # in round 3; sequence_packing / embedding_near_dup converted from
-    # rows-only to full oracles in round 3)
+    # in round 3; sequence_packing / embedding_near_dup /
+    # ivf_sampled converted or added with full oracles in round 3)
     "dedup_apply_fuzzy", "dedup_jaccard_prefix", "dedup_spans",
     "dedup_clusters_star", "sequence_packing", "embedding_near_dup",
+    "similarity_topk_ivf_sampled",
     # window functions
-    "ntile_quartiles", "window_lag_delta", "window_running_sum",
+    "ntile_quartiles", "window_lag_delta",
     # relational breadth
     "agg_stats", "set_ops",
     "customers_without_orders", "grouping_sets_count",
-    # heavier TPC-H (q1/q12 were graded green in r2)
-    "tpch_q3", "tpch_q5", "tpch_q18",
+    # heavier TPC-H (q1/q12 were graded green in r2; q18's r2 bench
+    # "regression" A/B-measured as host noise, 0.84× same-process)
+    "tpch_q3", "tpch_q5",
 ]
 
 

@@ -185,3 +185,71 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), min_cosine=0.45, bits=4, hash_family="md5"
     )
+
+
+@register(
+    "similarity_topk_ivf_sampled",
+    """
+    WITH h AS (
+      SELECT vec_id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+      FROM embeddings),
+    cidx AS (
+      SELECT vec_id AS cvec,
+             CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS INT) AS _cell
+      FROM h ORDER BY hh, vec_id LIMIT 16),
+    e AS (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+    cent AS (
+      SELECT c._cell, e.i, CAST(e.x AS DOUBLE) AS cx
+      FROM cidx c JOIN e ON e.vec_id = c.cvec),
+    adot AS (
+      SELECT e.vec_id, c._cell,
+             ROUND(SUM(CAST(e.x AS DOUBLE) * c.cx), 6) AS d
+      FROM e JOIN cent c ON c.i = e.i
+      GROUP BY e.vec_id, c._cell),
+    assigned AS (
+      SELECT vec_id, _cell FROM (
+        SELECT vec_id, _cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, _cell) AS rn
+        FROM adot) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS qid, _cell FROM (
+        SELECT vec_id, _cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, _cell) AS rn
+        FROM adot WHERE vec_id % 100 = 0) WHERE rn <= 4),
+    pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+             SUM(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE)) AS dp,
+             SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS qn,
+             SUM(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE)) AS cn
+      FROM (SELECT vec_id, unnest(embedding) AS qe,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id % 100 = 0) q
+      JOIN (SELECT vec_id, unnest(embedding) AS ce,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings) c ON q.i = c.i AND q.vec_id <> c.vec_id
+      JOIN assigned a ON a.vec_id = c.vec_id
+      JOIN probes p ON p.qid = q.vec_id AND p._cell = a._cell
+      GROUP BY q.vec_id, c.vec_id),
+    scored AS (
+      SELECT qid, vec_id, ROUND(dp / (sqrt(qn) * sqrt(cn)), 6) AS sim FROM pairs),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_topk_ivf_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF: hash-sampled centroids + max-dot (MIPS)
+    assignment, 4-of-16 cells probed — the value-hash-gradeable twin
+    of `similarity_topk_ivf` (whose k-means coarse quantizer stays the
+    production default, rows-only). Same probe-join scale shape:
+    shuffle ∝ |corpus|·nprobe/nlist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(
+        emb, queries, k=10, nlist=16, nprobe=4, quantizer="sample", hash_family="md5"
+    )
