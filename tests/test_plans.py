@@ -134,3 +134,42 @@ def test_train_val_test_split_no_join_no_window(spark):
     df = QUERIES["train_val_test_split"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_bpe_pair_counts_distributed_topk(spark):
+    """The merge-candidate top-k must be TakeOrderedAndProject (per-
+    partition top-k), never a global sort of the full pair table."""
+    df = QUERIES["bpe_pair_counts"](spark, SF)
+    assert_plan(df, requires=["TakeOrderedAndProject"], forbids=["CartesianProduct"])
+
+
+def test_dedup_spans_no_cartesian_filtered_joinback(spark):
+    """Span dedup joins positions only against the (filtered) set of
+    cross-doc duplicated grams — equi-joins throughout, no cartesian
+    expansion anywhere in the plan."""
+    df = QUERIES["dedup_spans"](spark, SF)
+    assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+
+def test_epoch_shuffle_window_is_partitioned(spark):
+    """The rank window must be partitioned by shard (parallel sort),
+    never a single-partition global window."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.plans.explain import formatted_plan
+
+    df = QUERIES["epoch_shuffle"](spark, SF)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(shard" in plan, plan
+
+
+def test_sequence_packing_only_metadata_reaches_python(spark):
+    """The greedy packing stage must see only (id, n_tokens, group) —
+    the text column stays JVM-side (scan may read it for token
+    counting, but the Arrow exchange must not carry it)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.plans.explain import formatted_plan
+
+    df = QUERIES["sequence_packing"](spark, SF)
+    plan = formatted_plan(df)
+    import re
+
+    m = re.search(r"FlatMapGroupsInPandas.*", plan)
+    assert m is not None and "text" not in m.group(0), m.group(0) if m else plan
