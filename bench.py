@@ -86,6 +86,9 @@ EXTENDED_QUERIES = [
     "sequence_packing",
     "embedding_near_dup",
     "bpe_pair_counts",
+    "similarity_topk_ivf_sampled",
+    "multimodal_feature_topk",
+    "epoch_shuffle",
 ]
 
 
