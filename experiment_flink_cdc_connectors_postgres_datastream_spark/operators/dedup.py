@@ -681,3 +681,61 @@ def jaccard_prefix_pairs(
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_containment: float = 0.6,
+    max_shingle_df: int | None = None,
+    hash_family: str = "xx",
+) -> DataFrame:
+    """EXACT n-gram set CONTAINMENT pairs: for an ordered pair (a, b),
+    ``containment = |Sa ∩ Sb| / |Sa|`` — the asymmetric cousin of
+    Jaccard that catches quotes, excerpts, and near-subset documents
+    (a short doc fully quoted inside a long one has tiny Jaccard but
+    containment ≈ 1; the measure behind "superset dedup" passes).
+    Output: id_a, id_b, containment ≥ threshold, BOTH directions of
+    each unordered pair, id_a ≠ id_b.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: one shingle-key
+    self-join on 8-byte hashes computes each unordered intersection
+    once; the two directed rows are projected from that single count.
+    ``max_shingle_df`` bounds hot-shingle pair blow-up identically."""
+    sh = shingle_hashes(df, text_col, id_col, n, hash_family=hash_family).localCheckpoint(
+        eager=False
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_sh")
+        )
+        sh = sh.join(hot, "_sh", "left_anti")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "_sh")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    directed = inter.unionByName(
+        inter.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "n_inter"
+        )
+    )
+    return (
+        directed.join(sizes.withColumnRenamed("_id", "id_a"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter").cast("double") / F.col("n_sh").cast("double"), 4).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

@@ -215,3 +215,54 @@ def bigram_logprob_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("lp"), 4).alias("avg_logprob"),
     )
+
+
+@register(
+    "unigram_kl_by_source",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+      FROM documents),
+    t2 AS (SELECT source, term FROM tok WHERE term <> ''),
+    st AS (SELECT source, term, COUNT(1) AS c_st FROM t2 GROUP BY source, term),
+    corpus AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY term),
+    totals AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+    grand AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n_tot FROM st)
+    SELECT st.source,
+           CAST(COUNT(1) AS BIGINT) AS n_terms,
+           ROUND(SUM((CAST(c_st AS DOUBLE) / n_s)
+                     * ln((CAST(c_st AS DOUBLE) / n_s) / (CAST(c_t AS DOUBLE) / n_tot))), 6)
+             AS kl_vs_corpus
+    FROM st JOIN corpus USING (term) JOIN totals USING (source), grand
+    GROUP BY st.source
+    """,
+)
+def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: KL(source unigram dist ‖ corpus
+    unigram dist) per source — the monitoring signal for "did this
+    slice of the corpus drift away from the mixture" (tokenizer fit,
+    dedup bias, scraper regressions). One explode → two map-side-
+    combined aggregations → a term-keyed join; every term a source
+    uses exists in the corpus by construction, so no zero q. The sum
+    is rounded to 6 (thousands of ~1e-3 terms ⇒ order-dependent
+    summation error ~1e-12, far inside the rounding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    corpus = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    totals = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    grand = st.agg(F.sum("c_st").alias("n_tot"))
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n_tot")
+    return (
+        st.join(corpus, "term")
+        .join(totals, "source")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+    )

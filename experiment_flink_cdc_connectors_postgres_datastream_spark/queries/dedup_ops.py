@@ -335,3 +335,27 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs).select(
         F.col("_id").alias("doc_id"), "component"
     )
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH
+    {_JACCARD_PAIRS_CTE.replace("pairs AS (", "unused_pairs AS (")},
+    directed AS (
+      SELECT id_a, id_b, n_inter FROM inter
+      UNION ALL
+      SELECT id_b AS id_a, id_a AS id_b, n_inter FROM inter)
+    SELECT d.id_a, d.id_b,
+           ROUND(CAST(d.n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 4) AS containment
+    FROM directed d JOIN sizes sa ON sa._id = d.id_a
+    WHERE ROUND(CAST(d.n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 4) >= 0.6
+    """,
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs at t=0.6 (quote/excerpt/
+    near-subset detection — high containment with low Jaccard is
+    exactly the quoted-document case symmetric dedup misses)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"), min_containment=0.6)
