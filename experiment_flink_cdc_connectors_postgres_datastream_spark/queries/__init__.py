@@ -46,6 +46,9 @@ _PRIORITY = [
     "tumbling_window_streamed", "session_window_streamed",
     "dedup_streamed", "stream_stream_join_streamed",
     "stream_static_join_streamed", "cdc_live_count_stateful",
+    # two-table changelog-changelog join (reference's second captured
+    # table, new in round 3)
+    "cdc_two_table_join",
     # source / format round trips
     "jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip",
     "schema_merge_roundtrip",
@@ -73,7 +76,7 @@ _PRIORITY = [
     "dedup_clusters_star", "sequence_packing", "embedding_near_dup",
     "similarity_topk_ivf_sampled",
     # window functions
-    "ntile_quartiles", "window_lag_delta",
+    "ntile_quartiles",
     # relational breadth
     "agg_stats", "set_ops",
     "customers_without_orders", "grouping_sets_count",

@@ -552,3 +552,119 @@ def cdc_live_count_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
     rows = [(g, n) for g, n in sorted(results.items()) if n > 0]
     return spark.createDataFrame(rows, "pgschema string, user_count long")
+
+
+#: colors-table row schema (the reference's SECOND captured table,
+#: user_favorite_colors — setup_source_db1.sql:14-18, dispatch branch
+#: SJCD:256-263)
+COLORS_ROW_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("favorite_color", StringType())]
+)
+
+#: oracle-side color derivation — mirror of synth_colors_stream's
+#: column expression (floor(abs(value)) is exact on doubles, % on the
+#: non-negative result agrees across engines)
+_COLOR_SQL = (
+    "CASE CAST(floor(abs(value)) AS BIGINT) % 4 "
+    "WHEN 0 THEN 'red' WHEN 1 THEN 'green' WHEN 2 THEN 'blue' "
+    "ELSE 'yellow' END"
+)
+
+_FLAT_COLORS_SQL = f"""
+    SELECT {_OP_SQL} AS op,
+           'schema' || CAST(user_id % 4 + 1 AS VARCHAR) AS pgschema,
+           'user_favorite_colors' AS tbl,
+           epoch_ms(ts) AS ts_ms,
+           event_id AS lsn,
+           user_id,
+           {_COLOR_SQL} AS favorite_color
+    FROM events
+"""
+
+
+def synth_colors_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render `events` as Debezium envelopes for the reference's SECOND
+    table (user_favorite_colors) — same mutation history, the color
+    derived deterministically from the event value."""
+    ev = spread_scan(load_table(spark, sf_dir, "events"))
+    op = _op_col()
+    pgschema = F.concat(F.lit("schema"), (F.col("user_id") % 4 + 1).cast("string"))
+    color_idx = (F.floor(F.abs(F.col("value"))).cast("long") % 4).cast("int")
+    color = F.element_at(
+        F.array(F.lit("red"), F.lit("green"), F.lit("blue"), F.lit("yellow")), color_idx + 1
+    )
+    row = F.struct(F.col("user_id"), color.alias("favorite_color"))
+    ts_ms = F.unix_millis(F.col("ts"))
+    env = F.struct(
+        F.when(op.isin("u", "d"), row).alias("before"),
+        F.when(op != F.lit("d"), row).alias("after"),
+        F.struct(
+            F.lit("1.4.0").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("dbserver1").alias("name"),
+            ts_ms.alias("ts_ms"),
+            F.lit("experiment").alias("db"),
+            pgschema.alias("schema"),
+            F.lit("user_favorite_colors").alias("table"),
+            F.col("event_id").alias("txId"),
+            F.col("event_id").alias("lsn"),
+        ).alias("source"),
+        op.alias("op"),
+        ts_ms.alias("ts_ms"),
+    )
+    return ev.select(F.to_json(env).alias("value"))
+
+
+@register(
+    "cdc_two_table_join",
+    f"""
+    WITH u AS ({_FLAT_CDC_SQL}),
+    latest_u AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pgschema, id ORDER BY ts_ms DESC, lsn DESC) AS rn
+        FROM u) WHERE rn = 1),
+    c AS ({_FLAT_COLORS_SQL}),
+    latest_c AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pgschema, user_id ORDER BY ts_ms DESC, lsn DESC) AS rn
+        FROM c) WHERE rn = 1)
+    SELECT lu.pgschema, lc.favorite_color, COUNT(1) AS n_users
+    FROM latest_u lu
+    JOIN latest_c lc ON lc.pgschema = lu.pgschema AND lc.user_id = lu.id
+    WHERE lu.op <> 'd' AND lc.op <> 'd'
+    GROUP BY lu.pgschema, lc.favorite_color
+    """,
+)
+def cdc_two_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGELOG-CHANGELOG JOIN across the reference's two captured
+    tables (users ⋈ user_favorite_colors — the per-table dispatch
+    branches of SJCD:247-264 recombined): each side is independently
+    latest-per-key compacted (tombstone-aware), joined on the
+    composite (pgschema, user id) key, and aggregated into live users
+    per color. This is the materialized-view shape behind any
+    "current state of A enriched with current state of B" CDC use —
+    two one-shuffle compactions + one equi-join on the same key both
+    sides already shuffled on."""
+    u_parsed = parse_cdc(synth_cdc_stream(spark, sf_dir), USERS_ROW_SCHEMA).localCheckpoint(
+        eager=False
+    )
+    users = project_flat(u_parsed, "users", ["id", "full_name"])
+    latest_u = compact_latest(
+        users, ["schema", "id"], ["ts_ms", "lsn"], op_col="op"
+    )
+    c_parsed = parse_cdc(synth_colors_stream(spark, sf_dir), COLORS_ROW_SCHEMA).localCheckpoint(
+        eager=False
+    )
+    colors = project_flat(c_parsed, "user_favorite_colors", ["user_id", "favorite_color"])
+    latest_c = compact_latest(
+        colors, ["schema", "user_id"], ["ts_ms", "lsn"], op_col="op"
+    )
+    return (
+        latest_u.alias("u")
+        .join(
+            latest_c.alias("c"),
+            (F.col("u.schema") == F.col("c.schema")) & (F.col("u.id") == F.col("c.user_id")),
+        )
+        .groupBy(F.col("u.schema").alias("pgschema"), F.col("c.favorite_color"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
