@@ -89,6 +89,9 @@ EXTENDED_QUERIES = [
     "similarity_topk_ivf_sampled",
     "multimodal_feature_topk",
     "epoch_shuffle",
+    "cdc_two_table_join",
+    "dedup_containment",
+    "unigram_kl_by_source",
 ]
 
 
