@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from experiment_flink_cdc_connectors_postgres_datastream_spark.session import configure_session
 
@@ -43,6 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer floor-divide ns→µs (no float round-trip): identical
             # truncation to DuckDB's read of TIMESTAMP(NANOS)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Belt-and-braces for sessions where inferTimestampNTZ could not be
+    # flipped (session.py RUNTIME_CONFS): a naive parquet timestamp must
+    # behave like DuckDB's TIMESTAMP under the UTC session, i.e. LTZ.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

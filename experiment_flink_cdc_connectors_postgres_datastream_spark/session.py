@@ -22,6 +22,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
     # default; read as long and convert (io.load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (no-UTC-flag) parquet timestamps read as TIMESTAMP (LTZ)
+    # rather than TIMESTAMP_NTZ: under the UTC session timezone this is
+    # value-identical to DuckDB's naive-timestamp reads, and it keeps
+    # unix_micros()/window() applicable to the driver testdata.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Deterministic wall-clock semantics for the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
     # Adaptive execution: runtime shuffle-partition coalescing and
