@@ -9,6 +9,7 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.envelope impo
 from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import (
     compact_latest,
     count_live_by,
+    agg_live_by,
     changelog_diff,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "with_key",
     "compact_latest",
     "count_live_by",
+    "agg_live_by",
     "changelog_diff",
 ]

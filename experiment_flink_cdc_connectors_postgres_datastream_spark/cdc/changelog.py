@@ -84,6 +84,29 @@ def count_live_by(
     return live.groupBy(*[F.col(g) for g in group_cols]).agg(F.count(F.lit(1)).alias(count_alias))
 
 
+def agg_live_by(
+    df: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+    seq_cols: list[str],
+    aggs: list[F.Column],
+    op_col: str | None = None,
+) -> DataFrame:
+    """Changelog-correct grouped aggregate beyond COUNT: evaluate any
+    list of Spark aggregate expressions over the LIVE state (latest row
+    per key, tombstones dropped) — the general form of the reference's
+    upsert-table aggregation (StreamingJobWithCustomDeserializer.java:194
+    computes only COUNT(1); a Flink user writing SUM/AVG/MIN/MAX over
+    the same upsert table gets exactly these semantics).
+
+    Same physical shape as :func:`count_live_by`: one shuffle keyed by
+    the upsert key (map-side-combined ``max_by``), then one shuffle on
+    the group key — both hash aggregations, no sorts.
+    """
+    live = compact_latest(df, key_cols, seq_cols, op_col=op_col)
+    return live.groupBy(*[F.col(g) for g in group_cols]).agg(*aggs)
+
+
 def changelog_diff(
     before: DataFrame,
     after: DataFrame,

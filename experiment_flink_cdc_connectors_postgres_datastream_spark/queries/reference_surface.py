@@ -668,3 +668,115 @@ def cdc_two_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("u.schema").alias("pgschema"), F.col("c.favorite_color"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --------------------------------------------------- A1 generalized
+
+#: shared oracle for the multi-aggregate changelog queries: the live
+#: state (latest row per user_id, tombstone latest-op='d' i.e.
+#: event_type='error' dropped) aggregated with the full SUM/AVG/MIN/
+#: MAX family, not just COUNT.
+_AGG_MULTI_SQL = """
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1)
+    SELECT event_type,
+           COUNT(1) AS user_count,
+           ROUND(SUM(value), 3) AS total_value,
+           ROUND(AVG(value), 3) AS avg_value,
+           ROUND(MIN(value), 3) AS min_value,
+           ROUND(MAX(value), 3) AS max_value
+    FROM latest
+    WHERE event_type <> 'error'
+    GROUP BY event_type
+"""
+
+#: the aggregate family both twins evaluate over live state
+def _multi_aggs() -> list[F.Column]:
+    return [
+        F.count(F.lit(1)).alias("user_count"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+        F.round(F.avg("value"), 3).alias("avg_value"),
+        F.round(F.min("value"), 3).alias("min_value"),
+        F.round(F.max("value"), 3).alias("max_value"),
+    ]
+
+
+@register("changelog_agg_multi", _AGG_MULTI_SQL)
+def changelog_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 GENERALIZED: changelog-correct SUM/AVG/MIN/MAX/COUNT in one
+    pass over the live upsert state. The reference's aggregate is
+    COUNT(1)-only (StreamingJobWithCustomDeserializer.java:194); a
+    Flink upsert table gives any aggregate these retraction semantics
+    for free, so the engine must too — group membership AND the
+    aggregated value of a key both follow its LATEST row only.
+    Physical shape: two hash aggregations (max_by compaction keyed by
+    user, multi-agg keyed by group), no window sort."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import agg_live_by
+
+    ev = load_table(spark, sf_dir, "events").withColumn("op", _op_col())
+    return agg_live_by(
+        ev, ["event_type"], ["user_id"], ["ts", "event_id"], _multi_aggs(), op_col="op"
+    )
+
+
+@register("changelog_agg_multi_streamed", _AGG_MULTI_SQL)
+def changelog_agg_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`changelog_agg_multi` run through the STREAMING path: events
+    replayed from parquet into a file stream, merged into the
+    generational state store per micro-batch, the SUM/AVG/MIN/MAX
+    family recomputed over live state and upserted into a
+    ParquetUpsertSink keyed by the group column. Hash-matching the
+    batch oracle is the stream-batch consistency claim for
+    multi-aggregate maintenance (A1/A3 streamed)."""
+    import os
+    import shutil
+    import tempfile
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks import ParquetUpsertSink
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming import run_compacted_aggregate
+
+    work = tempfile.mkdtemp(prefix="agg_multi_streamed_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        src = os.path.join(work, "src")
+        ev.coalesce(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double"
+            )
+            .parquet(src)
+            .withColumn("op", _op_col())
+        )
+        sink = ParquetUpsertSink(os.path.join(work, "sink"), key_cols=["event_type"])
+        q = run_compacted_aggregate(
+            stream,
+            state_dir=os.path.join(work, "state"),
+            key_cols=["user_id"],
+            seq_cols=["ts", "event_id"],
+            group_cols=["event_type"],
+            op_col="op",
+            agg_exprs=_multi_aggs(),
+            sink=sink,
+            query_name="changelog_agg_multi_streamed",
+            n_buckets=8,
+        )
+        q.processAllAvailable()
+        q.stop()
+        pdf = (
+            sink.read(spark)
+            .select(
+                "event_type", "user_count", "total_value", "avg_value", "min_value", "max_value"
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "event_type string, user_count long, total_value double, avg_value double, "
+        "min_value double, max_value double",
+    )

@@ -96,6 +96,7 @@ def run_compacted_aggregate(
     group_cols: list[str],
     op_col: str | None = None,
     count_alias: str = "user_count",
+    agg_exprs: list[F.Column] | None = None,
     sink: Callable[[DataFrame, int], None] | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "compacted_aggregate",
@@ -139,7 +140,7 @@ def run_compacted_aggregate(
         if op_col is not None:
             live = live.filter(~F.col(op_col).eqNullSafe(F.lit(DELETE_OP)))
         agg = live.groupBy(*[F.col(g) for g in group_cols]).agg(
-            F.count(F.lit(1)).alias(count_alias)
+            *(agg_exprs if agg_exprs else [F.count(F.lit(1)).alias(count_alias)])
         )
         if sink is not None:
             sink(agg, batch_id)

@@ -145,3 +145,42 @@ def test_parse_cdc_dead_letter_routing(spark):
     assert set(d) == {2, 3}
     assert d[2] == ("malformed_json", "{not json")
     assert d[3][0] == "empty_envelope"
+
+
+def test_agg_live_by_retracts_superseded_values(spark):
+    """A key's update must retract its old value from SUM/MIN/MAX, and
+    a tombstone must remove the key entirely — the upsert-table
+    aggregate semantics of agg_live_by."""
+    import pyspark.sql.functions as F
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import agg_live_by
+
+    rows = [
+        # key 1: insert 10.0 then update to 2.0 in group 'a' -> counts once, value 2.0
+        (1, 1, "c", "a", 10.0),
+        (2, 1, "u", "a", 2.0),
+        # key 2: insert in 'a', then MOVES to group 'b' -> counts in 'b' only
+        (3, 2, "c", "a", 5.0),
+        (4, 2, "u", "b", 7.0),
+        # key 3: insert then delete -> contributes nowhere
+        (5, 3, "c", "a", 100.0),
+        (6, 3, "d", "a", 100.0),
+    ]
+    df = spark.createDataFrame(rows, "seq long, key long, op string, grp string, val double")
+    got = {
+        r["grp"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in agg_live_by(
+            df,
+            ["grp"],
+            ["key"],
+            ["seq"],
+            [
+                F.count(F.lit(1)).alias("n"),
+                F.sum("val").alias("total"),
+                F.min("val").alias("lo"),
+                F.max("val").alias("hi"),
+            ],
+            op_col="op",
+        ).collect()
+    }
+    assert got == {"a": (1, 2.0, 2.0, 2.0), "b": (1, 7.0, 7.0, 7.0)}
