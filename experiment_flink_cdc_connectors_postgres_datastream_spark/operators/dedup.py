@@ -739,3 +739,75 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= min_containment)
     )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """CCNet-style line-level dedup: drop repeated "lines" from every
+    document, keeping each document's remaining segments in order.
+
+    Web-pipeline boilerplate removal hashes each LINE of a page and
+    drops lines shared by many pages (nav bars, cookie banners,
+    footers). The driver corpus has no newlines, so the unit of
+    dedup here is a fixed-width word window (``seg_len`` words) — the
+    same pipeline shape with a synthetic line delimiter: segment →
+    corpus-wide document frequency per segment → drop segments in
+    ≥ ``min_docs`` distinct docs → reassemble survivors in order.
+
+    Output: one row per input document — ``(id, n_segs, n_kept,
+    clean_text)`` — with ``clean_text = ''`` when every segment was
+    boilerplate (the row is kept so downstream length filters decide
+    the document's fate, rather than it vanishing silently).
+
+    100-TB shape: segmentation is a narrow codegen'd map (split +
+    slice over an index sequence — no Python); the df count is one
+    map-side-combined hash aggregation keyed by segment; the
+    boilerplate set is then BROADCAST into a left-anti join (by
+    construction it holds only segments with df ≥ min_docs, orders of
+    magnitude smaller than the corpus; for adversarial corpora where
+    it is still large, hash segments with xxhash64 first and let the
+    join shuffle on 8-byte keys); reassembly is one hash aggregation
+    keyed by doc id. No sorts — segment order is restored by
+    array_sort over (seg_idx, seg) structs inside each group.
+    """
+    w = F.split(F.col(text_col), " ")
+    n_segs_expr = F.ceil(F.size(w) / F.lit(seg_len)).cast("int")
+    seg_array = F.transform(
+        F.sequence(F.lit(0), n_segs_expr - 1),
+        lambda i: F.array_join(F.slice(w, i * seg_len + 1, seg_len), " "),
+    )
+    segs = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(seg_array).alias("seg_idx", "seg")
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct(F.col("_id")).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    clean = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = segs.groupBy("_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        totals.join(clean, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -360,3 +360,35 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("rank_in_shard"),
         )
     )
+
+
+@register(
+    "boilerplate_removal",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    toks AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w)+1)) AS pos FROM words),
+    segs AS (SELECT doc_id, (pos-1)//3 AS seg_idx,
+                    string_agg(word, ' ' ORDER BY pos) AS seg
+             FROM toks GROUP BY doc_id, (pos-1)//3),
+    boiler AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 5),
+    kept AS (SELECT s.* FROM segs s WHERE s.seg NOT IN (SELECT seg FROM boiler)),
+    clean AS (SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+              FROM kept GROUP BY doc_id),
+    totals AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+    SELECT t.doc_id, t.n_segs, COALESCE(c.n_kept, 0) AS n_kept,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup over the corpus: repeated 3-word
+    segments ("lines" — the corpus has no newlines) appearing in ≥5
+    distinct documents are boilerplate and removed; each document is
+    reassembled from its surviving segments in order. See
+    operators/dedup.py:remove_boilerplate_segments for the 100-TB
+    shape (broadcast anti-join of the small high-df segment set)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import remove_boilerplate_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(docs, seg_len=3, min_docs=5)

@@ -83,3 +83,31 @@ def test_simhash_lane_packing_matches_python_bitcount(spark):
         for r in simhash_signatures(docs, n=3).collect()
     }
     assert got == expected
+
+
+def test_boilerplate_removal_drops_common_segments_preserves_order(spark):
+    """Segments shared by >= min_docs docs vanish; survivors keep
+    their original order; fully-boilerplate docs stay as empty rows."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import remove_boilerplate_segments
+
+    boiler = "click here now"
+    rows = [
+        # 3 docs sharing the same 3-word prefix segment (min_docs=3)
+        (1, f"{boiler} alpha beta gamma"),
+        (2, f"{boiler} delta epsilon zeta"),
+        (3, f"{boiler} eta theta iota"),
+        # doc that IS only boilerplate
+        (4, boiler),
+        # unique doc, untouched
+        (5, "kappa lambda mu nu xi omicron"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["clean_text"])
+        for r in remove_boilerplate_segments(df, seg_len=3, min_docs=3).collect()
+    }
+    assert got[1] == (2, 1, "alpha beta gamma")
+    assert got[2] == (2, 1, "delta epsilon zeta")
+    assert got[3] == (2, 1, "eta theta iota")
+    assert got[4] == (1, 0, "")
+    assert got[5] == (2, 2, "kappa lambda mu nu xi omicron")
