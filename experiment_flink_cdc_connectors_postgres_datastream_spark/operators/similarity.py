@@ -342,3 +342,194 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"))
         .filter(F.col("sim") >= min_cosine)
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    seed: int = 42,
+    quantizer: str = "kmeans",
+    hash_family: str = "xx",
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization (PQ) approximate top-k with asymmetric
+    distance computation (ADC), the memory-bound ANN workhorse
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): split each vector into ``m`` subvectors,
+    quantize each subspace to ``ks`` codewords, and score a query
+    against a corpus vector as the SUM of per-subspace query·codeword
+    dot products — the corpus is touched only through its codes.
+
+    100-TB shape: the codebook is tiny (``m·ks`` subvectors) and is
+    compiled into JVM literal expressions, so ENCODING IS A NARROW
+    MAP — one corpus scan, zero shuffle, no Python: per subspace the
+    nearest codeword (L2, ties to the lowest code) is found by an
+    array_min over a zip_with of rounded distances. Each query
+    carries its flattened ``m·ks`` ADC table; scoring is a broadcast
+    cross join (queries are few) + an `aggregate` lookup per row —
+    again no shuffle until the final per-query top-k rank. With
+    ``rerank=R>0``, the top-R by ADC are re-scored with exact cosine
+    (a join that moves only R·|Q| candidate vectors) — the standard
+    two-stage PQ serving layout.
+
+    ``quantizer``: ``"kmeans"`` (production default — per-subspace
+    sampled KMeans fits, cost O(m·ks·dim) flat in corpus size) or
+    ``"sample"`` — codewords are the subvectors of the ``ks`` corpus
+    vectors with the smallest id-hash, fully deterministic and
+    engine-independent, which lets the registry value-hash the whole
+    encode→ADC→rank pipeline against DuckDB (``hash_family="md5"``).
+    Distances and ADC entries are rounded to 6 digits before
+    argmin/sum so code assignment cannot flip on summation-order ulps.
+    """
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+
+    # ---- codebooks[s][c] = subvector (python floats; m·ks·sub values)
+    if quantizer == "sample":
+        if hash_family == "md5":
+            from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
+
+            hf = md5_long(F.col(id_col).cast("string"))
+        else:
+            hf = F.xxhash64(F.col(id_col))
+        rows = (
+            corpus.select(F.col(vec_col), hf.alias("_h"), F.col(id_col))
+            .orderBy("_h", id_col)
+            .limit(ks)
+            .collect()
+        )
+        codebooks = [
+            [[float(x) for x in r[0][s * sub : (s + 1) * sub]] for r in rows]
+            for s in range(m)
+        ]
+    else:
+        # Per-subspace Lloyd fits run DRIVER-SIDE on a bounded sample:
+        # PQ training needs a few hundred points per codeword in a
+        # 4-16 dim subspace, so the sample (≤ ~1.2·256·ks rows) is
+        # collected once and all m codebooks are fit in numpy — m
+        # separate pyspark.ml jobs would pay ~seconds of job overhead
+        # each to cluster a matrix numpy handles in milliseconds. The
+        # fit cost is O(sample·ks·dim), flat in corpus size; only the
+        # ENCODE is distributed (and that stays a zero-shuffle map).
+        import numpy as np
+
+        n = corpus.count()
+        target = max(4096, 256 * ks)
+        base = corpus
+        if n > target:
+            base = base.sample(fraction=min(1.0, (1.2 * target) / n), seed=seed)
+        sample = np.array(
+            [list(r[0]) for r in base.select(F.col(vec_col)).collect()], dtype=np.float64
+        )
+        codebooks = []
+        for s in range(m):
+            X = sample[:, s * sub : (s + 1) * sub]
+            rng = np.random.default_rng(seed + s)
+            cents = X[rng.choice(len(X), size=ks, replace=False)].copy()
+            for _ in range(8):
+                d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(ks):
+                    pts = X[assign == c]
+                    if len(pts):
+                        cents[c] = pts.mean(axis=0)
+            codebooks.append([[float(x) for x in c] for c in cents])
+
+    # ---- JVM literal nested codebook: array<array<array<double>>>
+    cb_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(x) for x in code]).cast("array<double>")
+                    for code in codebooks[s]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    idxseq = F.sequence(F.lit(0), F.lit(ks - 1))
+
+    def _sqdist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _codes(vec: Column) -> Column:
+        def per_subspace(s: Column) -> Column:
+            subv = F.slice(vec, s * sub + 1, sub)
+            dists = F.transform(
+                F.get(cb_lit, s), lambda c: F.round(_sqdist(subv, c), 6)
+            )
+            best = F.array_min(
+                F.zip_with(
+                    dists, idxseq, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+                )
+            )
+            return best["i"]
+
+        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_subspace)
+
+    encoded = spread_scan(corpus).select(F.col(id_col), _codes(F.col(vec_col)).alias("_codes"))
+
+    # ---- per-query flattened ADC table (m·ks doubles, computed JVM-side)
+    def _qtab(vec: Column) -> Column:
+        def per_subspace(s: Column) -> Column:
+            subv = F.slice(vec, s * sub + 1, sub)
+            return F.transform(F.get(cb_lit, s), lambda c: F.round(dot(subv, c), 6))
+
+        return F.flatten(F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_subspace))
+
+    qtabs = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        _qtab(F.col(vec_col)).alias("_qtab"),
+    )
+
+    scored = (
+        encoded.crossJoin(F.broadcast(qtabs))
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, s: acc + F.get(F.col("_qtab"), s * ks + F.get(F.col("_codes"), s)),
+                ),
+                6,
+            ).alias("approx_dot"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("approx_dot"), F.asc(id_col))
+    ranked = scored.select(
+        query_id_col, id_col, "approx_dot", F.row_number().over(w).alias("rank")
+    )
+    if rerank <= 0:
+        return ranked.filter(F.col("rank") <= k)
+    # ---- exact-cosine rerank of the ADC top-R (candidate set only)
+    cand = ranked.filter(F.col("rank") <= rerank).drop("rank", "approx_dot")
+    exact = (
+        cand.join(corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec")), id_col)
+        .join(F.broadcast(qtabs.select(query_id_col, "_qvec")), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return exact.select(
+        query_id_col, id_col, "sim", F.row_number().over(w2).alias("rank")
+    ).filter(F.col("rank") <= k)

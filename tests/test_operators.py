@@ -331,3 +331,38 @@ def test_duplicated_span_stats_known_answer(spark):
         2: (3, 2, round(2 / 3, 6)),
         3: (2, 0, 0.0),
     }
+
+
+def test_pq_topk_recall_against_brute_force(spark):
+    """PQ/ADC with exact rerank reaches useful recall on the real
+    embeddings table, and the two-stage result ranks by exact cosine
+    (deterministic: fixed seeds, bounded sample)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = {(r["qid"], r["vec_id"]) for r in cosine_topk(emb, qs, k=10).collect()}
+    got = pq_topk(emb, qs, k=10, m=16, ks=16, quantizer="kmeans", rerank=50)
+    rows = got.collect()
+    pairs = {(r["qid"], r["vec_id"]) for r in rows}
+    assert len(pairs & truth) / len(truth) >= 0.6
+    # rerank output is exact cosine: rank 1 per query must be the true
+    # nearest neighbor whenever it survived the ADC candidate cut
+    by_rank1 = {r["qid"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    true_rank1 = {
+        r["qid"]: r["vec_id"] for r in cosine_topk(emb, qs, k=1).collect()
+    }
+    hits = sum(1 for q, v in by_rank1.items() if true_rank1.get(q) == v)
+    assert hits >= len(by_rank1) - 1
+
+
+def test_pq_topk_identity_vector_tiny(vecs):
+    """On a separable toy set, PQ with rerank finds the identical
+    vector at rank 1 (sample quantizer, m=1 subspace of 3 dims)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import pq_topk
+
+    q = vecs.filter(F.col("vec_id") == 100)
+    got = pq_topk(vecs, q, k=2, m=1, ks=4, quantizer="sample", rerank=4).collect()
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top["vec_id"] == 1 and top["sim"] == 1.0
