@@ -92,6 +92,11 @@ EXTENDED_QUERIES = [
     "cdc_two_table_join",
     "dedup_containment",
     "unigram_kl_by_source",
+    # round 3b: changelog multi-agg, line dedup, PQ ANN
+    "changelog_agg_multi",
+    "boilerplate_removal",
+    "similarity_topk_pq",
+    "similarity_topk_pq_sampled",
 ]
 
 
@@ -175,19 +180,8 @@ def main() -> None:
     ).selectExpr(
         "g", "sum(d) OVER (PARTITION BY g ORDER BY d) AS rs"
     ).groupBy("g").agg({"rs": "sum"}).write.format("noop").mode("overwrite").save()
-    # pyspark.ml carries its own one-time init (estimator/Breeze/JIT);
-    # a 100-row fit amortizes it the way a resident engine would
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    tiny = (
-        spark.range(100)
-        .selectExpr("array(CAST(id AS DOUBLE), CAST(id % 7 AS DOUBLE)) AS v")
-        .select(array_to_vector("v").alias("_features"))
-    )
-    KMeans(k=2, seed=1, maxIter=2, initMode="random", featuresCol="_features").fit(
-        tiny
-    ).transform(tiny).write.format("noop").mode("overwrite").save()
+    # (the pyspark.ml warmup is gone with its last user: IVF/PQ fits
+    # now run driver-side in numpy on their bounded samples)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES + EXTENDED_QUERIES:
         timings[name] = run_one(spark, name, sf_dir)

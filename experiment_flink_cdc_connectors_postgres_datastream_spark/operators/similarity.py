@@ -239,33 +239,63 @@ def ivf_topk(
             .drop("_arn")
         )
     else:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        ml_df = spread_scan(corpus).select(
-            F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
-        )
         # bounded training set: centroid quality needs a few hundred points
         # per cell, not the whole corpus — cap the fit at ~256·nlist vectors
         # (parquet row-count is metadata-only, so count() is cheap) and a
         # fixed iteration budget, so training cost is O(nlist²·dim), flat in
-        # corpus size
+        # corpus size. The Lloyd loop runs DRIVER-SIDE in numpy on that
+        # sample: a pyspark.ml fit pays seconds of job-scheduling overhead
+        # per iteration to cluster a matrix numpy finishes in milliseconds,
+        # and only the fit moves to the driver — assignment of the full
+        # corpus below stays a distributed zero-shuffle map over the
+        # centroid literals. Random init: an IVF coarse quantizer needs
+        # balanced-ish cells, not optimal clusters.
+        import numpy as np
+
         target = max(4096, 256 * nlist)
         n = corpus.count()
-        train = ml_df.select("_features")
+        train_df = corpus
         if n > target:
-            train = train.sample(fraction=min(1.0, (1.2 * target) / n), seed=seed)
-        # random init: an IVF coarse quantizer needs balanced-ish cells,
-        # not optimal clusters — Lloyd iterations from random seeds match
-        # k-means|| quality here at a third of the fit passes
-        km = KMeans(
-            k=nlist, seed=seed, maxIter=8, initMode="random",
-            featuresCol="_features", predictionCol="_cell",
+            train_df = train_df.sample(fraction=min(1.0, (1.2 * target) / n), seed=seed)
+        X = np.array(
+            [list(r[0]) for r in train_df.select(F.col(vec_col)).collect()], dtype=np.float64
         )
-        model = km.fit(train)
-        assigned = model.transform(ml_df).select(id_col, vec_col, "_cell")
+        rng = np.random.default_rng(seed)
+        cents = X[rng.choice(len(X), size=nlist, replace=False)].copy()
+        for _ in range(8):
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            labels = d2.argmin(axis=1)
+            for c in range(nlist):
+                pts = X[labels == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        centroids = [list(c) for c in cents]
 
-        centroids = [list(c) for c in model.clusterCenters()]
+        # nearest-centroid (L2) cell assignment as a narrow codegen'd
+        # map — one corpus scan, no shuffle, no Python
+        cents_arr = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+                for c in centroids
+            ]
+        )
+
+        def _sqd(a: Column, b: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        cell_dists = F.transform(cents_arr, lambda c: F.round(_sqd(F.col(vec_col), c), 6))
+        cell = F.array_min(
+            F.zip_with(
+                cell_dists,
+                F.sequence(F.lit(0), F.lit(nlist - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        )["i"]
+        assigned = spread_scan(corpus).select(F.col(id_col), F.col(vec_col), cell.alias("_cell"))
         # JVM literal structs, not createDataFrame: a Python-list local
         # relation re-evaluates through a Python-RDD job on every use
         # (worker startup dominates); nlist×dim literals stay driver/JVM
@@ -444,73 +474,61 @@ def pq_topk(
                         cents[c] = pts.mean(axis=0)
             codebooks.append([[float(x) for x in c] for c in cents])
 
-    # ---- JVM literal nested codebook: array<array<array<double>>>
-    cb_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(x) for x in code]).cast("array<double>")
+    # ---- JVM literal nested codebook: array<array<array<double>>>.
+    # The whole encode/ADC expression is rendered as SQL TEXT and
+    # parsed JVM-side in ONE call each: building the same tree through
+    # the pyspark Column API costs thousands of py4j round trips
+    # (~2 s of driver time per plan, measured — pure build overhead,
+    # nothing to do with data size).
+    cb_sql = "array({})".format(
+        ",".join(
+            "array({})".format(
+                ",".join(
+                    "array({})".format(",".join(f"{float(x)!r}D" for x in code))
                     for code in codebooks[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
-    idxseq = F.sequence(F.lit(0), F.lit(ks - 1))
-
-    def _sqdist(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def _codes(vec: Column) -> Column:
-        def per_subspace(s: Column) -> Column:
-            subv = F.slice(vec, s * sub + 1, sub)
-            dists = F.transform(
-                F.get(cb_lit, s), lambda c: F.round(_sqdist(subv, c), 6)
-            )
-            best = F.array_min(
-                F.zip_with(
-                    dists, idxseq, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
                 )
             )
-            return best["i"]
-
-        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_subspace)
-
-    encoded = spread_scan(corpus).select(F.col(id_col), _codes(F.col(vec_col)).alias("_codes"))
+            for s in range(m)
+        )
+    )
+    vec_q = f"`{vec_col}`"
+    sqdist_sql = (
+        f"aggregate(zip_with(slice({vec_q}, s*{sub}+1, {sub}), c, "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    codes_sql = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"array_min(zip_with("
+        f"transform(element_at({cb_sql}, s+1), c -> round({sqdist_sql}, 6)), "
+        f"sequence(0, {ks - 1}), (d, i) -> struct(d, i))).i)"
+    )
+    encoded = spread_scan(corpus).select(F.col(id_col), F.expr(codes_sql).alias("_codes"))
 
     # ---- per-query flattened ADC table (m·ks doubles, computed JVM-side)
-    def _qtab(vec: Column) -> Column:
-        def per_subspace(s: Column) -> Column:
-            subv = F.slice(vec, s * sub + 1, sub)
-            return F.transform(F.get(cb_lit, s), lambda c: F.round(dot(subv, c), 6))
-
-        return F.flatten(F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_subspace))
-
+    qdot_sql = (
+        f"aggregate(zip_with(slice({vec_q}, s*{sub}+1, {sub}), c, "
+        "(x, y) -> cast(x as double) * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    qtab_sql = (
+        f"flatten(transform(sequence(0, {m - 1}), s -> "
+        f"transform(element_at({cb_sql}, s+1), c -> round({qdot_sql}, 6))))"
+    )
     qtabs = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        _qtab(F.col(vec_col)).alias("_qtab"),
+        F.expr(qtab_sql).alias("_qtab"),
     )
 
+    adc_sql = (
+        f"round(aggregate(sequence(0, {m - 1}), cast(0.0 as double), "
+        f"(acc, s) -> acc + get(_qtab, s * {ks} + get(_codes, s))), 6)"
+    )
     scored = (
         encoded.crossJoin(F.broadcast(qtabs))
         .filter(F.col(query_id_col) != F.col(id_col))
-        .select(
-            query_id_col,
-            id_col,
-            F.round(
-                F.aggregate(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    F.lit(0.0),
-                    lambda acc, s: acc + F.get(F.col("_qtab"), s * ks + F.get(F.col("_codes"), s)),
-                ),
-                6,
-            ).alias("approx_dot"),
-        )
+        .select(query_id_col, id_col, F.expr(adc_sql).alias("approx_dot"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("approx_dot"), F.asc(id_col))
     ranked = scored.select(

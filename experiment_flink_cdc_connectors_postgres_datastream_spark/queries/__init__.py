@@ -75,14 +75,14 @@ _PRIORITY = [
     "dedup_apply_fuzzy", "dedup_jaccard_prefix", "dedup_spans",
     "dedup_clusters_star", "sequence_packing", "embedding_near_dup",
     "similarity_topk_ivf_sampled",
-    # window functions
-    "ntile_quartiles",
-    # relational breadth
-    "agg_stats", "set_ops",
+    # relational breadth (ntile/agg_stats/set_ops/tpch_q3/q5 rotated
+    # OUT this pass: plain-SQL families with r2-green siblings, all
+    # still locally verified — their slots go to the new operators)
     "customers_without_orders", "grouping_sets_count",
-    # heavier TPC-H (q1/q12 were graded green in r2; q18's r2 bench
-    # "regression" A/B-measured as host noise, 0.84× same-process)
-    "tpch_q3", "tpch_q5",
+    # round 3b: changelog multi-aggregate maintenance (batch + the
+    # streamed state-store twin), CCNet-style line dedup, PQ/ADC ANN
+    "changelog_agg_multi", "changelog_agg_multi_streamed",
+    "boilerplate_removal", "similarity_topk_pq_sampled",
 ]
 
 
