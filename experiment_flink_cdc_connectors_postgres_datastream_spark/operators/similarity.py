@@ -272,50 +272,39 @@ def ivf_topk(
         centroids = [list(c) for c in cents]
 
         # nearest-centroid (L2) cell assignment as a narrow codegen'd
-        # map — one corpus scan, no shuffle, no Python
-        cents_arr = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+        # map — one corpus scan, no shuffle, no Python. The literal
+        # centroid expressions are rendered as SQL text and parsed
+        # JVM-side in one call (the Column API pays one py4j round
+        # trip per literal — ~1 s of driver time per plan at
+        # nlist×dim = 1024 doubles, pure build overhead).
+        cents_sql = "array({})".format(
+            ",".join(
+                "array({})".format(",".join(f"{float(x)!r}D" for x in c))
                 for c in centroids
-            ]
+            )
         )
-
-        def _sqd(a: Column, b: Column) -> Column:
-            return F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-
-        cell_dists = F.transform(cents_arr, lambda c: F.round(_sqd(F.col(vec_col), c), 6))
-        cell = F.array_min(
-            F.zip_with(
-                cell_dists,
-                F.sequence(F.lit(0), F.lit(nlist - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-            )
-        )["i"]
-        assigned = spread_scan(corpus).select(F.col(id_col), F.col(vec_col), cell.alias("_cell"))
+        cell_sql = (
+            f"array_min(zip_with(transform({cents_sql}, c -> round("
+            f"aggregate(zip_with(`{vec_col}`, c, "
+            "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+            "cast(0.0 as double), (acc, v) -> acc + v), 6)), "
+            f"sequence(0, {nlist - 1}), (d, i) -> struct(d, i))).i"
+        )
+        assigned = spread_scan(corpus).select(
+            F.col(id_col), F.col(vec_col), F.expr(cell_sql).alias("_cell")
+        )
         # JVM literal structs, not createDataFrame: a Python-list local
         # relation re-evaluates through a Python-RDD job on every use
         # (worker startup dominates); nlist×dim literals stay driver/JVM
-        cent_df = F.broadcast(
-            spark.range(1).select(
-                F.inline(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(i).alias("_cell"),
-                                F.array(*[F.lit(float(x)) for x in c])
-                                .cast("array<double>")
-                                .alias("_centroid"),
-                            )
-                            for i, c in enumerate(centroids)
-                        ]
-                    )
+        inline_sql = "inline(array({}))".format(
+            ",".join(
+                "struct({} as _cell, array({}) as _centroid)".format(
+                    i, ",".join(f"{float(x)!r}D" for x in c)
                 )
+                for i, c in enumerate(centroids)
             )
         )
+        cent_df = F.broadcast(spark.range(1).select(F.expr(inline_sql)))
     # nearest nprobe cells per query: tiny cross product (queries × nlist)
     q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
     q_cells = (
