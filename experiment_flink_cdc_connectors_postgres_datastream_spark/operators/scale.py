@@ -124,3 +124,46 @@ def read_partition_pruned(spark: SparkSession, path: str) -> DataFrame:
     placed by the caller become directory-level pruning (visible as
     ``PartitionFilters`` in the formatted plan)."""
     return spark.read.parquet(path)
+
+
+def zorder_index(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative integer columns
+    (``bits`` low bits each → one ``2·bits``-bit locality key).
+
+    Writing a 100-TB table sorted by this key gives multi-dimensional
+    data-skipping: a range predicate on EITHER column maps to a
+    bounded set of z-ranges, so min/max footer stats prune files for
+    both columns at once — the layout trick behind Delta/Iceberg
+    OPTIMIZE ZORDER, as a pure codegen'd column expression (an
+    aggregate over bit positions; no Python, no shuffle — the sort
+    that consumes the key is the caller's range partition).
+    """
+    import pyspark.sql.functions as F
+
+    # pure-arithmetic fold (shift amounts can't be Columns): the
+    # accumulator carries (z-so-far, remaining x bits, remaining y
+    # bits, current output multiplier = 4^i) and peels one bit of each
+    # input per step
+    xm = x.bitwiseAND((1 << bits) - 1).cast("long")
+    ym = y.bitwiseAND((1 << bits) - 1).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("z"),
+        xm.alias("xr"),
+        ym.alias("yr"),
+        F.lit(1).cast("long").alias("mult"),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        init,
+        lambda acc, _: F.struct(
+            (
+                acc["z"]
+                + (acc["xr"] % 2) * acc["mult"]
+                + (acc["yr"] % 2) * acc["mult"] * 2
+            ).alias("z"),
+            F.floor(acc["xr"] / 2).cast("long").alias("xr"),
+            F.floor(acc["yr"] / 2).cast("long").alias("yr"),
+            (acc["mult"] * 4).alias("mult"),
+        ),
+        lambda acc: acc["z"],
+    )

@@ -301,3 +301,47 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(k >= 50, F.lit(1)).otherwise(F.lit(0))).alias("n_high"),
         )
     )
+
+
+@register(
+    "zorder_layout",
+    """
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(list_sum(list_transform(range(0, 11), i ->
+                 ((
+                   (l_partkey & 2047) & (CAST(1 AS BIGINT) << i)) << i)
+                 + (((l_suppkey & 2047) & (CAST(1 AS BIGINT) << i)) << (i + 1))
+             )) AS BIGINT) AS zval
+      FROM lineitem)
+    SELECT zval >> 14 AS zshard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM z GROUP BY zval >> 14
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (l_partkey, l_suppkey) and the
+    per-z-shard footprint it induces (11 bits per key, top 8 z-bits
+    as the shard) — the multi-dimensional
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER) as a pure
+    codegen'd expression: each of the 256 top-8-bit z-shards touches a
+    bounded rectangle of the (part, supplier) plane, so min/max footer
+    stats prune scans on EITHER key. The interleave is an aggregate
+    over bit positions (operators/scale.py:zorder_index); the only
+    shuffle is the audit aggregation itself (in production the sort by
+    zval is the write-time range partition)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import zorder_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        zorder_index(F.col("l_partkey"), F.col("l_suppkey"), bits=11).alias("zval"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return z.groupBy(F.shiftright(F.col("zval"), 14).alias("zshard")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("l_partkey")).alias("n_parts"),
+        F.count_distinct(F.col("l_suppkey")).alias("n_supps"),
+    )

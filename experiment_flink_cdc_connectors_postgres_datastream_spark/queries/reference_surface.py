@@ -780,3 +780,43 @@ def changelog_agg_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, user_count long, total_value double, avg_value double, "
         "min_value double, max_value double",
     )
+
+
+@register(
+    "changelog_topk_per_group",
+    """
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1)
+    SELECT event_type, user_id, value, rank_in_group
+    FROM (SELECT event_type, user_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, user_id) AS rank_in_group
+          FROM latest WHERE event_type <> 'error')
+    WHERE rank_in_group <= 3
+    """,
+)
+def changelog_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-correct TOP-K maintenance: the top-3 live keys by
+    value within each group, where both group membership and the
+    ranked value follow each key's LATEST row (an update that lowers
+    a key's value can demote it out of the top-k — the retraction case
+    a naive streaming top-k gets wrong). Physical shape: one max_by
+    compaction shuffle, then a per-group window over LIVE KEYS ONLY
+    (the window input is already one row per key — never the raw
+    changelog)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn("op", _op_col())
+    live = compact_latest(ev, ["user_id"], ["ts", "event_id"], op_col="op")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("user_id"))
+    return (
+        live.select(
+            "event_type",
+            "user_id",
+            "value",
+            F.row_number().over(w).alias("rank_in_group"),
+        )
+        .filter(F.col("rank_in_group") <= 3)
+    )
