@@ -19,6 +19,21 @@ from pyspark.sql.window import Window
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
 
 
+def _fd(x: float) -> str:
+    """Render a python float as a SQL DOUBLE literal. Non-finite values
+    (means of corrupt embeddings propagate NaN/Inf into centroids) must
+    not reach the parser as bare ``nanD``/``infD`` — that fails the
+    whole plan at parse time; emit the explicit CAST spelling instead."""
+    v = float(x)
+    if v != v:
+        return "cast('NaN' as double)"
+    if v == float("inf"):
+        return "cast('Infinity' as double)"
+    if v == float("-inf"):
+        return "cast('-Infinity' as double)"
+    return f"{v!r}D"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, summed in array order."""
     return F.aggregate(
@@ -261,7 +276,13 @@ def ivf_topk(
             [list(r[0]) for r in train_df.select(F.col(vec_col)).collect()], dtype=np.float64
         )
         rng = np.random.default_rng(seed)
-        cents = X[rng.choice(len(X), size=nlist, replace=False)].copy()
+        # tiny/unlucky samples can undershoot nlist — pad by cycling the
+        # sample rather than raising (pyspark.ml KMeans tolerated k > n)
+        n_pick = min(nlist, len(X))
+        idx = rng.choice(len(X), size=n_pick, replace=False)
+        if n_pick < nlist:
+            idx = np.resize(idx, nlist)
+        cents = X[idx].copy()
         for _ in range(8):
             d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             labels = d2.argmin(axis=1)
@@ -279,7 +300,7 @@ def ivf_topk(
         # nlist×dim = 1024 doubles, pure build overhead).
         cents_sql = "array({})".format(
             ",".join(
-                "array({})".format(",".join(f"{float(x)!r}D" for x in c))
+                "array({})".format(",".join(_fd(x) for x in c))
                 for c in centroids
             )
         )
@@ -299,7 +320,7 @@ def ivf_topk(
         inline_sql = "inline(array({}))".format(
             ",".join(
                 "struct({} as _cell, array({}) as _centroid)".format(
-                    i, ",".join(f"{float(x)!r}D" for x in c)
+                    i, ",".join(_fd(x) for x in c)
                 )
                 for i, c in enumerate(centroids)
             )
@@ -407,7 +428,10 @@ def pq_topk(
     argmin/sum so code assignment cannot flip on summation-order ulps.
     """
     spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("pq_topk: empty corpus (cannot infer embedding dim)")
+    dim = len(head[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -453,7 +477,11 @@ def pq_topk(
         for s in range(m):
             X = sample[:, s * sub : (s + 1) * sub]
             rng = np.random.default_rng(seed + s)
-            cents = X[rng.choice(len(X), size=ks, replace=False)].copy()
+            n_pick = min(ks, len(X))
+            idx = rng.choice(len(X), size=n_pick, replace=False)
+            if n_pick < ks:
+                idx = np.resize(idx, ks)
+            cents = X[idx].copy()
             for _ in range(8):
                 d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
                 assign = d2.argmin(axis=1)
@@ -473,7 +501,7 @@ def pq_topk(
         ",".join(
             "array({})".format(
                 ",".join(
-                    "array({})".format(",".join(f"{float(x)!r}D" for x in code))
+                    "array({})".format(",".join(_fd(x) for x in code))
                     for code in codebooks[s]
                 )
             )

@@ -441,7 +441,9 @@ def cdc_pipeline_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "schema",
             "id",
         )
-        sink = ParquetUpsertSink(os.path.join(work, "sink"), key_cols=["schema"])
+        # refresh: the aggregate is recomputed over FULL live state per
+        # batch, so absent groups must be deleted, not left stale
+        sink = ParquetUpsertSink(os.path.join(work, "sink"), key_cols=["schema"], refresh=True)
         q = run_compacted_aggregate(
             flat,
             state_dir=os.path.join(work, "state"),
@@ -751,7 +753,9 @@ def changelog_agg_multi_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
             .withColumn("op", _op_col())
         )
-        sink = ParquetUpsertSink(os.path.join(work, "sink"), key_cols=["event_type"])
+        sink = ParquetUpsertSink(
+            os.path.join(work, "sink"), key_cols=["event_type"], refresh=True
+        )
         q = run_compacted_aggregate(
             stream,
             state_dir=os.path.join(work, "state"),

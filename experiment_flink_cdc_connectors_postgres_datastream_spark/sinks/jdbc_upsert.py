@@ -90,15 +90,23 @@ class ParquetUpsertSink:
       each partition* wins (``monotonically_increasing_id`` orders rows
       per-partition only, so across partitions the winner follows
       partition layout, not global input order — supply ``seq_cols``
-      when cross-partition determinism matters).
+      when cross-partition determinism matters);
+    - ``refresh=True`` treats every batch as the COMPLETE table (the
+      shape :func:`run_compacted_aggregate` produces — it recomputes
+      the aggregate over full live state each micro-batch): keys
+      absent from the batch are DELETED, so a group whose live count
+      transiently drops to zero cannot leave a stale row behind. The
+      commit rewrites all buckets, which is fine precisely because a
+      full-state aggregate is group-cardinality-sized, not data-sized.
     """
 
     def __init__(self, path: str, key_cols: list[str], seq_cols: list[str] | None = None,
-                 n_buckets: int = 8):
+                 n_buckets: int = 8, refresh: bool = False):
         self.path = path
         self.key_cols = key_cols
         self.seq_cols = seq_cols or []
         self.n_buckets = n_buckets
+        self.refresh = refresh
         self._store = None
 
     def _get_store(self, spark: SparkSession):
@@ -124,6 +132,14 @@ class ParquetUpsertSink:
                 "_row_seq", F.monotonically_increasing_id()
             )
         )
+        if self.refresh:
+            # batch IS the whole table: dedupe within it, then rewrite
+            # every bucket so absent keys (empty groups) are deleted
+            compacted = compact_latest(
+                batch, self.key_cols, ["_gen", *self.seq_cols, "_row_seq"]
+            ).drop("_gen", "_row_seq")
+            store.commit(compacted, list(range(store.n_buckets)), version=batch_id)
+            return
         touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
         if not touched:
             return

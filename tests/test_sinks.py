@@ -1,11 +1,16 @@
-"""Sink tests: bus wire projection (K2) and JDBC upsert SQL (K3)."""
+"""Sink tests: bus wire projection (K2), the K2↔S4 round-trip law,
+and JDBC upsert SQL (K3)."""
 
 from __future__ import annotations
 
 import json
 
+from hypothesis import given, settings, strategies as st
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
 from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks import ParquetUpsertSink, build_upsert_sql
 from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.bus import to_keyed_json
+from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import changelog_from_bus
 
 
 def test_to_keyed_json_wire_shape(spark):
@@ -18,6 +23,73 @@ def test_to_keyed_json_wire_shape(spark):
     assert bytes(row["key"]) == b"schema1|1"
     assert json.loads(bytes(row["value"])) == {"op": "c", "id": 1, "full_name": "susan"}
     assert row["topic"] == "users"
+
+
+# ---- K2 ↔ S4 round-trip law ------------------------------------------
+#
+# A frame written by the K2 sink (`to_keyed_json`) and read back by the
+# S4 source (`changelog_from_bus`) must reproduce the original typed
+# envelope values exactly, and re-serializing the recovered envelope
+# must reproduce the wire bytes byte-identically — the property a real
+# Kafka/Pulsar user depends on when wiring sink→topic→source.
+
+_ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("op", StringType()),
+        StructField("id", LongType()),
+        StructField("full_name", StringType()),
+    ]
+)
+
+# valid-utf8 text (no lone surrogates — they can't hit a JSON wire)
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x10FFFF),
+    max_size=24,
+)
+_rows = st.lists(
+    st.tuples(
+        _text,  # key (may be empty; unicode; JSON-hostile chars)
+        st.sampled_from(["c", "u", "d", "r"]),  # op
+        st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),  # id
+        st.one_of(st.none(), _text),  # full_name
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_rows)
+def test_bus_round_trip_property(spark, rows):
+    df = spark.createDataFrame(
+        rows, "key string, op string, id long, full_name string"
+    )
+    wire = to_keyed_json(df, topic="users", value_cols=["op", "id", "full_name"])
+    back = changelog_from_bus(wire, _ENVELOPE_SCHEMA)
+    got = sorted(
+        (r["key"], r["op"], r["id"], r["full_name"]) for r in back.collect()
+    )
+    assert got == sorted(rows)
+    # byte-identity: re-serializing the recovered envelope reproduces
+    # the wire frame exactly (key bytes AND value JSON bytes)
+    wire2 = to_keyed_json(back, topic="users", value_cols=["op", "id", "full_name"])
+    frames1 = sorted(
+        (bytes(r["key"]), bytes(r["value"]), r["topic"]) for r in wire.collect()
+    )
+    frames2 = sorted(
+        (bytes(r["key"]), bytes(r["value"]), r["topic"]) for r in wire2.collect()
+    )
+    assert frames1 == frames2
+
+
+def test_parquet_upsert_sink_refresh_deletes_absent_keys(spark, tmp_path):
+    """refresh=True: each batch is the complete table — a group that
+    disappears (live count dropped to zero) must not leave a stale row."""
+    sink = ParquetUpsertSink(str(tmp_path / "t.parquet"), key_cols=["k"], refresh=True)
+    sink(spark.createDataFrame([("a", 2), ("b", 1)], "k string, v long"), 0)
+    sink(spark.createDataFrame([("a", 3)], "k string, v long"), 1)  # b emptied
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got == {"a": 3}
 
 
 def test_build_upsert_sql():
