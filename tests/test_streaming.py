@@ -206,6 +206,64 @@ def test_merge_latest_semantics():
     assert latest["v"] == "fresh"
 
 
+def test_apply_register_events_gc_and_late_events():
+    """Tombstone GC contract of the stateful live count: a late insert
+    older than a retained tombstone stays dead; dead registers past the
+    retention horizon are dropped so state size is bounded; live keys
+    are never GC'd."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.stateful import apply_register_events
+
+    reg = {}
+    # insert then delete k1; k2 stays live
+    apply_register_events(reg, [("k1", "c", 100, 1), ("k2", "c", 110, 2)], 1000)
+    apply_register_events(reg, [("k1", "d", 200, 3)], 1000)
+    assert reg["k1"] == ((200, 3), False)
+    # LATE insert older than the tombstone: within retention → stays dead
+    apply_register_events(reg, [("k1", "c", 150, 2)], 1000)
+    assert reg["k1"][1] is False
+    # horizon advances past the tombstone (1200+retention > 200+1000):
+    # tombstone GC'd, live key k2 retained
+    apply_register_events(reg, [("k3", "c", 1201, 4)], 1000)
+    assert "k1" not in reg
+    assert reg["k2"][1] is True and reg["k3"][1] is True
+    # retention=None retains tombstones forever
+    reg2 = {}
+    apply_register_events(reg2, [("a", "d", 1, 1), ("b", "c", 10**9, 2)], None)
+    assert reg2["a"][1] is False
+
+
+def test_live_count_with_state_cardinality_guard(spark, tmp_path):
+    """A group exceeding max_keys_per_group fails loudly (with the
+    run_compacted_aggregate pointer), never silently grows one state row."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming import live_count_with_state
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("s1", f"k{i}", "c", i, i) for i in range(5)],
+        "schema string, key string, op string, ts_ms long, lsn long",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "schema string, key string, op string, ts_ms long, lsn long"
+    ).parquet(src)
+    counts = live_count_with_state(stream, max_keys_per_group=2)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("guard_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("expected cardinality guard to fire")
+    except StreamingQueryException as e:
+        assert "max_keys_per_group" in str(e) and "run_compacted_aggregate" in str(e)
+
+
 def test_live_count_with_state_multibatch_golden(spark, cdc_dir, tmp_path):
     """applyInPandasWithState live counting across TWO micro-batches on
     the golden walkthrough: updates must not double-count and the
