@@ -268,6 +268,99 @@ def session_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tumbling_window_late_streamed",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_us,
+           COUNT(1) AS n_events,
+           ROUND(SUM(value), 3) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def tumbling_window_late_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 with LATE DATA at the watermark boundary: the events table is
+    replayed as batch 1; batch 2 is a far-future sentinel that advances
+    the event-time watermark past every real window; batch 3 re-delivers
+    the 200 EARLIEST events — every one now behind the watermark, so the
+    engine must DROP them all (append-mode finalized windows are
+    immutable); batch 4 is a second sentinel that triggers the batch
+    applying the first one. Hash-matching the batch oracle computed on
+    the ORIGINAL events only proves the drop actually happened — if any
+    late row leaked into a finalized window, its count/sum would shift.
+    The include side of the boundary (late-but-within-delay rows DO
+    count) is pinned by the golden watermark test in
+    tests/test_streaming.py.
+
+    Production shape: watermark + append bounds window state by
+    lateness — the form that survives an unbounded stream, unlike the
+    complete-mode demo replay of `tumbling_window_streamed`."""
+    import datetime as _dt
+    import time as _time
+
+    work = tempfile.mkdtemp(prefix="win_late_streamed_")
+    tbl = f"win_late_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events").select("ts", "value")
+        src = os.path.join(work, "src")
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        max_us = int(max_ts.timestamp() * 1_000_000)
+        # mtime gaps pin file → batch order (maxFilesPerTrigger=1)
+        _time.sleep(1.05)
+        for i, days in enumerate((1, 2)):
+            sent_ts = (max_ts + _dt.timedelta(days=days)).strftime("%Y-%m-%d %H:%M:%S.%f")
+            spark.sql(
+                f"SELECT TIMESTAMP '{sent_ts}' AS ts, CAST(NULL AS DOUBLE) AS value"
+            ).coalesce(1).write.mode("append").parquet(src)
+            if i == 0:
+                _time.sleep(1.05)
+                # the late file must land AFTER sentinel 1 (mtime order);
+                # duplicate the earliest 200 events — all far behind the
+                # advanced watermark, so all must be dropped
+                ev.orderBy("ts").limit(200).coalesce(1).write.mode("append").parquet(src)
+                _time.sleep(1.05)
+        stream = (
+            spark.readStream.schema("ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window(F.col("ts"), "5 minutes").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 3).alias("total_value"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "n_events",
+                "total_value",
+            )
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(tbl)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # sentinel windows start after max_ts — excluded from the claim
+        pdf = spark.table(tbl).filter(F.col("window_start_us") <= max_us).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "window_start_us long, n_events long, total_value double"
+    )
+
+
+@register(
     "dedup_streamed",
     """
     SELECT event_type,

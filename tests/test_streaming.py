@@ -206,6 +206,74 @@ def test_merge_latest_semantics():
     assert latest["v"] == "fresh"
 
 
+def test_tumbling_window_watermark_boundary_golden(spark, tmp_path):
+    """Golden late-row case at the watermark boundary (A2, VERDICT r3
+    #8), 10-minute watermark delay, 5-minute tumbling windows.
+
+    Spark's contract: a late row is dropped once its window state has
+    been EVICTED — eviction runs during the first batch whose working
+    watermark exceeds the window end (the watermark advance itself
+    lags one batch). Schedule:
+
+    - batch 0: rows 00:00, 00:03, 00:17 → watermark becomes 00:07;
+    - batch 1: fresh row 00:18 — working watermark 00:07 evicts and
+      finalizes window [00:00,00:05) with count 2;
+    - batch 2: late row 00:04 (its window is finalized → DROPPED) and
+      late row 00:12 (window [00:10,00:15) end 00:15 > watermark
+      00:08 → state still open → INCLUDED);
+    - sentinel batches flush the remaining windows.
+
+    The emitted counts must show exactly one of the two late rows."""
+    import datetime as dt
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1).write.mode(
+            mode
+        ).parquet(src)
+        _time.sleep(1.05)  # pin mtime order → batch order
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    src = str(tmp_path / "src")
+    write_batch([(ts(0), 1), (ts(3), 2), (ts(17), 3)], "overwrite")
+    write_batch([(ts(18), 4)], "append")  # eviction batch: finalizes [00:00,00:05)
+    write_batch([(ts(4), 5), (ts(12), 6)], "append")  # one late-drop, one late-keep
+    write_batch([(ts(600), 7)], "append")  # advance watermark past all real windows
+    write_batch([(ts(1200), 8)], "append")  # trigger the batch applying it
+    stream = (
+        spark.readStream.schema("ts timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_golden")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        int((r["ws"] - t0).total_seconds() // 60): r["n"]
+        for r in spark.table("wm_golden").collect()
+        if r["ws"] < ts(600)
+    }
+    assert got == {0: 2, 10: 1, 15: 2}, got
+
+
 def test_apply_register_events_gc_and_late_events():
     """Tombstone GC contract of the stateful live count: a late insert
     older than a retained tombstone stays dead; dead registers past the
