@@ -82,13 +82,29 @@ def decode_media(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
     Output: DECODED_SCHEMA.
     """
 
+    def _real_decode(payload: bytes) -> tuple[int, int, int]:
+        """PIL-backed decode (optional dependency, same gating pattern
+        as psycopg2 in sinks/jdbc_upsert.py): (width, height, n_frames)
+        from the actual image bytes; animated formats report their real
+        frame count."""
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+
+        with Image.open(io.BytesIO(payload)) as img:
+            return img.size[0], img.size[1], int(getattr(img, "n_frames", 1))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if use_real_decoder:
+        if use_real_decoder:
+            try:
+                import PIL  # noqa: F401, PLC0415
+            except ImportError as e:
                 raise NotImplementedError(
                     "real media decoding requires PIL/ffmpeg, not present in this container"
-                )
-            decoded = [_fake_decode(p if p is not None else b"") for p in pdf["payload"]]
+                ) from e
+        decode = _real_decode if use_real_decoder else _fake_decode
+        for pdf in batches:
+            decoded = [decode(p if p is not None else b"") for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

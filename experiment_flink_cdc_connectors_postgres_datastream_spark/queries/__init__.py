@@ -25,64 +25,53 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import be
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import governance_ops  # noqa: F401
 
 # The correctness driver grades the FIRST 50 registered queries, in
-# registration order. Rounds 1-2 graded the reference-surface + text +
-# dedup + similarity + analytics representatives (all green in
-# CORRECTNESS_r02 except harness-artifact tokens_to_ids, since fixed).
-# Round 3 ROTATES the window: re-grade the four rows whose status
-# changed since r2 (tokens_to_ids csv-scalar fix; minhash/simhash/
-# sign-LSH gained full md5-family oracles), then fill with queries the
-# driver has never graded — streamed twins, source formats, behavior
-# analytics, governance, pipeline shaping, window functions, heavier
-# TPC-H — so cumulative driver-verified coverage approaches the full
-# registry. Everything graded green in r2 stays registered (and
-# locally verified via tools/verify_local.py) after the priority block.
+# registration order. Cumulative driver-graded coverage after r3: 121
+# of 141 then-registered queries, 120/121 green on latest grade (the
+# one non-green is rows-only by contract). Round 4 FINISHES the
+# rotation: the 20 queries the driver has never graded lead the
+# window (17 with full oracles; similarity_topk_pq +
+# approx_distinct_users + approx_percentile_by_type are rows-only by
+# contract — k-means fit / Theta-sketch / KLL internals aren't
+# DuckDB-expressible), followed by the round-4 additions and a
+# re-grade of every query whose code path changed this round
+# (refresh-mode upsert sink; similarity literal rendering / k-means
+# init clamp; stateful-operator GC params). Remaining slots re-confirm
+# the semantic core. Everything outside the window stays registered
+# and locally verified via tools/verify_local.py.
 _PRIORITY = [
-    # status changed since r2 — needs a fresh driver grade
-    "tokens_to_ids", "dedup_minhash", "dedup_simhash",
-    "similarity_topk_lsh",
-    # streamed twins (stream-batch consistency graded end-to-end;
-    # cdc_live_count_stateful is the applyInPandasWithState custom
-    # stateful operator, new in round 3)
-    "tumbling_window_streamed", "session_window_streamed",
-    "dedup_streamed", "stream_stream_join_streamed",
-    "stream_static_join_streamed", "cdc_live_count_stateful",
-    # two-table changelog-changelog join (reference's second captured
-    # table, new in round 3)
-    "cdc_two_table_join",
-    # source / format round trips
-    "jsonl_roundtrip", "csv_roundtrip", "orc_roundtrip",
-    "schema_merge_roundtrip",
-    # behavior analytics
-    "funnel_conversion", "retention_cohorts", "mixture_sample",
-    "multi_resolution_rollup",
-    # governance / curation
-    "word_entropy", "zscore_outliers", "curation_pipeline",
-    # pipeline shaping
-    "doc_chunking", "repetition_ratio",
-    "length_band_filter", "interval_join_counts",
-    "hash_sample_per_group", "salted_agg_demo", "contamination_check",
-    "train_val_test_split",
-    # multimodal: decode/frames/feature-topk converted from rows-only
-    # to full oracles in round 3 (the fake-decoder arithmetic is
-    # mirrored in SQL, so the mapInPandas plumbing is value-graded)
-    "multimodal_decode", "multimodal_frames", "multimodal_feature_topk",
-    # corpus audit
-    "embedding_quantize_error", "type_token_ratio",
-    "bigram_logprob_by_source",
-    # dedup endpoints not yet driver-graded (spans + star CC are new
-    # in round 3; sequence_packing / embedding_near_dup /
-    # ivf_sampled converted or added with full oracles in round 3)
-    "dedup_apply_fuzzy", "dedup_jaccard_prefix", "dedup_spans",
-    "dedup_clusters_star", "sequence_packing", "embedding_near_dup",
-    "similarity_topk_ivf_sampled",
-    # relational breadth (ntile/agg_stats/set_ops/tpch_q3/q5 rotated
-    # OUT this pass: plain-SQL families with r2-green siblings, all
-    # still locally verified — their slots go to the new operators)
-    "customers_without_orders", "grouping_sets_count",
-    # round 3b: changelog multi-aggregate maintenance (batch + the
-    # streamed state-store twin), CCNet-style line dedup, PQ/ADC ANN
-    "changelog_agg_multi", "changelog_agg_multi_streamed",
-    "boilerplate_removal", "similarity_topk_pq_sampled",
+    # --- never driver-graded until now (VERDICT r3 item 1) ---
+    "changelog_topk_per_group", "bpe_pair_counts", "dedup_containment",
+    "similarity_topk_pq", "ntile_quartiles", "stratified_sample",
+    "collect_sorted_ids", "approx_distinct_users", "top_terms_by_source",
+    "approx_percentile_by_type", "variant_extract", "zorder_layout",
+    "window_running_sum", "window_moving_avg", "window_first_last",
+    "monthly_order_stats", "string_functions", "normalize_text",
+    "epoch_shuffle", "unigram_kl_by_source",
+    # --- new in round 4 ---
+    # PQ graded at a second (m, ks) point WITH the exact-cosine rerank
+    # stage value-pinned end to end (VERDICT r3 item 7)
+    "similarity_topk_pq_sampled_rerank",
+    # watermark + append late-data twin: injected late rows must be
+    # dropped at the boundary (VERDICT r3 item 8)
+    "tumbling_window_late_streamed",
+    # PMI collocation extraction (phrase mining for tokenizer merges)
+    "word_pmi_top",
+    # --- code paths changed in round 4 → fresh grade ---
+    "cdc_pipeline_streamed", "changelog_agg_multi_streamed",
+    "cdc_live_count_stateful", "similarity_topk_ivf_sampled",
+    "similarity_topk_pq_sampled",
+    # --- semantic-core re-confirmation (all green r1-r3; slots left
+    # after the blocks above go to the operators a reference user runs
+    # first: CDC pipeline, changelog family, windows, dedup, ANN,
+    # text, TPC-H heads) ---
+    "cdc_pipeline", "cdc_parse_envelope", "compact_latest",
+    "count_live_by", "changelog_diff", "changelog_agg_multi",
+    "tumbling_window", "session_window",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_spans",
+    "similarity_topk", "similarity_topk_lsh",
+    "tokenize", "quality_score", "sequence_packing",
+    "tpch_q1", "tpch_q6", "tpch_q18",
 ]
 
 

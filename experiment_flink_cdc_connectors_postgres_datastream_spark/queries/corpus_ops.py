@@ -266,3 +266,76 @@ def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
         )
     )
+
+
+@register(
+    "word_pmi_top",
+    r"""
+    WITH t AS (
+      SELECT regexp_split_to_array(lower(text), '\s+') AS toks
+      FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2),
+    u AS (SELECT unnest(toks) AS w FROM t),
+    cb AS (SELECT bigram, CAST(COUNT(1) AS BIGINT) AS c_b FROM b GROUP BY bigram),
+    cu AS (SELECT w, CAST(COUNT(1) AS BIGINT) AS c_w FROM u WHERE w <> '' GROUP BY w),
+    nb AS (SELECT CAST(SUM(c_b) AS DOUBLE) AS n_b FROM cb),
+    nu AS (SELECT CAST(SUM(c_w) AS DOUBLE) AS n_u FROM cu),
+    scored AS (
+      SELECT cb.bigram, cb.c_b,
+             ROUND(ln((cb.c_b / nb.n_b) /
+                      ((u1.c_w / nu.n_u) * (u2.c_w / nu.n_u))), 4) AS pmi
+      FROM cb
+      JOIN cu u1 ON u1.w = split_part(cb.bigram, ' ', 1)
+      JOIN cu u2 ON u2.w = split_part(cb.bigram, ' ', 2)
+      CROSS JOIN nb CROSS JOIN nu
+      WHERE cb.c_b >= 5)
+    SELECT bigram, c_b, pmi FROM scored
+    ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+)
+def word_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 adjacent word pairs by pointwise
+    mutual information, PMI = ln(p(w1w2) / (p(w1)·p(w2))), with a
+    min-count floor (c_b ≥ 5) so rare-pair noise doesn't dominate —
+    the phrase-mining step feeding tokenizer merges and boilerplate
+    phrase lists (Church & Hanks 1990).
+
+    Scale shape: the bigram and unigram counts are the same explode →
+    map-side-combined aggregations the dedup/BPE paths already run;
+    the unigram table joins back twice by word key (AQE broadcasts it
+    when small), the two grand totals are 1-row broadcast scalars, and
+    the final top-k is TakeOrderedAndProject — no global sort, no
+    all-pairs anywhere."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    b = docs.select(F.explode(bigrams(toks)).alias("bigram"))
+    u = docs.select(F.explode(toks).alias("w")).filter(F.col("w") != "")
+    cb = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b")).filter(F.col("c_b") >= 5)
+    cu = u.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    nb = b.agg(F.count(F.lit(1)).cast("double").alias("n_b"))
+    nu = u.agg(F.count(F.lit(1)).cast("double").alias("n_u"))
+    u1 = cu.select(F.col("w").alias("_w1"), F.col("c_w").alias("_c1"))
+    u2 = cu.select(F.col("w").alias("_w2"), F.col("c_w").alias("_c2"))
+    scored = (
+        cb.withColumn("_w1", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("_w2", F.split(F.col("bigram"), " ").getItem(1))
+        .join(u1, "_w1")
+        .join(u2, "_w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "bigram",
+            "c_b",
+            F.round(
+                F.log(
+                    (F.col("c_b") / F.col("n_b"))
+                    / ((F.col("_c1") / F.col("n_u")) * (F.col("_c2") / F.col("n_u")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)

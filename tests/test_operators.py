@@ -188,10 +188,68 @@ def test_multimodal_feature_extraction_feeds_similarity(spark):
     assert top["doc_id"] == 2 and top["sim"] == 1.0  # identical payload wins
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
+try:
+    import PIL  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL present: the real decoder works, guard does not fire")
+def test_multimodal_real_decoder_guard_without_pil(spark):
     df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         decode_media(attach_binary_payload(df), use_real_decoder=True).collect()
+
+
+@pytest.mark.skipif(
+    not _HAS_PIL,
+    reason="PIL not installed; install pillow to exercise the real decode path "
+    "(optional-dependency gate, same pattern as POSTGRES_CDC_TEST_DSN)",
+)
+def test_multimodal_real_decoder_decodes_checked_in_png(spark):
+    """use_real_decoder=True on the checked-in 6x4 RGB PNG
+    (tests/data/tiny.png): PIL reports the true dimensions and a
+    single frame through the same mapInPandas plumbing the fake
+    decoder uses — proving only the codec, not the pipeline, was
+    stubbed."""
+    import os
+
+    png = open(os.path.join(os.path.dirname(__file__), "data", "tiny.png"), "rb").read()
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    df = df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("png").alias("format"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+        ),
+    )
+    [row] = decode_media(df, use_real_decoder=True).collect()
+    assert (row["width"], row["height"], row["n_frames"]) == (6, 4, 1)
+    assert row["n_bytes"] == len(png) and row["media_type"] == "image"
+
+
+def test_multimodal_featurizer_matches_golden_histogram(spark):
+    """The byte-histogram featurizer is pinned to a numpy-computed
+    golden vector on the checked-in PNG bytes — any change to the
+    fold/normalize scheme breaks this visibly."""
+    import os
+
+    import numpy as np
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.multimodal import extract_features
+
+    png = open(os.path.join(os.path.dirname(__file__), "data", "tiny.png"), "rb").read()
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    [row] = extract_features(df).collect()
+    buf = np.frombuffer(png, dtype=np.uint8)
+    hist = np.zeros(16, dtype=np.float64)
+    np.add.at(hist, buf % 16, 1.0)
+    hist /= np.linalg.norm(hist)
+    assert np.allclose(row["embedding"], hist.astype(np.float32), atol=1e-7)
 
 
 def test_approx_distinct_within_tolerance(spark):
