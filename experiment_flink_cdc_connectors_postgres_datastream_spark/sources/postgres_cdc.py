@@ -178,14 +178,14 @@ class PostgresReplicationClient:
 
     def _connect(self):
         try:
-            import psycopg2  # noqa: PLC0415
-        except ImportError as e:  # pragma: no cover - env without driver
-            raise ImportError(
-                "postgres_cdc source requires psycopg2 at runtime; "
-                "inject a client for tests (PostgresCDCStreamReader(client=...))"
-            ) from e
+            import psycopg2 as driver  # noqa: PLC0415
+        except ImportError:  # pragma: no cover - env without driver
+            # pure-Python protocol-v3 fallback (same call surface);
+            # lets the live integration test run where psycopg2 can't
+            # be installed — see sources/pg_minimal.py for scope
+            from experiment_flink_cdc_connectors_postgres_datastream_spark.sources import pg_minimal as driver  # noqa: PLC0415
         c = self.config
-        return psycopg2.connect(
+        return driver.connect(
             host=c.hostname, port=c.port, dbname=c.database, user=c.username, password=c.password
         )
 

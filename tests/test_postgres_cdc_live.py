@@ -1,19 +1,28 @@
 """LIVE-server integration test for the Postgres CDC source (S1).
 
-The sandbox has neither psycopg2 nor a Postgres server, so the module
-is skipped there — the point is that the real-client code path
-(`PostgresReplicationClient`: ensure_slot / peek / advance / snapshot)
-is provable OUTSIDE the sandbox with zero code changes:
+Runs the real-client code path (`PostgresReplicationClient`:
+ensure_slot / peek / advance / snapshot) against an actual Postgres:
 
     POSTGRES_CDC_TEST_DSN="host=localhost port=5432 dbname=postgres \
         user=postgres password=pg" pytest tests/test_postgres_cdc_live.py
 
+or, where Postgres server binaries are installed but no server runs
+(this container qualifies):
+
+    tools/run_live_cdc_test.sh   # scratch initdb + pg_ctl + pytest
+
+The DB driver is psycopg2 when importable, otherwise the bundled
+pure-Python protocol client (`sources.pg_minimal`) — the same
+fallback `PostgresReplicationClient._connect` uses, so the test
+exercises exactly the production connect path either way.
+
 Requirements on the target server (mirrors the reference's
 docker-compose.yaml:10 + setup_source_db1.sql:11,17):
   - wal_level=logical, free replication slot
-  - wal2json plugin installed (the pgoutput variant additionally
-    creates a publication; it is skipped on servers that refuse)
-  - the role may CREATE SCHEMA and replication slots
+  - for the wal2json variants: the wal2json plugin (skipped when the
+    server lacks it — stock PG ships only pgoutput, the plugin the
+    reference itself uses via SJCD:67)
+  - the role may CREATE SCHEMA, publications, and replication slots
 
 Everything is created under a scratch schema + uniquely-named slot and
 dropped afterwards, so the test is re-runnable and side-effect free.
@@ -31,10 +40,14 @@ DSN = os.environ.get("POSTGRES_CDC_TEST_DSN", "")
 if not DSN:
     pytest.skip(
         "POSTGRES_CDC_TEST_DSN not set; the live CDC integration test "
-        "needs a reachable Postgres with wal_level=logical",
+        "needs a reachable Postgres with wal_level=logical "
+        "(tools/run_live_cdc_test.sh provisions a scratch one)",
         allow_module_level=True,
     )
-psycopg2 = pytest.importorskip("psycopg2")
+try:
+    import psycopg2
+except ImportError:
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources import pg_minimal as psycopg2
 
 from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import (  # noqa: E402
     PostgresCDCConfig,
@@ -44,6 +57,17 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_
 
 def _dsn_params() -> dict[str, str]:
     return dict(kv.split("=", 1) for kv in DSN.split())
+
+
+def _require_plugin(cur, name: str) -> None:
+    """Skip (not fail) when the server lacks a logical decoding plugin:
+    probe by creating and immediately dropping a throwaway slot."""
+    probe = f"cdc_probe_{uuid.uuid4().hex[:8]}"
+    try:
+        cur.execute(f"SELECT pg_create_logical_replication_slot('{probe}', '{name}')")
+    except Exception as e:
+        pytest.skip(f"logical decoding plugin {name!r} unavailable: {e}")
+    cur.execute(f"SELECT pg_drop_replication_slot('{probe}')")
 
 
 def _connect():
@@ -105,10 +129,21 @@ def _config(scratch, plugin="wal2json") -> PostgresCDCConfig:
 
 
 def _drain(reader, start):
-    """One micro-batch: plan, read, return (envelopes, end_offset)."""
-    end = reader.latestOffset()
-    rows = [r for part in reader.partitions(start, end) for r in reader.read(part)]
-    return [json.loads(v) for v, _lsn, _ts in rows], end
+    """Drain micro-batches until the offset stops advancing — exactly
+    how Spark drives the reader (repeated latestOffset → partitions →
+    read rounds). With pgoutput, Begin/Relation/Commit messages consume
+    peek-window slots, so a small poll_batch_size spreads one burst of
+    DML over SEVERAL micro-batches; collecting until quiescence is the
+    realistic consumption pattern, not an accommodation."""
+    envs, cur = [], start
+    while True:
+        end = reader.latestOffset()
+        if end == cur:
+            break
+        rows = [r for part in reader.partitions(cur, end) for r in reader.read(part)]
+        envs.extend(json.loads(v) for v, _lsn, _ts in rows)
+        cur = end
+    return envs, cur
 
 
 def _run_protocol(reader, scratch):
@@ -137,8 +172,32 @@ def _run_protocol(reader, scratch):
     return end2
 
 
-def test_wal2json_snapshot_tail_and_restart(scratch):
-    cfg = _config(scratch, plugin="wal2json")
+def _setup_plugin(scratch, plugin: str) -> None:
+    """Per-plugin server prerequisites, skipping (not failing) where
+    the server can't satisfy them: wal2json must be installed
+    (extension, not shipped with stock Postgres); pgoutput needs a
+    publication covering the captured tables."""
+    cur = scratch["cur"]
+    if plugin == "wal2json":
+        _require_plugin(cur, "wal2json")
+        return
+    try:
+        cur.execute(
+            f'CREATE PUBLICATION "{scratch["pub"]}" FOR TABLES IN SCHEMA "{scratch["schema"]}"'
+        )
+    except Exception:
+        try:
+            cur.execute(
+                f'CREATE PUBLICATION "{scratch["pub"]}" FOR TABLE "{scratch["schema"]}".users'
+            )
+        except Exception as e:
+            pytest.skip(f"cannot create publication: {e}")
+
+
+@pytest.mark.parametrize("plugin", ["wal2json", "pgoutput"])
+def test_snapshot_tail_and_restart(scratch, plugin):
+    _setup_plugin(scratch, plugin)
+    cfg = _config(scratch, plugin=plugin)
     end = _run_protocol(PostgresCDCStreamReader(cfg), scratch)
 
     # Restart: a fresh reader on an advanced slot must NOT re-snapshot
@@ -153,10 +212,12 @@ def test_wal2json_snapshot_tail_and_restart(scratch):
     reader2.commit(end3)
 
 
-def test_wal2json_uncommitted_batch_replay(scratch):
+@pytest.mark.parametrize("plugin", ["wal2json", "pgoutput"])
+def test_uncommitted_batch_replay(scratch, plugin):
     """Crash between planning and checkpoint: a new reader must serve
     the planned-but-uncommitted span again from the un-advanced slot."""
-    cfg = _config(scratch, plugin="wal2json")
+    _setup_plugin(scratch, plugin)
+    cfg = _config(scratch, plugin=plugin)
     reader = PostgresCDCStreamReader(cfg)
     start = reader.initialOffset()
     envs, end = _drain(reader, start)
@@ -175,20 +236,9 @@ def test_wal2json_uncommitted_batch_replay(scratch):
     assert ids == [5]
 
 
-def test_pgoutput_snapshot_and_tail(scratch):
-    """Same protocol through the pgoutput decoding path (requires a
-    publication; skipped where the role cannot create one)."""
-    cur = scratch["cur"]
-    try:
-        cur.execute(
-            f'CREATE PUBLICATION "{scratch["pub"]}" FOR TABLES IN SCHEMA "{scratch["schema"]}"'
-        )
-    except Exception:
-        try:
-            cur.execute(
-                f'CREATE PUBLICATION "{scratch["pub"]}" FOR TABLE "{scratch["schema"]}".users'
-            )
-        except Exception as e:
-            pytest.skip(f"cannot create publication: {e}")
-    cfg = _config(scratch, plugin="pgoutput")
+@pytest.mark.parametrize("plugin", ["wal2json", "pgoutput"])
+def test_snapshot_and_tail(scratch, plugin):
+    """The base snapshot → mutation-tail protocol per plugin."""
+    _setup_plugin(scratch, plugin)
+    cfg = _config(scratch, plugin=plugin)
     _run_protocol(PostgresCDCStreamReader(cfg), scratch)
