@@ -97,6 +97,9 @@ EXTENDED_QUERIES = [
     "boilerplate_removal",
     "similarity_topk_pq",
     "similarity_topk_pq_sampled",
+    # round 4: PMI collocations + the reranked PQ grading point
+    "word_pmi_top",
+    "similarity_topk_pq_sampled_rerank",
 ]
 
 

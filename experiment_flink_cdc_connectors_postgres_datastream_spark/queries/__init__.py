@@ -56,6 +56,8 @@ _PRIORITY = [
     "tumbling_window_late_streamed",
     # PMI collocation extraction (phrase mining for tokenizer merges)
     "word_pmi_top",
+    # dropDuplicatesWithinWatermark: bounded-state streaming dedup
+    "dedup_within_watermark_streamed",
     # --- code paths changed in round 4 → fresh grade ---
     "cdc_pipeline_streamed", "changelog_agg_multi_streamed",
     "cdc_live_count_stateful", "similarity_topk_ivf_sampled",
@@ -71,7 +73,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_spans",
     "similarity_topk", "similarity_topk_lsh",
     "tokenize", "quality_score", "sequence_packing",
-    "tpch_q1", "tpch_q6", "tpch_q18",
+    "tpch_q1", "tpch_q6",
 ]
 
 

@@ -360,6 +360,66 @@ def tumbling_window_late_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def dedup_within_watermark_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-form streaming dedup: `dropDuplicatesWithinWatermark`
+    — dedup state is EVICTED once the watermark passes an event's time
+    + delay, so state is bounded by lateness instead of growing with
+    every key ever seen (the scale-killer in plain dropDuplicates at
+    100 TB). The events table is replayed twice in separate
+    micro-batches; the delay is set beyond the dataset's time span so
+    both copies land inside the horizon and the result must equal
+    exact COUNT(DISTINCT) — any state eviction firing early (or a
+    duplicate surviving) breaks the hash."""
+    work = tempfile.mkdtemp(prefix="dedup_wm_streamed_")
+    tbl = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+        src = os.path.join(work, "src")
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        ev.coalesce(1).write.mode("append").parquet(src)  # the duplicate copy
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = stream.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(tbl)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        pdf = (
+            spark.table(tbl)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, "event_type string, n_unique long")
+
+
+register(
+    "dedup_within_watermark_streamed",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)(dedup_within_watermark_streamed)
+
+
 @register(
     "dedup_streamed",
     """

@@ -1,0 +1,64 @@
+"""Unit tests for the pure parts of the minimal Postgres client
+(`sources.pg_minimal`): parameter quoting, OID-typed value decoding,
+and wire-message framing helpers. The live protocol path is covered
+end-to-end by tools/run_live_cdc_test.sh → tests/test_postgres_cdc_live.py."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.pg_minimal import (
+    Connection,
+    _decode,
+    _quote,
+)
+
+
+def test_quote_scalars():
+    assert _quote(None) == "NULL"
+    assert _quote(True) == "TRUE" and _quote(False) == "FALSE"
+    assert _quote(42) == "42"
+    assert _quote("plain") == "'plain'"
+    assert _quote("it's") == "'it''s'"
+    # backslashes switch to E'' escapes (standard_conforming safe)
+    assert _quote("a\\b") == "E'a\\\\b'"
+    assert _quote("quote'and\\slash") == "E'quote''and\\\\slash'"
+
+
+def test_quote_lists_render_arrays():
+    assert _quote(["s1", "s2"]) == "ARRAY['s1','s2']"
+    assert _quote([1, 2]) == "ARRAY[1,2]"
+
+
+def test_decode_by_oid():
+    assert _decode(None, 25) is None
+    assert _decode(b"t", 16) is True and _decode(b"f", 16) is False
+    assert _decode(b"123", 20) == 123 and isinstance(_decode(b"7", 23), int)
+    assert _decode(b"1.5", 701) == 1.5
+    assert _decode(b"0/1528B10", 3220) == "0/1528B10"  # pg_lsn stays text
+    assert _decode(b"\\x68690a", 17) == b"hi\n"  # bytea hex
+
+
+def test_error_text_extraction():
+    payload = b"SERROR\x00C42P01\x00Mrelation does not exist\x00\x00"
+    msg = Connection._error_text(payload)
+    assert "relation does not exist" in msg and "42P01" in msg
+
+
+def test_execute_interpolation_shape():
+    """%s rendering must produce exactly the statement psycopg2 would
+    send for the CDC client's parameterized calls."""
+    sql = "SELECT 1 FROM pg_replication_slots WHERE slot_name = %s"
+    rendered = sql % tuple(_quote(p) for p in ("my_slot",))
+    assert rendered == "SELECT 1 FROM pg_replication_slots WHERE slot_name = 'my_slot'"
+    sql2 = "... WHERE table_schema = ANY(%s)"
+    assert (sql2 % (_quote(["s1", "s2"]),)) == "... WHERE table_schema = ANY(ARRAY['s1','s2'])"
+
+
+def test_row_description_struct_size():
+    """The RowDescription per-field trailer layout used by the parser
+    (int32 tableoid, int16 attnum, int32 typoid, int16 typlen,
+    int32 typmod, int16 format) is 18 bytes."""
+    assert struct.calcsize(">IHIhiH") == 18
