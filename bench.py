@@ -97,9 +97,11 @@ EXTENDED_QUERIES = [
     "boilerplate_removal",
     "similarity_topk_pq",
     "similarity_topk_pq_sampled",
-    # round 4: PMI collocations + the reranked PQ grading point
+    # round 4: PMI collocations, reranked PQ grading point, minhash
+    # est-vs-true calibration
     "word_pmi_top",
     "similarity_topk_pq_sampled_rerank",
+    "minhash_calibration",
 ]
 
 

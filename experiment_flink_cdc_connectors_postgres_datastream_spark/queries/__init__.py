@@ -58,6 +58,8 @@ _PRIORITY = [
     "word_pmi_top",
     # dropDuplicatesWithinWatermark: bounded-state streaming dedup
     "dedup_within_watermark_streamed",
+    # MinHash est-vs-true Jaccard calibration on the candidate set
+    "minhash_calibration",
     # --- code paths changed in round 4 → fresh grade ---
     "cdc_pipeline_streamed", "changelog_agg_multi_streamed",
     "cdc_live_count_stateful", "similarity_topk_ivf_sampled",

@@ -313,10 +313,13 @@ def word_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     b = docs.select(F.explode(bigrams(toks)).alias("bigram"))
     u = docs.select(F.explode(toks).alias("w")).filter(F.col("w") != "")
-    cb = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b")).filter(F.col("c_b") >= 5)
+    cb_all = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
+    cb = cb_all.filter(F.col("c_b") >= 5)
     cu = u.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    nb = b.agg(F.count(F.lit(1)).cast("double").alias("n_b"))
-    nu = u.agg(F.count(F.lit(1)).cast("double").alias("n_u"))
+    # grand totals aggregate the COUNTED tables (distinct-term-sized),
+    # not the corpus — two fewer full scans than counting b/u directly
+    nb = cb_all.agg(F.sum("c_b").cast("double").alias("n_b"))
+    nu = cu.agg(F.sum("c_w").cast("double").alias("n_u"))
     u1 = cu.select(F.col("w").alias("_w1"), F.col("c_w").alias("_c1"))
     u2 = cu.select(F.col("w").alias("_w2"), F.col("c_w").alias("_c2"))
     scored = (

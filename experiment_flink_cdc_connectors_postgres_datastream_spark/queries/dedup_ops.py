@@ -359,3 +359,91 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import containment_pairs
 
     return containment_pairs(load_table(spark, sf_dir, "documents"), min_containment=0.6)
+
+
+@register(
+    "minhash_calibration",
+    f"""
+    WITH
+    {_MD5_SHINGLE_CTE},
+    mins AS (
+      SELECT _id, k,
+             MIN(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(sh_h AS VARCHAR)), 1, 15)) AS BIGINT)) AS mh
+      FROM sh CROSS JOIN range(32) t(k)
+      GROUP BY _id, k),
+    sigs AS (SELECT _id, list(mh ORDER BY k) AS sig FROM mins GROUP BY _id),
+    bands AS (
+      SELECT _id, b,
+             CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+                   array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',')), 1, 15)) AS BIGINT) AS bh
+      FROM sigs CROSS JOIN range(8) t(b)),
+    cand AS (
+      SELECT DISTINCT x._id AS id_a, y._id AS id_b
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x._id < y._id),
+    agree AS (
+      SELECT id_a, id_b, SUM(CASE WHEN ea = eb THEN 1 ELSE 0 END) AS n_agree
+      FROM (SELECT id_a, id_b, unnest(sa.sig) AS ea, unnest(sb.sig) AS eb
+            FROM cand JOIN sigs sa ON sa._id = id_a JOIN sigs sb ON sb._id = id_b)
+      GROUP BY id_a, id_b),
+    est AS (
+      SELECT id_a, id_b, ROUND(CAST(n_agree AS DOUBLE) / 32.0, 4) AS est_jaccard
+      FROM agree WHERE ROUND(CAST(n_agree AS DOUBLE) / 32.0, 4) >= 0.3),
+    sizes AS (SELECT _id, COUNT(1) AS n_sh FROM sh GROUP BY _id),
+    inter AS (
+      SELECT e.id_a, e.id_b, COUNT(1) AS n_inter
+      FROM est e
+      JOIN sh a ON a._id = e.id_a
+      JOIN sh b ON b._id = e.id_b AND b.sh_h = a.sh_h
+      GROUP BY e.id_a, e.id_b)
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+                 (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 4) AS true_jaccard,
+           ROUND(ABS(e.est_jaccard -
+                 CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+                 (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))), 4) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes sa ON sa._id = e.id_a
+    JOIN sizes sb ON sb._id = e.id_b
+    """,
+)
+def minhash_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash CALIBRATION: every LSH candidate pair annotated with its
+    signature-estimated Jaccard AND the exact shingle-set Jaccard, plus
+    the absolute estimation error — the tuning readout for choosing
+    (num_hashes, bands) before committing a 100-TB dedup run (Broder's
+    resemblance estimator audited against ground truth on the
+    candidate set, where exact computation is affordable because LSH
+    already pruned the pair space).
+
+    Scale shape: candidates come from the bucketed band join (never
+    all-pairs); the exact intersection joins shingle-hash sets ONLY for
+    candidate pairs (pair-bounded fan-out); sizes/intersections are
+    map-side-combined counts over 8-byte hashes."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs, min_est_jaccard=0.3, hash_family="md5")
+    sh = shingle_hashes(docs, hash_family="md5")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cands.select("id_a", "id_b")
+        .join(sh.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+    true_j = n_inter / (F.col("n_a") + F.col("n_b") - n_inter)
+    return (
+        cands.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(true_j, 4).alias("true_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - true_j), 4).alias("abs_err"),
+        )
+    )
