@@ -173,3 +173,22 @@ def test_sequence_packing_only_metadata_reaches_python(spark):
 
     m = re.search(r"FlatMapGroupsInPandas.*", plan)
     assert m is not None and "text" not in m.group(0), m.group(0) if m else plan
+
+
+def test_word_pmi_top_distributed_topk_broadcast_unigrams(spark):
+    """PMI top-k is TakeOrderedAndProject; the unigram-count table and
+    the 1-row grand totals broadcast (never shuffle the bigram table by
+    anything but its own aggregation key)."""
+    df = QUERIES["word_pmi_top"](spark, SF)
+    assert_plan(
+        df,
+        requires=["TakeOrderedAndProject", "BroadcastHashJoin"],
+        forbids=["CartesianProduct", "SortMergeJoin"],
+    )
+
+
+def test_minhash_calibration_no_cartesian(spark):
+    """Exact-Jaccard calibration stays candidate-bounded: shingle
+    intersection joins by hash key, no all-pairs expansion."""
+    df = QUERIES["minhash_calibration"](spark, SF)
+    assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
