@@ -244,3 +244,79 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_k: int = 20) -> D
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> list[tuple[int, str, str, int]]:
+    """BPE tokenizer training: learn the first ``n_merges`` merge rules
+    (Sennrich et al., "Neural Machine Translation of Rare Words with
+    Subword Units", ACL 2016). Returns [(rank, left, right,
+    pair_count)] in merge order.
+
+    Spark shape — the same iterative-algorithm discipline as
+    connected components (bounded driver work per round, lineage
+    truncated per round):
+
+    - the corpus collapses ONCE to the distinct-word frequency table
+      (one shuffle; every later round is vocabulary-bounded, flat in
+      corpus size — the classic BPE trainer trick);
+    - per round: adjacent symbol pairs explode from the token arrays
+      (codegen'd transform/sequence), pair counts are map-side-combined
+      weighted sums, and ONLY the argmax row (1 row, deterministic
+      count-desc/pair-asc tie-break) is collected to the driver;
+    - the winning pair is folded into every word's token array by a
+      higher-order ``aggregate`` (greedy left-to-right, exactly the
+      reference algorithm's scan), a narrow zero-shuffle map;
+    - ``localCheckpoint`` per round keeps the plan from growing with
+      the merge count.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "").alias("toks"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pair_struct = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("l"),
+                    F.element_at("toks", i + 1).alias("r"),
+                ),
+            )
+        )
+        top = (
+            words.filter(F.size("toks") >= 2)
+            .select("freq", pair_struct.alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        fold = F.aggregate(
+            F.col("toks"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(fold.alias("toks"), "freq").localCheckpoint(eager=False)
+    return merges

@@ -60,6 +60,9 @@ _PRIORITY = [
     "dedup_within_watermark_streamed",
     # MinHash est-vs-true Jaccard calibration on the candidate set
     "minhash_calibration",
+    # full BPE merge-learning loop (rows-only by contract; exact
+    # pure-Python-reference equivalence pytest-enforced)
+    "bpe_learn_merges",
     # --- code paths changed in round 4 → fresh grade ---
     "cdc_pipeline_streamed", "changelog_agg_multi_streamed",
     "cdc_live_count_stateful", "similarity_topk_ivf_sampled",

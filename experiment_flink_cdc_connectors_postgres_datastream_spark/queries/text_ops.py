@@ -290,3 +290,23 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import bpe_pair_counts
 
     return bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=20)
+
+
+@register("bpe_learn_merges")
+def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 10 LEARNED BPE merge rules over the corpus (the full
+    iterative trainer loop, not just one round of pair counts):
+    per-round vocabulary-bounded pair aggregation, 1-row argmax
+    collect, higher-order-function greedy merge fold, checkpointed
+    lineage — see operators/text.py:learn_bpe_merges. Rows-only by
+    contract (an N-round argmax-dependent rewrite isn't expressible as
+    one DuckDB query); exact equivalence against a pure-Python
+    reference trainer is pytest-enforced
+    (tests/test_operators.py::test_learn_bpe_merges_matches_reference)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import learn_bpe_merges
+
+    merges = learn_bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=10)
+    import pandas as pd
+
+    pdf = pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])
+    return spark.createDataFrame(pdf, "rank long, left string, right string, pair_count long")

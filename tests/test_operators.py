@@ -424,3 +424,55 @@ def test_pq_topk_identity_vector_tiny(vecs):
     got = pq_topk(vecs, q, k=2, m=1, ks=4, quantizer="sample", rerank=4).collect()
     top = [r for r in got if r["rank"] == 1][0]
     assert top["vec_id"] == 1 and top["sim"] == 1.0
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python BPE trainer (Sennrich et al. 2016, greedy
+    left-to-right merge, count-desc/pair-asc tie-break) — the ground
+    truth learn_bpe_merges must reproduce exactly."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    out = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, f in vocab.items():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] = counts.get((toks[i], toks[i + 1]), 0) + f
+        if not counts:
+            break
+        (left, right), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, left, right, cnt))
+        new_vocab = {}
+        for toks, f in vocab.items():
+            merged, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + f
+        vocab = new_vocab
+    return out
+
+
+def test_learn_bpe_merges_matches_reference(spark):
+    """The distributed trainer reproduces the reference algorithm
+    exactly — merge order, pairs, and weighted counts — on a corpus
+    with repeats, ties, and words that merge into one token."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import learn_bpe_merges
+
+    docs = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "aaa aa a",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = learn_bpe_merges(df, n_merges=8)
+    freqs: dict[str, int] = {}
+    for t in docs:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    expected = _reference_bpe(freqs, 8)
+    assert got == expected, f"\ngot:      {got}\nexpected: {expected}"
