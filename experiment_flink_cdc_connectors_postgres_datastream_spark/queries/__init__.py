@@ -63,6 +63,8 @@ _PRIORITY = [
     # full BPE merge-learning loop (rows-only by contract; exact
     # pure-Python-reference equivalence pytest-enforced)
     "bpe_learn_merges",
+    # cross-source duplication matrix (mixture/crawl-priority readout)
+    "dup_rate_by_source_pair",
     # --- code paths changed in round 4 → fresh grade ---
     "cdc_pipeline_streamed", "changelog_agg_multi_streamed",
     "cdc_live_count_stateful", "similarity_topk_ivf_sampled",

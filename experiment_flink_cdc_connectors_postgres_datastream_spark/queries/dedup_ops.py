@@ -447,3 +447,72 @@ def minhash_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - true_j), 4).alias("abs_err"),
         )
     )
+
+
+@register(
+    "dup_rate_by_source_pair",
+    f"""
+    WITH
+    {_MD5_SHINGLE_CTE},
+    mins AS (
+      SELECT _id, k,
+             MIN(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(sh_h AS VARCHAR)), 1, 15)) AS BIGINT)) AS mh
+      FROM sh CROSS JOIN range(32) t(k)
+      GROUP BY _id, k),
+    sigs AS (SELECT _id, list(mh ORDER BY k) AS sig FROM mins GROUP BY _id),
+    bands AS (
+      SELECT _id, b,
+             CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+                   array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',')), 1, 15)) AS BIGINT) AS bh
+      FROM sigs CROSS JOIN range(8) t(b)),
+    cand AS (
+      SELECT DISTINCT x._id AS id_a, y._id AS id_b
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x._id < y._id),
+    agree AS (
+      SELECT id_a, id_b, SUM(CASE WHEN ea = eb THEN 1 ELSE 0 END) AS n_agree
+      FROM (SELECT id_a, id_b, unnest(sa.sig) AS ea, unnest(sb.sig) AS eb
+            FROM cand JOIN sigs sa ON sa._id = id_a JOIN sigs sb ON sb._id = id_b)
+      GROUP BY id_a, id_b),
+    est AS (
+      SELECT id_a, id_b FROM agree
+      WHERE ROUND(CAST(n_agree AS DOUBLE) / 32.0, 4) >= 0.3),
+    lab AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b,
+             e.id_a, e.id_b
+      FROM est e
+      JOIN documents da ON da.doc_id = e.id_a
+      JOIN documents db ON db.doc_id = e.id_b)
+    SELECT source_a, source_b,
+           CAST(COUNT(1) AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(DISTINCT id_a) + COUNT(DISTINCT id_b) AS BIGINT) AS n_docs_touched
+    FROM lab GROUP BY source_a, source_b
+    """,
+)
+def dup_rate_by_source_pair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash near-dup pairs
+    (est ≥ 0.3, md5 family) labeled with their documents' sources
+    (unordered pair normalized), counted per source pair — the
+    curation readout for "which scrape duplicates which" that decides
+    mixture weights and crawl dedup priorities.
+
+    Scale shape: candidates from the bucketed band join; the source
+    labels join by doc id (broadcast-eligible dimension access); the
+    matrix itself is |sources|²-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs, min_est_jaccard=0.3, hash_family="md5")
+    src = docs.select("doc_id", "source")
+    lab = (
+        cands.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        (F.count_distinct("id_a") + F.count_distinct("id_b")).alias("n_docs_touched"),
+    )
