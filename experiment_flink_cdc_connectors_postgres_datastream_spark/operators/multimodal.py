@@ -119,6 +119,83 @@ def decode_media(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
     return df.select("doc_id", "payload", "media_meta").mapInPandas(run, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes_in", LongType()),
+        StructField("n_bytes_out", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_width: int = 64,
+    target_height: int = 64,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Resize media payloads to a target resolution via ``mapInPandas``
+    (Arrow batches — same worker shape as :func:`decode_media`; resize
+    is the canonical CPU-bound per-item media transform in a training
+    pipeline, normalizing crawl images before the encoder).
+
+    Fake path (default, deterministic, SQL-mirrorable so the whole
+    Arrow exchange is value-graded): the "resized" payload is the
+    first ``target_width * target_height`` bytes of the input and the
+    checksum is its md5 — a stand-in byte-budget contract for real
+    thumbnailing. Real path (``use_real_decoder=True``, PIL gated like
+    :func:`decode_media`): actual ``Image.resize`` + PNG re-encode,
+    checksum of the re-encoded bytes.
+
+    Input: doc_id, payload(binary). Output: :data:`RESIZED_SCHEMA`.
+    """
+    import hashlib
+
+    budget = target_width * target_height
+
+    def _fake_resize(p: bytes) -> tuple[int, str]:
+        out = p[:budget]
+        return len(out), hashlib.md5(out).hexdigest()
+
+    def _real_resize(p: bytes) -> tuple[int, str]:
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+
+        with Image.open(io.BytesIO(p)) as img:
+            buf = io.BytesIO()
+            img.resize((target_width, target_height)).save(buf, format="PNG")
+        data = buf.getvalue()
+        return len(data), hashlib.md5(data).hexdigest()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_decoder:
+            try:
+                import PIL  # noqa: F401, PLC0415
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real media resizing requires PIL, not present in this container"
+                ) from e
+        fn = _real_resize if use_real_decoder else _fake_resize
+        for pdf in batches:
+            sized = [fn(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_width,
+                    "height": target_height,
+                    "n_bytes_in": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "n_bytes_out": [s[0] for s in sized],
+                    "checksum": [s[1] for s in sized],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
 FEATURE_DIM = 16
 
 _FEATURE_SCHEMA = StructType(

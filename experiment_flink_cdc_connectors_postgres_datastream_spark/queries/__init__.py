@@ -65,6 +65,9 @@ _PRIORITY = [
     "bpe_learn_merges",
     # cross-source duplication matrix (mixture/crawl-priority readout)
     "dup_rate_by_source_pair",
+    # resize stage of the multimodal mandate (decode/features/resize/
+    # frames) — Arrow plumbing value-graded via the byte-budget fake
+    "multimodal_resize",
     # --- code paths changed in round 4 → fresh grade ---
     "cdc_pipeline_streamed", "changelog_agg_multi_streamed",
     "cdc_live_count_stateful", "similarity_topk_ivf_sampled",

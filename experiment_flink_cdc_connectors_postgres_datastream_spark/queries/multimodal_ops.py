@@ -126,3 +126,26 @@ def multimodal_feature_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(attach_binary_payload(docs)).localCheckpoint(eager=False)
     queries = feats.filter(F.col("doc_id") % 100 == 0)
     return cosine_topk(feats, queries, k=5, id_col="doc_id", vec_col="embedding")
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(strlen(text) AS BIGINT) AS n_bytes_in,
+           CAST(LEAST(strlen(text), 4096) AS BIGINT) AS n_bytes_out,
+           md5(substring(text, 1, 4096)) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-64x64 over binary payloads (mapInPandas, Arrow): the
+    deterministic fake resize (byte-budget prefix + md5) is mirrored
+    in SQL, so the Arrow exchange, batching, and checksum plumbing are
+    value-hash graded end to end; with PIL present the same operator
+    does a real Image.resize (pytest-gated, like decode)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(attach_binary_payload(docs), target_width=64, target_height=64)

@@ -476,3 +476,41 @@ def test_learn_bpe_merges_matches_reference(spark):
             freqs[w] = freqs.get(w, 0) + 1
     expected = _reference_bpe(freqs, 8)
     assert got == expected, f"\ngot:      {got}\nexpected: {expected}"
+
+
+def test_multimodal_resize_fake_path_deterministic(spark):
+    """Fake resize: byte-budget prefix + md5, exact values."""
+    import hashlib
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.multimodal import resize_media
+
+    long_text = "x" * 100
+    df = spark.createDataFrame(
+        [(1, "short"), (2, long_text)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in resize_media(
+            attach_binary_payload(df), target_width=8, target_height=8
+        ).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (8, 8)
+    assert out[1]["n_bytes_in"] == 5 and out[1]["n_bytes_out"] == 5
+    assert out[1]["checksum"] == hashlib.md5(b"short").hexdigest()
+    assert out[2]["n_bytes_out"] == 64  # clamped to the 8x8 byte budget
+    assert out[2]["checksum"] == hashlib.md5(long_text[:64].encode()).hexdigest()
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed (optional-dependency gate)")
+def test_multimodal_resize_real_decoder_png(spark):
+    """Real resize path: the checked-in PNG resizes to the target dims
+    and re-encodes to a valid PNG whose size/checksum are reported."""
+    import os
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.multimodal import resize_media
+
+    png = open(os.path.join(os.path.dirname(__file__), "data", "tiny.png"), "rb").read()
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    [row] = resize_media(df, target_width=3, target_height=2, use_real_decoder=True).collect()
+    assert (row["width"], row["height"]) == (3, 2)
+    assert row["n_bytes_in"] == len(png) and row["n_bytes_out"] > 0
