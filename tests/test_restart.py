@@ -32,6 +32,33 @@ def _start(spark, cdc_dir, tmp_path, sink):
     )
 
 
+def test_restart_refresh_sink_deletes_emptied_group(spark, tmp_path):
+    """Refresh-mode sink across a restart: a group whose last live key
+    is deleted AFTER the restart must vanish from the sink (no stale
+    row), and replayed batches stay idempotent (refresh rewrites all
+    buckets, so a replay of the same aggregate is a no-op)."""
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    (cdc_dir / "b1.json").write_text("\n".join(WALKTHROUGH))
+    sink = ParquetUpsertSink(
+        str(tmp_path / "sink.parquet"), key_cols=["schema"], refresh=True
+    )
+
+    q1 = _start(spark, str(cdc_dir), tmp_path, sink)
+    q1.processAllAvailable()
+    q1.stop()
+    counts1 = {r["schema"]: r["user_count"] for r in sink.read(spark).collect()}
+    assert counts1 == {"schema1": 2, "schema2": 1}
+
+    # restart; delete schema2's only live user → the group empties
+    (cdc_dir / "b2.json").write_text(_env("d", "schema2", 1, None, "bobby smith", 9000, 9))
+    q2 = _start(spark, str(cdc_dir), tmp_path, sink)
+    q2.processAllAvailable()
+    q2.stop()
+    counts2 = {r["schema"]: r["user_count"] for r in sink.read(spark).collect()}
+    assert counts2 == {"schema1": 2}, counts2
+
+
 def test_restart_from_checkpoint_no_double_count(spark, tmp_path):
     cdc_dir = tmp_path / "cdc"
     cdc_dir.mkdir()
