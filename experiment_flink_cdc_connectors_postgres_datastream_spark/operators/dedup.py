@@ -767,12 +767,16 @@ def remove_boilerplate_segments(
     100-TB shape: segmentation is a narrow codegen'd map (split +
     slice over an index sequence — no Python); the df count is one
     map-side-combined hash aggregation keyed by segment; the
-    boilerplate set is then BROADCAST into a left-anti join (by
+    boilerplate set is then BROADCAST back as a flag join (by
     construction it holds only segments with df ≥ min_docs, orders of
     magnitude smaller than the corpus; for adversarial corpora where
     it is still large, hash segments with xxhash64 first and let the
-    join shuffle on 8-byte keys); reassembly is one hash aggregation
-    keyed by doc id. No sorts — segment order is restored by
+    join shuffle on 8-byte keys); totals, kept-counts AND in-order
+    reassembly then come out of ONE doc-keyed hash aggregation over
+    the flagged segments (conditional aggregates — `collect_list`
+    skips the null structs of boilerplate rows), so the corpus is
+    segmented twice, not three times, and there is exactly one
+    doc-keyed shuffle. No sorts — segment order is restored by
     array_sort over (seg_idx, seg) structs inside each group.
     """
     w = F.split(F.col(text_col), " ")
@@ -788,26 +792,18 @@ def remove_boilerplate_segments(
         segs.groupBy("seg")
         .agg(F.count_distinct(F.col("_id")).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("seg")
+        .select("seg", F.lit(True).alias("_boiler"))
     )
-    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
-    clean = kept.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    flagged = segs.join(F.broadcast(boiler), "seg", "left")
+    keep = F.col("_boiler").isNull()
+    return flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count(F.when(keep, F.lit(1))).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                F.array_sort(F.collect_list(F.when(keep, F.struct("seg_idx", "seg")))),
                 lambda s: s["seg"],
             ),
             " ",
         ).alias("clean_text"),
-    )
-    totals = segs.groupBy("_id").agg(F.count(F.lit(1)).alias("n_segs"))
-    return (
-        totals.join(clean, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            "n_segs",
-            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
-    )
+    ).select(F.col("_id").alias(id_col), "n_segs", "n_kept", "clean_text")
