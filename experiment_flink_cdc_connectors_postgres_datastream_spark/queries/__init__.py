@@ -71,7 +71,7 @@ _PRIORITY = [
     # --- code paths changed in round 4 → fresh grade ---
     "cdc_pipeline_streamed", "changelog_agg_multi_streamed",
     "cdc_live_count_stateful", "similarity_topk_ivf_sampled",
-    "similarity_topk_pq_sampled",
+    "similarity_topk_pq_sampled", "boilerplate_removal",
     # --- semantic-core re-confirmation (all green r1-r3; slots left
     # after the blocks above go to the operators a reference user runs
     # first: CDC pipeline, changelog family, windows, dedup, ANN,
