@@ -20,9 +20,10 @@ driver):
   via standard_conforming '' doubling + E'' escapes for backslashes,
   ints/floats/bools/None/lists natively) — the callers only bind
   trusted test values, never untrusted input.
-- Auth: trust, cleartext password, and md5. SCRAM-SHA-256 is not
-  implemented — point the DSN at a trust/md5 HBA rule (the bundled
-  ``tools/run_live_cdc_test.sh`` provisions exactly that).
+- Auth: trust, cleartext password, md5, and SCRAM-SHA-256 (RFC 7677,
+  no channel binding — the default ``scram-sha-256`` HBA method on
+  modern Postgres; the SCRAM proof computation is a pure function
+  unit-tested against the RFC's published test vectors).
 - Text result format, decoded to Python types by field OID: bool,
   int2/4/8, oid/xid, float4/8, numeric → float, bytea (``\\x`` hex)
   → bytes, everything else → str; NULL → None.
@@ -49,6 +50,35 @@ _OID_NUMERIC = 1700
 
 class DatabaseError(Exception):
     """Server-reported error (ErrorResponse), message preserved."""
+
+
+def scram_sha256_client_final(
+    password: str, client_first_bare: str, server_first: str
+) -> tuple[str, str]:
+    """SCRAM-SHA-256 client-final-message + expected server signature
+    (RFC 5802 algorithm with SHA-256 per RFC 7677), gs2 header "n,,"
+    (no channel binding → ``c=biws``).
+
+    Pure function so the proof math is unit-testable against the RFC
+    7677 §3 test vectors without a server."""
+    import base64
+    import hmac as _hmac
+
+    attrs = dict(p.split("=", 1) for p in server_first.split(","))
+    full_nonce, salt, iters = attrs["r"], base64.b64decode(attrs["s"]), int(attrs["i"])
+    salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iters)
+    client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+    stored_key = hashlib.sha256(client_key).digest()
+    without_proof = f"c=biws,r={full_nonce}"
+    auth_message = f"{client_first_bare},{server_first},{without_proof}".encode()
+    client_sig = _hmac.new(stored_key, auth_message, hashlib.sha256).digest()
+    proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+    server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+    server_sig = _hmac.new(server_key, auth_message, hashlib.sha256).digest()
+    return (
+        f"{without_proof},p={base64.b64encode(proof).decode()}",
+        base64.b64encode(server_sig).decode(),
+    )
 
 
 def _decode(val: bytes | None, oid: int):
@@ -170,6 +200,8 @@ class Connection:
         params = f"user\x00{user}\x00database\x00{dbname}\x00\x00".encode()
         payload = struct.pack(">I", 196608) + params  # protocol 3.0
         self._sock.sendall(struct.pack(">I", len(payload) + 4) + payload)
+        scram_bare = ""
+        scram_server_sig = ""
         while True:
             typ, body = self._recv_msg()
             if typ == b"R":
@@ -185,8 +217,41 @@ class Connection:
                     digest = hashlib.md5(inner.encode() + salt).hexdigest()
                     self._send(b"p", b"md5" + digest.encode() + b"\x00")
                     continue
+                if code == 10:  # AuthenticationSASL: pick SCRAM-SHA-256
+                    mechs = [m for m in body[4:].split(b"\x00") if m]
+                    if b"SCRAM-SHA-256" not in mechs:
+                        raise DatabaseError(
+                            f"no supported SASL mechanism in {mechs!r} "
+                            "(channel-binding-only servers are not supported)"
+                        )
+                    import secrets  # noqa: PLC0415
+
+                    scram_bare = f"n=,r={secrets.token_urlsafe(18)}"
+                    initial = f"n,,{scram_bare}".encode()
+                    self._send(
+                        b"p",
+                        b"SCRAM-SHA-256\x00"
+                        + struct.pack(">i", len(initial))
+                        + initial,
+                    )
+                    continue
+                if code == 11:  # AuthenticationSASLContinue: server-first
+                    server_first = body[4:].decode()
+                    final, scram_server_sig = scram_sha256_client_final(
+                        password, scram_bare, server_first
+                    )
+                    self._send(b"p", final.encode())
+                    continue
+                if code == 12:  # AuthenticationSASLFinal: verify server sig
+                    attrs = dict(
+                        p.split("=", 1) for p in body[4:].decode().split(",")
+                    )
+                    if attrs.get("v") != scram_server_sig:
+                        raise DatabaseError("SCRAM server signature mismatch")
+                    continue
                 raise DatabaseError(
-                    f"unsupported auth method {code} (use trust/md5 HBA for this client)"
+                    f"unsupported auth method {code} "
+                    "(this client speaks trust/password/md5/scram-sha-256)"
                 )
             if typ in (b"S", b"K", b"N"):  # ParameterStatus/BackendKeyData/Notice
                 continue

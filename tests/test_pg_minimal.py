@@ -62,3 +62,23 @@ def test_row_description_struct_size():
     (int32 tableoid, int16 attnum, int32 typoid, int16 typlen,
     int32 typmod, int16 format) is 18 bytes."""
     assert struct.calcsize(">IHIhiH") == 18
+
+
+def test_scram_sha256_rfc7677_vectors():
+    """The SCRAM-SHA-256 proof math must reproduce RFC 7677 §3's
+    published example exactly (user 'user', password 'pencil')."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.pg_minimal import (
+        scram_sha256_client_final,
+    )
+
+    client_first_bare = "n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    final, server_sig = scram_sha256_client_final("pencil", client_first_bare, server_first)
+    assert final == (
+        "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    assert server_sig == "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="

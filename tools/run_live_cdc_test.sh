@@ -31,7 +31,19 @@ fi
 
 trap '$AS_USER "$PGBIN/pg_ctl" -D "$WORK/data" -m immediate stop >/dev/null 2>&1 || true; rm -rf "$WORK"' EXIT
 
-$AS_USER "$PGBIN/initdb" -D "$WORK/data" -U postgres -A trust >/dev/null
+# CDC_TEST_PG_AUTH=scram-sha-256 (or md5/password) provisions password
+# auth instead of trust, exercising the fallback client's SASL/md5
+# handshakes against a real server.
+AUTH=${CDC_TEST_PG_AUTH:-trust}
+PGPASS=""
+PWFILE_ARGS=()
+if [ "$AUTH" != trust ]; then
+    PGPASS="cdc-test-secret"
+    printf '%s\n' "$PGPASS" > "$WORK/pwfile"
+    [ -n "$AS_USER" ] && chown "$PGUSER_OS" "$WORK/pwfile"
+    PWFILE_ARGS=(--pwfile="$WORK/pwfile")
+fi
+$AS_USER "$PGBIN/initdb" -D "$WORK/data" -U postgres -A "$AUTH" "${PWFILE_ARGS[@]}" >/dev/null
 cat >> "$WORK/data/postgresql.conf" <<CONF
 wal_level = logical
 max_wal_senders = 10
@@ -44,5 +56,5 @@ CONF
 $AS_USER "$PGBIN/pg_ctl" -D "$WORK/data" -l "$WORK/pg.log" -w start >/dev/null
 echo "scratch Postgres $("$PGBIN/postgres" --version | awk '{print $3}') on 127.0.0.1:$PORT (wal_level=logical)"
 
-POSTGRES_CDC_TEST_DSN="host=127.0.0.1 port=$PORT dbname=postgres user=postgres password=" \
+POSTGRES_CDC_TEST_DSN="host=127.0.0.1 port=$PORT dbname=postgres user=postgres password=$PGPASS" \
     python -m pytest tests/test_postgres_cdc_live.py -v "$@"
