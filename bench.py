@@ -102,6 +102,8 @@ EXTENDED_QUERIES = [
     "word_pmi_top",
     "similarity_topk_pq_sampled_rerank",
     "minhash_calibration",
+    "mad_outliers",
+    "ngram_novelty",
 ]
 
 

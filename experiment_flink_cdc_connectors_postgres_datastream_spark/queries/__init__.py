@@ -68,6 +68,10 @@ _PRIORITY = [
     # resize stage of the multimodal mandate (decode/features/resize/
     # frames) — Arrow plumbing value-graded via the byte-budget fake
     "multimodal_resize",
+    # robust (median/MAD) outlier gate next to the z-score one
+    "mad_outliers",
+    # per-doc n-gram novelty (df==1 fraction — crawl-snapshot ranking)
+    "ngram_novelty",
     # --- code paths changed in round 4 → fresh grade ---
     "cdc_pipeline_streamed", "changelog_agg_multi_streamed",
     "cdc_live_count_stateful", "similarity_topk_ivf_sampled",

@@ -342,3 +342,53 @@ def word_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)
+
+
+@register(
+    "ngram_novelty",
+    r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS _id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+            FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+                  FROM documents))),
+    df AS (SELECT sh_h, COUNT(1) AS n_docs FROM sh GROUP BY sh_h)
+    SELECT s._id AS doc_id,
+           CAST(COUNT(1) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(1), 6) AS novelty
+    FROM sh s JOIN df d USING (sh_h)
+    GROUP BY s._id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct 3-gram shingles that appear in NO other document
+    (document frequency 1) — the complement of the dedup signal, and
+    the standard per-document "how much genuinely new text does this
+    contribute" score used to rank crawl snapshots and prune
+    low-novelty sources before training.
+
+    Scale shape: the same codegen'd shingle-hash machinery as the
+    dedup family (8-byte keys), ONE df aggregation (map-side
+    combined), one hash join back on the shingle key, one doc-keyed
+    count — no pair joins at all, so it is strictly cheaper than any
+    dedup query over the same corpus."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import shingle_hashes
+
+    sh = shingle_hashes(load_table(spark, sf_dir, "documents"), hash_family="md5")
+    df_tbl = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    novel = (F.col("n_docs") == 1).cast("long")
+    return (
+        sh.join(df_tbl, "_sh")
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )

@@ -315,3 +315,53 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_checksum"
         ),
     )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(1), 6) AS outlier_rate,
+           ROUND(MAX(m.mad), 6) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection: median absolute deviation with the
+    1.4826 normal-consistency constant (|v − median| > 3·1.4826·MAD)
+    per event type — unlike the z-score variant (`zscore_outliers`),
+    the threshold itself is immune to the outliers it hunts, the
+    standard robust filter before training-data statistics are
+    trusted.
+
+    Scale shape: two grouped exact medians (order statistics; at
+    100 TB swap in approx_percentile — mergeable sketch, bounded
+    memory, same plan) + one broadcast-sized per-group stats join
+    back onto the scan; counts are map-side-combined."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_out).alias("n_outliers"),
+        F.round(F.sum(is_out).cast("double") / F.count(F.lit(1)), 6).alias("outlier_rate"),
+        F.round(F.max("mad"), 6).alias("mad"),
+    )
