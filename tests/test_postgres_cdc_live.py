@@ -242,3 +242,67 @@ def test_snapshot_and_tail(scratch, plugin):
     _setup_plugin(scratch, plugin)
     cfg = _config(scratch, plugin=plugin)
     _run_protocol(PostgresCDCStreamReader(cfg), scratch)
+
+
+@pytest.mark.parametrize("plugin", ["wal2json", "pgoutput"])
+def test_two_table_capture(scratch, plugin):
+    """The reference captures TWO tables per schema (users +
+    user_favorite_colors, setup_source_db1.sql): snapshot covers both,
+    and tailed mutations carry the right table name so downstream
+    per-table dispatch (T2/T6) can route them."""
+    cur = scratch["cur"]
+    cur.execute(
+        f'CREATE TABLE "{scratch["schema"]}".user_favorite_colors ('
+        "user_id integer PRIMARY KEY, favorite_color text)"
+    )
+    cur.execute(
+        f'ALTER TABLE "{scratch["schema"]}".user_favorite_colors REPLICA IDENTITY FULL'
+    )
+    cur.execute(
+        f'INSERT INTO "{scratch["schema"]}".user_favorite_colors VALUES (1, \'orange\')'
+    )
+    _setup_plugin(scratch, plugin)
+    cfg = _config(scratch, plugin=plugin)
+    reader = PostgresCDCStreamReader(cfg)
+    envs, end = _drain(reader, reader.initialOffset())
+    by_table = {}
+    for e in envs:
+        by_table.setdefault(e["source"]["table"], []).append(e)
+    assert sorted(by_table) == ["user_favorite_colors", "users"]
+    assert sorted(e["after"]["id"] for e in by_table["users"]) == [1, 2]
+    assert by_table["user_favorite_colors"][0]["after"] == {
+        "user_id": 1,
+        "favorite_color": "orange",
+    }
+    reader.commit(end)
+
+    cur.execute(
+        f'UPDATE "{scratch["schema"]}".user_favorite_colors '
+        "SET favorite_color = 'blue' WHERE user_id = 1"
+    )
+    envs, end2 = _drain(reader, end)
+    [e] = envs
+    assert e["source"]["table"] == "user_favorite_colors" and e["op"] == "u"
+    assert e["after"]["favorite_color"] == "blue"
+    assert e["before"]["favorite_color"] == "orange"  # REPLICA IDENTITY FULL
+    reader.commit(end2)
+
+
+@pytest.mark.parametrize("plugin", ["wal2json", "pgoutput"])
+def test_large_transaction_spans_peek_windows(scratch, plugin):
+    """One transaction with far more rows than poll_batch_size (4):
+    the doubling peek window must surface ALL of it against a live
+    slot, across however many micro-batches planning takes."""
+    _setup_plugin(scratch, plugin)
+    cfg = _config(scratch, plugin=plugin)
+    reader = PostgresCDCStreamReader(cfg)
+    envs, end = _drain(reader, reader.initialOffset())
+    reader.commit(end)
+
+    cur = scratch["cur"]
+    values = ", ".join(f"({i}, 'bulk {i}')" for i in range(100, 125))
+    cur.execute(f'INSERT INTO "{scratch["schema"]}".users VALUES {values}')
+    envs, end2 = _drain(reader, end)
+    assert sorted(e["after"]["id"] for e in envs) == list(range(100, 125))
+    assert {e["op"] for e in envs} == {"c"}
+    reader.commit(end2)

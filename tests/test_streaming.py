@@ -357,3 +357,53 @@ def test_live_count_with_state_multibatch_golden(spark, cdc_dir, tmp_path):
     )
     q.awaitTermination()
     assert {g: n for g, n in results.items() if n > 0} == EXPECTED_COUNTS_AFTER_DELETE
+
+
+def test_apply_register_events_property_vs_batch_reference():
+    """PROPERTY: for any event set delivered in any batch split and any
+    order (no GC), the stateful register transition must agree with
+    the batch latest-per-key reference — live iff the latest (seq)
+    event for the key is not a delete."""
+    from hypothesis import given, settings, strategies as st
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.stateful import apply_register_events
+
+    events = st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2", "k3"]),          # key
+            st.sampled_from(["c", "u", "d"]),             # op
+            st.integers(0, 50),                            # seq0 (ts)
+            st.integers(0, 5),                             # seq1 (lsn)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(evs=events, data=st.data())
+    def run(evs, data):
+        # batch reference: latest event per key by (seq0, seq1); on
+        # seq ties the FIRST-APPLIED event wins (strictly-newer rule)
+        perm = data.draw(st.permutations(evs))
+        n_splits = data.draw(st.integers(1, 4))
+        reg = {}
+        bounds = sorted(
+            data.draw(
+                st.lists(st.integers(0, len(perm)), min_size=n_splits - 1, max_size=n_splits - 1)
+            )
+        )
+        chunks = []
+        prev = 0
+        for b in [*bounds, len(perm)]:
+            chunks.append(perm[prev:b])
+            prev = b
+        for chunk in chunks:
+            apply_register_events(reg, iter(chunk), None)
+        # reference over the SAME application order
+        ref = {}
+        for k, op, s0, s1 in perm:
+            if k not in ref or (s0, s1) > ref[k][0]:
+                ref[k] = ((s0, s1), op != "d")
+        assert reg == ref
+
+    run()
