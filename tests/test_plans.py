@@ -192,3 +192,16 @@ def test_minhash_calibration_no_cartesian(spark):
     intersection joins by hash key, no all-pairs expansion."""
     df = QUERIES["minhash_calibration"](spark, SF)
     assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+
+def test_mad_outliers_broadcasts_group_stats(spark):
+    """Median/MAD per-group stats join back onto the events scan as
+    broadcasts — the big table never shuffles for the join."""
+    df = QUERIES["mad_outliers"](spark, SF)
+    assert_plan(df, requires=["BroadcastHashJoin"], forbids=["SortMergeJoin", "CartesianProduct"])
+
+
+def test_ngram_novelty_no_pair_join(spark):
+    """Novelty is df-join-back only: no pair expansion anywhere."""
+    df = QUERIES["ngram_novelty"](spark, SF)
+    assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
