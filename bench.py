@@ -104,6 +104,8 @@ EXTENDED_QUERIES = [
     "minhash_calibration",
     "mad_outliers",
     "ngram_novelty",
+    "winsorized_stats",
+    "dup_degree_histogram",
 ]
 
 

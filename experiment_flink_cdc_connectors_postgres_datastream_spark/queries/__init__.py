@@ -72,6 +72,10 @@ _PRIORITY = [
     "mad_outliers",
     # per-doc n-gram novelty (df==1 fraction — crawl-snapshot ranking)
     "ngram_novelty",
+    # winsorized per-group moments (outlier REPAIR next to flag/gate)
+    "winsorized_stats",
+    # exact-duplication degree histogram (sizes a dedup run)
+    "dup_degree_histogram",
     # --- code paths changed in round 4 → fresh grade ---
     "cdc_pipeline_streamed", "changelog_agg_multi_streamed",
     "cdc_live_count_stateful", "similarity_topk_ivf_sampled",

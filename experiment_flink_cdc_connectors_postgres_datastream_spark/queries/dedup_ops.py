@@ -521,3 +521,34 @@ def dup_rate_by_source_pair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dup_pairs"),
         (F.count_distinct("id_a") + F.count_distinct("id_b")).alias("n_docs_touched"),
     )
+
+
+@register(
+    "dup_degree_histogram",
+    """
+    WITH g AS (
+      SELECT md5(text) AS h, CAST(COUNT(1) AS BIGINT) AS n_copies
+      FROM documents GROUP BY md5(text))
+    SELECT n_copies,
+           CAST(COUNT(1) AS BIGINT) AS n_groups,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           CAST(SUM(n_copies) - COUNT(1) AS BIGINT) AS n_removable
+    FROM g GROUP BY n_copies
+    """,
+)
+def dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplication degree histogram: how many identical-text
+    groups exist at each copy count, how many documents they hold, and
+    how many rows exact dedup would remove — the one-glance "how
+    duplicated is this corpus" readout that sizes a dedup run before
+    paying for it.
+
+    Scale shape: two chained map-side-combined aggregations over an
+    md5 key (the second input is group-cardinality-sized); no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("h")).agg(F.count(F.lit(1)).alias("n_copies"))
+    return g.groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").alias("n_docs"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_removable"),
+    )

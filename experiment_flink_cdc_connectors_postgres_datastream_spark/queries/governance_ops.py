@@ -365,3 +365,59 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(is_out).cast("double") / F.count(F.lit(1)), 6).alias("outlier_rate"),
         F.round(F.max("mad"), 6).alias("mad"),
     )
+
+
+@register(
+    "winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type),
+    w AS (
+      SELECT e.event_type,
+             CASE WHEN e.value < b.lo THEN b.lo
+                  WHEN e.value > b.hi THEN b.hi
+                  ELSE e.value END AS wv,
+             CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END AS clipped
+      FROM events e JOIN b USING (event_type))
+    SELECT event_type,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+           ROUND(AVG(wv), 6) AS wins_mean,
+           ROUND(STDDEV_SAMP(wv), 6) AS wins_std
+    FROM w GROUP BY event_type
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics: values clipped to the
+    [p01, p99] band before mean/stddev — the third member of the
+    outlier-handling family (z-score flags, MAD gates, winsorizing
+    REPAIRS) and the standard way to report stable corpus statistics
+    when heavy tails would otherwise dominate.
+
+    Scale shape: one exact grouped quantile pass (approx_percentile at
+    100 TB, same plan), broadcast of the per-group bounds back onto
+    the scan, map-side-combined moments."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    w = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("wv"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .cast("long")
+        .alias("clipped"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("clipped").alias("n_clipped"),
+        F.round(F.avg("wv"), 6).alias("wins_mean"),
+        F.round(F.stddev_samp("wv"), 6).alias("wins_std"),
+    )
