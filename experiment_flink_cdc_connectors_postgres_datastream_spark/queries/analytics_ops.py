@@ -183,7 +183,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "collect_sorted_ids",
     """
-    SELECT user_id, list_sort(list(event_id)) AS event_ids
+    SELECT user_id,
+           array_to_string(list_sort(list(event_id)), ',') AS event_ids
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY user_id
@@ -193,26 +194,57 @@ def collect_sorted_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered list aggregation (collect_list + sort_array): the
     per-key event-sequence materialization a sessionization or
     feature-engineering pipeline uses. Deterministic because the
-    final array is sorted, not arrival-ordered."""
+    final array is sorted, not arrival-ordered. The sorted array is
+    emitted as a comma-joined string so the result is a flat scalar
+    column on both sides of the oracle compare (a raw array<long>
+    column is not canonicalizable by the hash-compare harness)."""
     return (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.sort_array(F.collect_list("event_id")).alias("event_ids"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("event_id")), ","
+            ).alias("event_ids")
+        )
     )
 
 
-@register("approx_distinct_users")  # HLL sketch differs from DuckDB's → rows-only
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_band
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory
     distinct-count path for 100 TB where exact countDistinct would
-    shuffle every key. Accuracy vs the exact count is asserted in
-    tests/test_operators.py (rows-only oracle: sketch internals are
-    engine-specific)."""
-    return (
+    shuffle every key. The query emits the EXACT count plus a
+    within_band verdict (|approx-exact| <= max(1, 5% of exact), i.e.
+    2.5x the configured rsd=0.02); the oracle emits the exact count
+    and literal TRUE, so the sketch-accuracy claim itself is
+    value-hash graded: an out-of-band sketch flips the boolean and
+    fails the compare. Raw HLL registers are engine-specific and can
+    never hash-match, hence the banded reshaping."""
+    agg = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+    band = F.greatest(F.lit(1.0), F.col("exact_users") * 0.05)
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= band).alias(
+            "within_band"
+        ),
     )
 
 
@@ -250,19 +282,53 @@ def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile_by_type")  # t-digest-style sketch → rows-only
+@register(
+    "approx_percentile_by_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99_exact,
+           TRUE AS within_band
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_percentile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate grouped percentiles (mergeable quantile sketch,
     accuracy parameter 10000): the constant-memory twin of
     `percentile_by_type` for 100 TB, where exact percentiles would
-    materialize every group's values. Accuracy vs the exact
-    percentiles is asserted in tests/test_operators.py (rows-only
-    oracle: sketch internals are engine-specific)."""
+    materialize every group's values. Emits the EXACT interpolated
+    percentiles (same formula as DuckDB quantile_cont) plus a
+    within_band verdict — all three sketch estimates within 1%
+    relative error of exact — so the accuracy claim is value-hash
+    graded by the driver: a drifting sketch flips the boolean and
+    fails the compare. Raw sketch outputs are engine-specific
+    order-statistic picks and can never hash-match, hence the
+    banded reshaping."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
-        F.expr("approx_percentile(value, 0.9, 10000)").alias("p90"),
-        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
+    agg = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("a90"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("a99"),
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.9)").alias("e90"),
+        F.expr("percentile(value, 0.99)").alias("e99"),
+    )
+
+    def _ok(a: str, e: str):
+        return F.abs(F.col(a) - F.col(e)) <= 0.01 * F.greatest(
+            F.abs(F.col(e)), F.lit(1.0)
+        )
+
+    return agg.select(
+        "event_type",
+        F.round("e50", 6).alias("p50_exact"),
+        F.round("e90", 6).alias("p90_exact"),
+        F.round("e99", 6).alias("p99_exact"),
+        (_ok("a50", "e50") & _ok("a90", "e90") & _ok("a99", "e99")).alias(
+            "within_band"
+        ),
     )
 
 
