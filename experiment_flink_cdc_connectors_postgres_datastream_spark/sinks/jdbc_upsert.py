@@ -6,14 +6,16 @@ setup_sink_db1.sql:1-4), where the Flink JDBC connector turns INSERT
 into upsert because the table declares a PRIMARY KEY.
 
 Spark's JDBC writer has no upsert mode, so we execute
-``INSERT … ON CONFLICT (pk) DO UPDATE`` per partition via psycopg2
-(executor-side connections, like the reference's sink tasks).
-Idempotent upserts turn at-least-once ``foreachBatch`` delivery into
-effective exactly-once.
+``INSERT … ON CONFLICT (pk) DO UPDATE`` per partition (executor-side
+connections, like the reference's sink tasks). Idempotent upserts turn
+at-least-once ``foreachBatch`` delivery into effective exactly-once.
 
-psycopg2 is gated behind an import-try (not present in this
-container); ``ParquetUpsertSink`` is the same interface over parquet
-for tests and local runs.
+The DB driver is psycopg2 when importable, otherwise the bundled
+pure-Python protocol client (``sources.pg_minimal``) — the same
+fallback the CDC source's ``PostgresReplicationClient`` uses, so the
+live integration test exercises the production write path either way.
+``ParquetUpsertSink`` is the same interface over parquet for tests
+and local runs without any server.
 """
 
 from __future__ import annotations
@@ -22,6 +24,21 @@ from collections.abc import Iterator
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Row, SparkSession
+
+
+def _connect(dsn: str):
+    """psycopg2 when available, else the bundled protocol client (loud
+    on first use — same policy as PostgresReplicationClient._connect)."""
+    try:
+        import psycopg2 as driver  # noqa: PLC0415
+    except ImportError:  # pragma: no cover - env without driver
+        from experiment_flink_cdc_connectors_postgres_datastream_spark.sources import pg_minimal as driver  # noqa: PLC0415
+        from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import (  # noqa: PLC0415
+            _warn_pg_minimal_fallback,
+        )
+
+        _warn_pg_minimal_fallback()
+    return driver.connect(dsn)
 
 
 def build_upsert_sql(table: str, columns: list[str], key_cols: list[str]) -> str:
@@ -36,15 +53,39 @@ def build_upsert_sql(table: str, columns: list[str], key_cols: list[str]) -> str
     )
 
 
+def build_delete_stale_sql(table: str, key_cols: list[str], n_keep: int) -> str:
+    """DELETE every row whose key is NOT among the ``n_keep`` kept key
+    tuples (%s params, row-constructor comparison). ``n_keep == 0``
+    truncates: an empty full-state batch means the table is empty."""
+    if n_keep == 0:
+        return f"DELETE FROM {table}"
+    keylist = ", ".join(key_cols)
+    tup = "(" + ", ".join(["%s"] * len(key_cols)) + ")"
+    tuples = ", ".join([tup] * n_keep)
+    return f"DELETE FROM {table} WHERE ({keylist}) NOT IN ({tuples})"
+
+
 class JdbcUpsertSink:
     """foreachBatch-compatible upsert writer: one connection per
-    partition, batched executemany."""
+    partition, batched executemany.
 
-    def __init__(self, dsn: str, table: str, key_cols: list[str], batch_size: int = 1000):
+    ``refresh=True`` treats every batch as the COMPLETE table (the
+    shape ``run_compacted_aggregate`` produces — it recomputes the
+    aggregate over full live state each micro-batch): after the
+    partition upserts, keys absent from the batch are DELETED in one
+    driver-side statement, so a group whose live count transiently
+    drops to zero cannot leave a stale row behind (same contract as
+    ``ParquetUpsertSink(refresh=True)``). The key collect is bounded
+    by GROUP CARDINALITY (the aggregate's output size), not data size
+    — the only reason a driver-side collect is admissible here."""
+
+    def __init__(self, dsn: str, table: str, key_cols: list[str],
+                 batch_size: int = 1000, refresh: bool = False):
         self.dsn = dsn
         self.table = table
         self.key_cols = key_cols
         self.batch_size = batch_size
+        self.refresh = refresh
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         columns = df.columns
@@ -52,13 +93,7 @@ class JdbcUpsertSink:
         dsn, batch_size = self.dsn, self.batch_size
 
         def write_partition(rows: Iterator[Row]) -> None:
-            try:
-                import psycopg2  # noqa: PLC0415
-            except ImportError as e:  # pragma: no cover - env without driver
-                raise ImportError(
-                    "JdbcUpsertSink requires psycopg2; use ParquetUpsertSink for local runs"
-                ) from e
-            conn = psycopg2.connect(dsn)
+            conn = _connect(dsn)
             try:
                 with conn, conn.cursor() as cur:
                     buf = []
@@ -72,7 +107,41 @@ class JdbcUpsertSink:
             finally:
                 conn.close()
 
-        df.foreachPartition(write_partition)
+        if not self.refresh:
+            df.foreachPartition(write_partition)
+            return
+        # refresh: persist so the upsert pass and the kept-keys collect
+        # see the SAME batch content, then drop stale keys
+        df = df.persist()
+        try:
+            df.foreachPartition(write_partition)
+            keys = [
+                tuple(r[c] for c in self.key_cols)
+                for r in df.select(*self.key_cols).distinct().collect()
+            ]
+        finally:
+            df.unpersist()
+        conn = _connect(dsn)
+        try:
+            with conn, conn.cursor() as cur:
+                cur.execute(
+                    build_delete_stale_sql(self.table, self.key_cols, len(keys)),
+                    [v for k in keys for v in k] or None,
+                )
+        finally:
+            conn.close()
+
+    def read_rows(self) -> list[tuple]:
+        """Driver-side readback of the sink table, sorted (the
+        test/verification surface — the DataFrame analog of
+        ``ParquetUpsertSink.read``)."""
+        conn = _connect(self.dsn)
+        try:
+            with conn.cursor() as cur:
+                cur.execute(f"SELECT * FROM {self.table}")
+                return sorted(cur.fetchall())
+        finally:
+            conn.close()
 
 
 class ParquetUpsertSink:

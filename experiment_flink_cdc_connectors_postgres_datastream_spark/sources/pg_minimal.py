@@ -103,7 +103,19 @@ def _quote(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr() of non-finite floats is bare `inf`/`nan`, which is not
+        # valid SQL; render the quoted spellings Postgres accepts for
+        # float8 input (same concern as similarity.py's _fd for Spark
+        # literals).
+        if v != v:
+            return "'NaN'::float8"
+        if v == float("inf"):
+            return "'Infinity'::float8"
+        if v == float("-inf"):
+            return "'-Infinity'::float8"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, (list, tuple)):
         return "ARRAY[" + ",".join(_quote(x) for x in v) + "]"
@@ -126,6 +138,23 @@ class Cursor:
             sql = sql % tuple(_quote(p) for p in params)
         self.description, self._rows = self._conn._query(sql)
         self._pos = 0
+
+    def executemany(self, sql: str, seq_of_params) -> None:
+        """Batched execute (the surface ``JdbcUpsertSink`` uses).
+
+        All rendered statements for one chunk are sent in a SINGLE
+        simple-query message: the v3 protocol runs a multi-statement
+        simple query inside one implicit transaction (§55.2.2.1), so a
+        chunk applies atomically and costs one round trip, which is the
+        property a per-partition batched upsert wants. Chunked to keep
+        the message size bounded."""
+        chunk = 500
+        stmts = [sql % tuple(_quote(p) for p in params) for params in seq_of_params]
+        for i in range(0, len(stmts), chunk):
+            self.description, self._rows = self._conn._query(
+                "; ".join(stmts[i : i + chunk])
+            )
+            self._pos = 0
 
     def fetchone(self):
         if self._pos >= len(self._rows):

@@ -60,6 +60,25 @@ except ImportError:  # pragma: no cover - pyspark < 4
 
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+_warned_fallback = False
+
+
+def _warn_pg_minimal_fallback() -> None:
+    """One warning per process when the pure-Python client substitutes
+    for psycopg2: the fallback renders %s params client-side (string
+    quoting), which an operator should know is the live code path."""
+    global _warned_fallback
+    if not _warned_fallback:
+        import logging  # noqa: PLC0415
+
+        logging.getLogger(__name__).warning(
+            "psycopg2 not importable; using the bundled pure-Python "
+            "pg_minimal client (client-side param rendering, simple-query "
+            "protocol). Install psycopg2 for production deployments."
+        )
+        _warned_fallback = True
+
+
 #: raw-record schema: Debezium JSON + stream position (the S2 string
 #: stage; `cdc.parse_cdc` is the S3 typed stage)
 RAW_CDC_SCHEMA = StructType(
@@ -182,8 +201,12 @@ class PostgresReplicationClient:
         except ImportError:  # pragma: no cover - env without driver
             # pure-Python protocol-v3 fallback (same call surface);
             # lets the live integration test run where psycopg2 can't
-            # be installed — see sources/pg_minimal.py for scope
+            # be installed — see sources/pg_minimal.py for scope. Loud
+            # on first use: a production deployment missing psycopg2
+            # should not switch drivers silently.
             from experiment_flink_cdc_connectors_postgres_datastream_spark.sources import pg_minimal as driver  # noqa: PLC0415
+
+            _warn_pg_minimal_fallback()
         c = self.config
         return driver.connect(
             host=c.hostname, port=c.port, dbname=c.database, user=c.username, password=c.password

@@ -188,32 +188,22 @@ def test_multimodal_feature_extraction_feeds_similarity(spark):
     assert top["doc_id"] == 2 and top["sim"] == 1.0  # identical payload wins
 
 
-try:
-    import PIL  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
-
-
-@pytest.mark.skipif(_HAS_PIL, reason="PIL present: the real decoder works, guard does not fire")
-def test_multimodal_real_decoder_guard_without_pil(spark):
+def test_multimodal_real_decoder_sentinel_on_undecodable(spark):
+    """Real path on non-image bytes: a corrupt payload must yield the
+    (0, 0, 0) sentinel row, never crash the executor (one bad crawl
+    image must not kill a 100-TB decode pass)."""
     df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
-        decode_media(attach_binary_payload(df), use_real_decoder=True).collect()
+    [row] = decode_media(attach_binary_payload(df), use_real_decoder=True).collect()
+    assert (row["width"], row["height"], row["n_frames"]) == (0, 0, 0)
 
 
-@pytest.mark.skipif(
-    not _HAS_PIL,
-    reason="PIL not installed; install pillow to exercise the real decode path "
-    "(optional-dependency gate, same pattern as POSTGRES_CDC_TEST_DSN)",
-)
 def test_multimodal_real_decoder_decodes_checked_in_png(spark):
     """use_real_decoder=True on the checked-in 6x4 RGB PNG
-    (tests/data/tiny.png): PIL reports the true dimensions and a
-    single frame through the same mapInPandas plumbing the fake
-    decoder uses — proving only the codec, not the pipeline, was
-    stubbed."""
+    (tests/data/tiny.png): the real codec (PIL when installed, the
+    stdlib PNG decoder otherwise — so this runs in THIS container)
+    reports the true dimensions and a single frame through the same
+    mapInPandas plumbing the fake decoder uses — proving only the
+    codec, not the pipeline, was stubbed."""
     import os
 
     png = open(os.path.join(os.path.dirname(__file__), "data", "tiny.png"), "rb").read()
@@ -504,10 +494,10 @@ def test_multimodal_resize_fake_path_deterministic(spark):
     assert out[2]["checksum"] == hashlib.md5(long_text[:64].encode()).hexdigest()
 
 
-@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed (optional-dependency gate)")
 def test_multimodal_resize_real_decoder_png(spark):
-    """Real resize path: the checked-in PNG resizes to the target dims
-    and re-encodes to a valid PNG whose size/checksum are reported."""
+    """Real resize path (PIL or the stdlib codec — runs in THIS
+    container): the checked-in PNG resizes to the target dims and
+    re-encodes to a valid PNG whose size/checksum are reported."""
     import os
 
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.multimodal import resize_media

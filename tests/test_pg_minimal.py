@@ -82,3 +82,38 @@ def test_scram_sha256_rfc7677_vectors():
         "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
     )
     assert server_sig == "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+
+
+def test_quote_non_finite_floats():
+    """repr() of inf/nan is not SQL; Postgres accepts the quoted
+    spellings cast to float8 (same concern as similarity.py's _fd for
+    Spark literals)."""
+    assert _quote(float("nan")) == "'NaN'::float8"
+    assert _quote(float("inf")) == "'Infinity'::float8"
+    assert _quote(float("-inf")) == "'-Infinity'::float8"
+    assert _quote(1.5) == "1.5"
+
+
+def test_executemany_batches_one_round_trip_per_chunk():
+    """executemany renders every parameter set and sends each ≤500-
+    statement chunk as ONE multi-statement simple query (one implicit
+    transaction, one round trip)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.pg_minimal import Cursor
+
+    sent = []
+
+    class FakeConn:
+        def _query(self, sql):
+            sent.append(sql)
+            return None, []
+
+    cur = Cursor(FakeConn())
+    cur.executemany(
+        "INSERT INTO t (k, v) VALUES (%s, %s)",
+        [(i, f"name {i}") for i in range(1200)],
+    )
+    assert len(sent) == 3  # 500 + 500 + 200
+    first = sent[0].split("; ")
+    assert len(first) == 500
+    assert first[0] == "INSERT INTO t (k, v) VALUES (0, 'name 0')"
+    assert sent[2].split("; ")[-1] == "INSERT INTO t (k, v) VALUES (1199, 'name 1199')"
