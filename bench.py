@@ -106,6 +106,12 @@ EXTENDED_QUERIES = [
     "ngram_novelty",
     "winsorized_stats",
     "dup_degree_histogram",
+    # round 5: ANN recall audit, semantic dedup, perplexity scores,
+    # vocab coverage
+    "ann_recall_lsh",
+    "semantic_dedup_reps",
+    "doc_perplexity",
+    "tokenizer_coverage",
 ]
 
 

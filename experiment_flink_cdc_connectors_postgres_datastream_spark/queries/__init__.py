@@ -25,73 +25,47 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import be
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import governance_ops  # noqa: F401
 
 # The correctness driver grades the FIRST 50 registered queries, in
-# registration order. Cumulative driver-graded coverage after r3: 121
-# of 141 then-registered queries, 120/121 green on latest grade (the
-# one non-green is rows-only by contract). Round 4 FINISHES the
-# rotation: the 20 queries the driver has never graded lead the
-# window (17 with full oracles; similarity_topk_pq +
-# approx_distinct_users + approx_percentile_by_type are rows-only by
-# contract — k-means fit / Theta-sketch / KLL internals aren't
-# DuckDB-expressible), followed by the round-4 additions and a
-# re-grade of every query whose code path changed this round
-# (refresh-mode upsert sink; similarity literal rendering / k-means
-# init clamp; stateful-operator GC params). Remaining slots re-confirm
-# the semantic core. Everything outside the window stays registered
-# and locally verified via tools/verify_local.py.
+# registration order. After round 4, every one of the 153 then-
+# registered queries has a driver CORRECTNESS row in some round
+# (cumulative coverage complete). Round-5 window policy (same
+# rotation contract as r4): (1) every query whose code path or oracle
+# changed this round gets a fresh grade — collect_sorted_ids
+# (array→string canonicalization fix, the one red row of r4),
+# the two sketch queries (reshaped from rows-only to banded
+# full-oracle verdicts), minhash_calibration (size-gated persist),
+# dup_rate_by_source_pair (distinct-union docs count), and the three
+# multimodal queries over the reworked decode/resize (stdlib PNG
+# fallback + sentinel guards); (2) the four round-5 additions;
+# (3) the stalest queries — everything whose latest grade is round 1
+# (the TPC-H/relational block); (4) remaining slots to the oldest
+# round-2 rows. Everything outside the window stays registered and
+# locally verified via tools/verify_local.py.
 _PRIORITY = [
-    # --- never driver-graded until now (VERDICT r3 item 1) ---
-    "changelog_topk_per_group", "bpe_pair_counts", "dedup_containment",
-    "similarity_topk_pq", "ntile_quartiles", "stratified_sample",
-    "collect_sorted_ids", "approx_distinct_users", "top_terms_by_source",
-    "approx_percentile_by_type", "variant_extract", "zorder_layout",
-    "window_running_sum", "window_moving_avg", "window_first_last",
-    "monthly_order_stats", "string_functions", "normalize_text",
-    "epoch_shuffle", "unigram_kl_by_source",
-    # --- new in round 4 ---
-    # PQ graded at a second (m, ks) point WITH the exact-cosine rerank
-    # stage value-pinned end to end (VERDICT r3 item 7)
-    "similarity_topk_pq_sampled_rerank",
-    # watermark + append late-data twin: injected late rows must be
-    # dropped at the boundary (VERDICT r3 item 8)
-    "tumbling_window_late_streamed",
-    # PMI collocation extraction (phrase mining for tokenizer merges)
-    "word_pmi_top",
-    # dropDuplicatesWithinWatermark: bounded-state streaming dedup
-    "dedup_within_watermark_streamed",
-    # MinHash est-vs-true Jaccard calibration on the candidate set
-    "minhash_calibration",
-    # full BPE merge-learning loop (rows-only by contract; exact
-    # pure-Python-reference equivalence pytest-enforced)
-    "bpe_learn_merges",
-    # cross-source duplication matrix (mixture/crawl-priority readout)
-    "dup_rate_by_source_pair",
-    # resize stage of the multimodal mandate (decode/features/resize/
-    # frames) — Arrow plumbing value-graded via the byte-budget fake
+    # --- (1) code path / oracle changed in round 5 → fresh grade ---
+    "collect_sorted_ids", "approx_distinct_users",
+    "approx_percentile_by_type", "minhash_calibration",
+    "dup_rate_by_source_pair", "multimodal_decode", "multimodal_frames",
     "multimodal_resize",
-    # robust (median/MAD) outlier gate next to the z-score one
-    "mad_outliers",
-    # per-doc n-gram novelty (df==1 fraction — crawl-snapshot ranking)
-    "ngram_novelty",
-    # winsorized per-group moments (outlier REPAIR next to flag/gate)
-    "winsorized_stats",
-    # exact-duplication degree histogram (sizes a dedup run)
-    "dup_degree_histogram",
-    # --- code paths changed in round 4 → fresh grade ---
-    "cdc_pipeline_streamed", "changelog_agg_multi_streamed",
-    "cdc_live_count_stateful", "similarity_topk_ivf_sampled",
-    "similarity_topk_pq_sampled", "boilerplate_removal",
-    # --- semantic-core re-confirmation (all green r1-r3; slots left
-    # after the blocks above go to the operators a reference user runs
-    # first: CDC pipeline, changelog family, windows, dedup, ANN,
-    # text, TPC-H heads) ---
-    "cdc_pipeline", "cdc_parse_envelope", "compact_latest",
-    "count_live_by", "changelog_diff", "changelog_agg_multi",
-    "tumbling_window", "session_window",
-    "dedup_exact", "dedup_minhash", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_clusters", "dedup_spans",
-    "similarity_topk", "similarity_topk_lsh",
-    "tokenize", "quality_score", "sequence_packing",
-    "tpch_q1", "tpch_q6",
+    # --- (2) new in round 5 ---
+    # ANN recall@10 audit: LSH vs exact top-k, value-hash graded
+    "ann_recall_lsh",
+    # SemDeDup-style keep-one-rep-per-embedding-bucket dedup
+    "semantic_dedup_reps",
+    # per-doc bigram perplexity (quality-filter input scores)
+    "doc_perplexity",
+    # corpus-derived vocab coverage per source (tokenizer fit)
+    "tokenizer_coverage",
+    # --- (3) stalest: latest grade is round 1 ---
+    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "revenue_by_nation", "top_k_orders", "agg_stats", "rollup_counts",
+    "set_ops", "window_lag_delta", "customers_with_orders",
+    # --- (4) oldest round-2 rows fill the window ---
+    "derived_key", "union_schemas", "keyed_count", "route_demux",
+    "tokenize", "upsert_sink_shape", "sql_group_count",
+    "grouped_count_alias", "tpch_q1", "tpch_q12", "token_count",
 ]
 
 

@@ -18,6 +18,7 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similar
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_bucketed_topk,
+    sign_lsh_signature,
     sq_norm,
 )
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
@@ -410,4 +411,135 @@ def similarity_topk_pq_sampled_rerank_q(spark: SparkSession, sf_dir: str) -> Dat
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return pq_topk(
         emb, queries, k=10, m=8, ks=16, quantizer="sample", hash_family="md5", rerank=30
+    )
+
+
+@register(
+    "ann_recall_lsh",
+    """
+    WITH w AS (
+      SELECT b, i,
+             (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 2000 - 1000) / 1000.0 AS wt
+      FROM range(4) tb(b) CROSS JOIN range(64) ti(i)),
+    e AS (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS i
+          FROM embeddings),
+    proj AS (
+      SELECT vec_id, b, SUM(CAST(x AS DOUBLE) * wt) AS p
+      FROM e JOIN w USING (i)
+      GROUP BY vec_id, b),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id),
+    allpairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+             SUM(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE)) AS dp,
+             SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS qn,
+             SUM(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE)) AS cn
+      FROM (SELECT vec_id, unnest(embedding) AS qe,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id % 100 = 0) q
+      JOIN (SELECT vec_id, unnest(embedding) AS ce,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings) c ON q.i = c.i AND q.vec_id <> c.vec_id
+      GROUP BY q.vec_id, c.vec_id),
+    scored AS (
+      SELECT qid, vec_id, ROUND(dp / (sqrt(qn) * sqrt(cn)), 6) AS sim FROM allpairs),
+    brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 10),
+    lsh AS (
+      SELECT qid, vec_id FROM (
+        SELECT s.qid, s.vec_id,
+               row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.vec_id) AS rank
+        FROM scored s
+        JOIN sig sq ON sq.vec_id = s.qid
+        JOIN sig sc ON sc.vec_id = s.vec_id AND sc.bucket = sq.bucket)
+      WHERE rank <= 10)
+    SELECT b.qid,
+           CAST(COUNT(1) AS BIGINT) AS n_brute,
+           CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1.0 ELSE 0.0 END) / COUNT(1), 4) AS recall_at_10
+    FROM brute b LEFT JOIN lsh l ON l.qid = b.qid AND l.vec_id = b.vec_id
+    GROUP BY b.qid
+    """,
+)
+def ann_recall_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY AUDIT, driver-graded end to end: per query vector,
+    recall@10 of the sign-LSH bucketed search against the exact
+    brute-force top-10 — the accept/reject readout for an approximate
+    index before pointing it at 100 TB (same role as
+    `minhash_calibration` on the dedup side). md5-family hyperplanes
+    so BOTH rankings and the recall fractions are value-hash graded.
+
+    Scale shape: the exact side is the explicit broadcast-query
+    baseline (audits run on samples); the LSH side joins by bucket.
+    The recall join is per-(query, k) bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = cosine_topk(emb, queries, k=10).select("qid", "vec_id")
+    approx = lsh_bucketed_topk(emb, queries, k=10, bits=4, hash_family="md5").select(
+        "qid", F.col("vec_id").alias("vec_id"), F.lit(1).alias("_hit")
+    )
+    joined = brute.join(approx, ["qid", "vec_id"], "left")
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_brute"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("double") / F.count(F.lit(1)), 4
+        ).alias("recall_at_10"),
+    )
+
+
+@register(
+    "semantic_dedup_reps",
+    """
+    WITH w AS (
+      SELECT b, i,
+             (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 2000 - 1000) / 1000.0 AS wt
+      FROM range(8) tb(b) CROSS JOIN range(64) ti(i)),
+    e AS (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS i
+          FROM embeddings),
+    proj AS (
+      SELECT vec_id, b, SUM(CAST(x AS DOUBLE) * wt) AS p
+      FROM e JOIN w USING (i)
+      GROUP BY vec_id, b),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id)
+    SELECT bucket,
+           MIN(vec_id) AS rep_vec_id,
+           CAST(COUNT(1) AS BIGINT) AS n_members,
+           CAST(COUNT(1) - 1 AS BIGINT) AS n_removed
+    FROM sig GROUP BY bucket
+    """,
+)
+def semantic_dedup_reps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (keep one representative
+    per embedding-space LSH bucket): every vector gets an 8-bit
+    sign-LSH bucket; the minimum vec_id per bucket survives, the rest
+    are the dedup victims. The embedding-space analog of exact dedup's
+    keep-min-doc_id contract, and the cheap first stage of
+    cluster-then-keep semantic pruning (Abbas et al., SemDeDup —
+    public preprint).
+
+    Scale shape: signature is a pure column expression (zip_with fold,
+    whole-stage codegen); then ONE hash aggregation on bucket. No
+    joins, no pairs, no k-means fit — |buckets| ≤ 256 output rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        sign_lsh_signature(F.col("embedding"), bits=8, hash_family="md5").alias("bucket"),
+    )
+    return sig.groupBy("bucket").agg(
+        F.min("vec_id").alias("rep_vec_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_removed"),
     )
