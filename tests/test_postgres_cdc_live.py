@@ -511,3 +511,91 @@ def test_two_stage_reference_walkthrough_live(scratch, spark):
 
     for s in (s1, s2):
         cur.execute(f'DROP SCHEMA "{s}" CASCADE')
+
+
+def test_streaming_engine_to_live_jdbc_sink(scratch, spark):
+    """The PRODUCTION deployment shape end to end, all live: Spark's
+    streaming engine reads the registered `postgres_cdc` DataSource
+    against a real source server, `run_compacted_aggregate` maintains
+    the changelog-correct per-schema count over generational state,
+    and every micro-batch upserts the refreshed aggregate through
+    `JdbcUpsertSink` into a real Postgres sink table — the reference's
+    two continuously-running Flink jobs (SJCD:64-118 + 156-194)
+    collapsed into one Spark streaming query. Covers: engine
+    checkpointing, foreachBatch state merge, and live INSERT…ON
+    CONFLICT with refresh deletes, driven by processAllAvailable."""
+    import tempfile
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.envelope import parse_cdc, project_flat, with_key
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.jdbc_upsert import JdbcUpsertSink
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import register
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import run_compacted_aggregate
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    _setup_plugin(scratch, "pgoutput")
+    register(spark)
+    p = _dsn_params()
+    work = tempfile.mkdtemp(prefix="cdc_live_stream_")
+    stream = (
+        spark.readStream.format("postgres_cdc")
+        .option("hostname", p.get("host", "localhost"))
+        .option("port", p.get("port", "5432"))
+        .option("database", p.get("dbname", "postgres"))
+        .option("username", p.get("user", "postgres"))
+        .option("password", p.get("password", ""))
+        .option("schema_list", scratch["schema"])
+        .option("slot_name", scratch["slot"])
+        .option("plugin_name", "pgoutput")
+        .option("publication_names", scratch["pub"])
+        .load()
+    )
+    row_schema = StructType(
+        [StructField("id", LongType()), StructField("full_name", StringType())]
+    )
+    # keep only the envelope payload: the source's transport-level
+    # (lsn, ts_ms) columns would collide with the envelope's own
+    # fields inside project_flat, which re-derives both from the
+    # parsed source block
+    flat = with_key(
+        project_flat(
+            parse_cdc(stream.select("value"), row_schema), "users", ["id", "full_name"]
+        ),
+        "schema",
+        "id",
+    )
+    tbl = _sink_table(scratch)
+    sink = JdbcUpsertSink(DSN, tbl, key_cols=["pgschema"], refresh=True)
+
+    def upsert_renamed(df, batch_id):
+        # the aggregate's group column is `schema`; the reference sink
+        # DDL names it `pgschema` (setup_sink_db1.sql:2)
+        sink(df.withColumnRenamed("schema", "pgschema"), batch_id)
+
+    q = run_compacted_aggregate(
+        flat,
+        state_dir=f"{work}/state",
+        key_cols=["key"],
+        seq_cols=["ts_ms", "lsn"],
+        group_cols=["schema"],
+        op_col="op",
+        sink=upsert_renamed,
+        checkpoint_dir=f"{work}/ckpt",
+        query_name="live_two_stage",
+    )
+    try:
+        q.processAllAvailable()
+        # snapshot: ids 1,2 live in the scratch schema
+        assert sink.read_rows() == [(scratch["schema"], 2)]
+
+        cur = scratch["cur"]
+        cur.execute(f'INSERT INTO "{scratch["schema"]}".users VALUES (3, \'bob jones\')')
+        cur.execute(f'UPDATE "{scratch["schema"]}".users SET full_name = \'sue\' WHERE id = 1')
+        q.processAllAvailable()
+        # 3 inserts total, update must NOT double-count
+        assert sink.read_rows() == [(scratch["schema"], 3)]
+
+        cur.execute(f'DELETE FROM "{scratch["schema"]}".users WHERE id = 2')
+        q.processAllAvailable()
+        assert sink.read_rows() == [(scratch["schema"], 2)]
+    finally:
+        q.stop()
