@@ -114,37 +114,47 @@ def cosine_topk(
     ).filter(F.col("rank") <= k)
 
 
-def _lsh_weight(bit: int, i: Column, hash_family: str = "xx") -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-1, 1):
-    derived from a hash of (dim_index, bit) — reproducible everywhere.
-    The "md5" family uses the md5-prefix hash (identically computable
-    in DuckDB) so LSH bucketing is oracle-gradeable; xxhash64 stays the
-    production family."""
-    if hash_family == "md5":
-        from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
+def sign_lsh_signature(vec: str, bits: int = 8, hash_family: str = "xx") -> Column:
+    """Random-hyperplane LSH bucket id (long): bit b = sign(v · w_b),
+    w_b a deterministic pseudo-random hyperplane with per-(dim, bit)
+    weights in [-1, 1) derived from a hash: pmod(h(i, b), 2000)/1000-1.
+    The "md5" family derives h from the md5-prefix hash (identically
+    computable in DuckDB) so bucketing is oracle-gradeable; xxhash64
+    stays the production family (~5x cheaper, no string render).
 
-        h = md5_long(F.concat_ws(",", F.lit(bit), i.cast("string")))
-    else:
-        h = F.xxhash64(i, F.lit(bit))
-    return (F.pmod(h, F.lit(2000)).cast("double") - F.lit(1000.0)) / F.lit(1000.0)
-
-
-def sign_lsh_signature(vec: Column, bits: int = 8, hash_family: str = "xx") -> Column:
-    """Random-hyperplane LSH bucket id (long): bit b = sign(v · w_b)
-    where w_b is a deterministic pseudo-random hyperplane."""
-    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    def bit_term(b: int) -> Column:
-        proj = F.aggregate(
-            F.zip_with(vec, dim_idx, lambda x, i: x.cast("double") * _lsh_weight(b, i, hash_family)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    ``vec`` is the vector COLUMN NAME: the whole signature is rendered
+    as SQL TEXT and parsed JVM-side in one call. The equivalent
+    Column-API loop (bits × per-element weight subtrees) paid ~3.3s of
+    py4j DRIVER time per plan build at 8 bits — the same plan-build
+    trap the SimHash signature stages avoid the same way."""
+    if not isinstance(vec, str):
+        raise TypeError(
+            "sign_lsh_signature takes the vector column NAME (SQL-text "
+            "rendering); pass e.g. 'embedding', not F.col('embedding')"
         )
-        return F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-
-    sig = F.lit(0).cast("long")
+    terms = []
     for b in range(bits):
-        sig = sig.bitwiseOR(bit_term(b))
-    return sig
+        if hash_family == "md5":
+            w = (
+                f"(CAST(pmod(CAST(conv(substring(md5(concat_ws(',', '{b}', "
+                "CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT), 2000) AS DOUBLE)"
+                " - CAST(1000.0 AS DOUBLE)) / CAST(1000.0 AS DOUBLE)"
+            )
+        else:
+            w = (
+                f"(CAST(pmod(xxhash64(i, {b}), 2000) AS DOUBLE)"
+                " - CAST(1000.0 AS DOUBLE)) / CAST(1000.0 AS DOUBLE)"
+            )
+        proj = (
+            f"aggregate(zip_with(`{vec}`, sequence(0, size(`{vec}`) - 1), "
+            f"(x, i) -> CAST(x AS DOUBLE) * {w}), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"(CASE WHEN {proj} > CAST(0.0 AS DOUBLE) "
+            f"THEN shiftleft(1L, {b}) ELSE 0L END)"
+        )
+    return F.expr("(" + " | ".join(terms) + ")")
 
 
 def lsh_bucketed_topk(
@@ -164,12 +174,12 @@ def lsh_bucketed_topk(
     c = spread_scan(corpus).select(
         F.col(id_col),
         F.col(vec_col),
-        sign_lsh_signature(F.col(vec_col), bits, hash_family).alias("_bucket"),
+        sign_lsh_signature(vec_col, bits, hash_family).alias("_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        sign_lsh_signature(F.col(vec_col), bits, hash_family).alias("_bucket"),
+        sign_lsh_signature(vec_col, bits, hash_family).alias("_bucket"),
     )
     scored = (
         c.join(q, "_bucket")
@@ -368,7 +378,7 @@ def embedding_near_dup_pairs(
     sig = spread_scan(df).select(
         F.col(id_col),
         F.col(vec_col),
-        sign_lsh_signature(F.col(vec_col), bits, hash_family).alias("_bucket"),
+        sign_lsh_signature(vec_col, bits, hash_family).alias("_bucket"),
     )
     a = sig.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_bucket")

@@ -536,7 +536,7 @@ def semantic_dedup_reps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     sig = emb.select(
         "vec_id",
-        sign_lsh_signature(F.col("embedding"), bits=8, hash_family="md5").alias("bucket"),
+        sign_lsh_signature("embedding", bits=8, hash_family="md5").alias("bucket"),
     )
     return sig.groupBy("bucket").agg(
         F.min("vec_id").alias("rep_vec_id"),
