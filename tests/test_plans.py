@@ -229,3 +229,45 @@ def test_ngram_novelty_no_pair_join(spark):
     """Novelty is df-join-back only: no pair expansion anywhere."""
     df = QUERIES["ngram_novelty"](spark, SF)
     assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+
+def test_semantic_dedup_reps_no_joins(spark):
+    """SemDeDup bucketing is signature + ONE hash aggregation: no join
+    of any kind may appear — the whole point vs pair-join dedup."""
+    df = QUERIES["semantic_dedup_reps"](spark, SF)
+    assert_plan(
+        df,
+        forbids=[
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
+    )
+
+
+def test_tokenizer_coverage_broadcasts_vocab(spark):
+    """The top-1000 vocab joins back onto the token stream as a
+    broadcast — the corpus-sized side never shuffles for the join —
+    and vocab selection is a distributed sort-limit (TakeOrdered),
+    not a single-partition global window."""
+    df = QUERIES["tokenizer_coverage"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ann_recall_no_cartesian(spark):
+    """Recall audit joins ranked result sets by (qid, vec_id) keys;
+    the LSH side restricts by bucket equi-join — no cross product."""
+    df = QUERIES["ann_recall_lsh"](spark, SF)
+    assert_plan(df, forbids=["CartesianProduct"])
+
+
+def test_doc_perplexity_no_pair_join(spark):
+    """Perplexity scoring joins by bigram / first-token keys only —
+    no doc-pair expansion anywhere."""
+    df = QUERIES["doc_perplexity"](spark, SF)
+    assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
