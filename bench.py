@@ -112,6 +112,7 @@ EXTENDED_QUERIES = [
     "semantic_dedup_reps",
     "doc_perplexity",
     "tokenizer_coverage",
+    "content_defined_chunks",
 ]
 
 

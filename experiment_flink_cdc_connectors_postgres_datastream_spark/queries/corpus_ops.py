@@ -509,3 +509,80 @@ def tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("_in_vocab"), F.lit(0)).cast("double") / F.count(F.lit(1)), 6
         ).alias("coverage"),
     )
+
+
+@register(
+    "content_defined_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM t),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(tok) OVER w IS NOT NULL
+                       AND CAST(('0x' || substr(md5(lag(tok) OVER w || ' ' || tok), 1, 15)) AS BIGINT) % 64 = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM tok
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    c AS (
+      SELECT doc_id, pos,
+             SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+      FROM b),
+    sizes AS (
+      SELECT doc_id, chunk_id, COUNT(1) AS n_toks
+      FROM c GROUP BY doc_id, chunk_id)
+    SELECT doc_id,
+           CAST(COUNT(1) AS BIGINT) AS n_chunks,
+           CAST(MAX(n_toks) AS BIGINT) AS max_chunk_tokens,
+           ROUND(AVG(n_toks), 4) AS avg_chunk_tokens
+    FROM sizes GROUP BY doc_id
+    """,
+)
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries, the FastCDC/
+    rsync family idea): a chunk boundary falls wherever the hash of
+    the rolling 2-token window ≡ 0 (mod 64) — so chunk boundaries are
+    INSENSITIVE to insertions/deletions elsewhere in the document,
+    unlike `doc_chunking`'s fixed-size windows. This is the chunking a
+    dedup pipeline uses to catch shifted duplicate spans; the query
+    emits per-doc chunk statistics (count / max / mean tokens,
+    expected mean ≈ the 64-token divisor). md5-prefix hash so every
+    boundary is oracle-exact.
+
+    Scale shape: one explode, two same-partitioning windows per doc
+    (lag + running sum — ONE sort per doc partition), two chained
+    aggregations. No joins; never materializes pair candidates."""
+    from pyspark.sql import Window
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("tok").over(w)
+    boundary = F.when(
+        prev.isNotNull()
+        & (md5_long(F.concat_ws(" ", prev, F.col("tok"))) % 64 == 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    chunked = tok.select(
+        "doc_id",
+        "pos",
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("chunk_id"),
+    )
+    sizes = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    return sizes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("n_toks").alias("max_chunk_tokens"),
+        F.round(F.avg("n_toks"), 4).alias("avg_chunk_tokens"),
+    )
