@@ -66,10 +66,18 @@ def test_bus_round_trip_property(spark, rows):
     )
     wire = to_keyed_json(df, topic="users", value_cols=["op", "id", "full_name"])
     back = changelog_from_bus(wire, _ENVELOPE_SCHEMA)
+
+    def nones_first(t):
+        # None is not orderable against str/int in Python; sort rows
+        # by a None-safe key (hypothesis found ('', 'c', None, None)
+        # vs ('', 'c', None, '') crashing the plain tuple sort)
+        return tuple((v is not None, v) for v in t)
+
     got = sorted(
-        (r["key"], r["op"], r["id"], r["full_name"]) for r in back.collect()
+        ((r["key"], r["op"], r["id"], r["full_name"]) for r in back.collect()),
+        key=nones_first,
     )
-    assert got == sorted(rows)
+    assert got == sorted(rows, key=nones_first)
     # byte-identity: re-serializing the recovered envelope reproduces
     # the wire frame exactly (key bytes AND value JSON bytes)
     wire2 = to_keyed_json(back, topic="users", value_cols=["op", "id", "full_name"])
