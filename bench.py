@@ -113,6 +113,8 @@ EXTENDED_QUERIES = [
     "doc_perplexity",
     "tokenizer_coverage",
     "content_defined_chunks",
+    "tfidf_cosine_pairs",
+    "zipf_slope_by_source",
 ]
 
 

@@ -59,6 +59,10 @@ _PRIORITY = [
     "content_defined_chunks",
     # K2 wire bytes (key + JSON value frames) value-hash graded
     "bus_wire_frames",
+    # tf-idf cosine near-dup pairs (bag-of-words complement to shingles)
+    "tfidf_cosine_pairs",
+    # Zipf slope per source (corpus-health regression readout)
+    "zipf_slope_by_source",
     # --- (3) stalest: latest grade is round 1 ---
     "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
@@ -69,7 +73,6 @@ _PRIORITY = [
     # --- (4) oldest round-2 rows fill the window ---
     "derived_key", "union_schemas", "keyed_count", "route_demux",
     "tokenize", "upsert_sink_shape", "sql_group_count",
-    "grouped_count_alias", "tpch_q1",
 ]
 
 

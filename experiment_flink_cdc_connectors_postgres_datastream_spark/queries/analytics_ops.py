@@ -286,9 +286,9 @@ def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentile_by_type",
     """
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
-           ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
-           ROUND(quantile_cont(value, 0.99), 6) AS p99_exact,
+           ROUND(quantile_disc(value, 0.5), 6) AS p50_exact,
+           ROUND(quantile_disc(value, 0.9), 6) AS p90_exact,
+           ROUND(quantile_disc(value, 0.99), 6) AS p99_exact,
            TRUE AS within_band
     FROM events
     GROUP BY event_type
@@ -298,22 +298,26 @@ def approx_percentile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate grouped percentiles (mergeable quantile sketch,
     accuracy parameter 10000): the constant-memory twin of
     `percentile_by_type` for 100 TB, where exact percentiles would
-    materialize every group's values. Emits the EXACT interpolated
-    percentiles (same formula as DuckDB quantile_cont) plus a
-    within_band verdict — all three sketch estimates within 1%
-    relative error of exact — so the accuracy claim is value-hash
-    graded by the driver: a drifting sketch flips the boolean and
-    fails the compare. Raw sketch outputs are engine-specific
-    order-statistic picks and can never hash-match, hence the
-    banded reshaping."""
+    materialize every group's values. Emits the exact DISCRETE
+    percentiles (percentile_disc ≡ DuckDB quantile_disc — both return
+    an actual order statistic) plus a within_band verdict — all three
+    sketch estimates within 1% relative error of the discrete exact —
+    so the accuracy claim is value-hash graded by the driver: a
+    drifting sketch flips the boolean and fails the compare. The
+    discrete (not interpolated) reference matters: the sketch returns
+    data elements, so at small group sizes comparing against the
+    INTERPOLATED percentile fails on legitimate gaps between order
+    statistics (caught by the sf0.001 cross-scale verify), while the
+    discrete band is scale-stable. Raw sketch outputs are engine-
+    specific picks and can never hash-match, hence the reshaping."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.expr("approx_percentile(value, 0.5, 10000)").alias("a50"),
         F.expr("approx_percentile(value, 0.9, 10000)").alias("a90"),
         F.expr("approx_percentile(value, 0.99, 10000)").alias("a99"),
-        F.expr("percentile(value, 0.5)").alias("e50"),
-        F.expr("percentile(value, 0.9)").alias("e90"),
-        F.expr("percentile(value, 0.99)").alias("e99"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("e50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("e90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("e99"),
     )
 
     def _ok(a: str, e: str):

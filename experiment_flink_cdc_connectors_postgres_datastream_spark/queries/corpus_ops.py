@@ -14,7 +14,7 @@ for the token surface).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
@@ -556,8 +556,6 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one explode, two same-partitioning windows per doc
     (lag + running sum — ONE sort per doc partition), two chained
     aggregations. No joins; never materializes pair candidates."""
-    from pyspark.sql import Window
-
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
 
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
@@ -585,4 +583,146 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.max("n_toks").alias("max_chunk_tokens"),
         F.round(F.avg("n_toks"), 4).alias("avg_chunk_tokens"),
+    )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+      FROM documents),
+    t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM t2 GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(1) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS wt
+      FROM tf JOIN df USING (term), n
+      WHERE df.df <= 100),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wt * b.wt) AS dp
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(dp / (na.nrm * nb.nrm), 4) AS sim
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE ROUND(dp / (na.nrm * nb.nrm), 4) >= 0.5
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-duplicate pairs: docs whose df-capped
+    tf-idf vectors have cosine ≥ 0.5 — the bag-of-words complement to
+    shingle Jaccard (catches reordered/paraphrased duplicates that
+    n-gram overlap misses; Salton's vector-space model). The df ≤ 100
+    cap plays the same role as the shingle-df cap in
+    `dedup_ngram_jaccard`: stopword-ish terms would otherwise
+    dominate the pair fan-out AND the similarity mass.
+
+    Scale shape: two count aggregations, a term-keyed sparse dot
+    join bounded by the df cap (never all-pairs), pair-keyed
+    aggregation, norm join-back. The same shuffle family the shingle
+    dedup path already carries."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    t2 = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = t2.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
+    n_docs = docs.count()  # 1 scalar; inlined as a literal, no cross join
+    w = tf.join(dfc, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wt"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("id_a"), "term", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "term", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    out = (
+        dots.join(norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
+        .join(norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
+        .select("id_a", "id_b", F.round(F.col("dp") / (F.col("na") * F.col("nb")), 4).alias("sim"))
+        .filter(F.col("sim") >= 0.5)
+    )
+    return out
+
+
+@register(
+    "zipf_slope_by_source",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+      FROM documents),
+    t2 AS (SELECT source, term FROM tok WHERE term <> ''),
+    cnt AS (SELECT source, term, COUNT(1) AS c FROM t2 GROUP BY source, term),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rnk
+      FROM cnt),
+    top AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+            FROM ranked WHERE rnk <= 200),
+    sums AS (
+      SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM top GROUP BY source)
+    SELECT source, n AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+    FROM sums
+    """,
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law slope per source: least-squares slope of ln(freq) over
+    ln(rank) for the top-200 terms — natural text sits near −1;
+    boilerplate-heavy or template-generated sources drift flatter,
+    making this a one-number corpus-health/anomaly readout per slice
+    (Zipf 1949; standard in corpus linguistics). The closed-form
+    slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is computed with IDENTICAL
+    arithmetic on both engines rather than relying on regr_slope
+    internals.
+
+    Scale shape: one term-count aggregation, a per-source rank window
+    over the (term-cardinality-sized) count table capped at 200 rows
+    per source, then a tiny per-source sum — no joins."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    t2 = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    cnt = t2.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("term"))
+    top = (
+        cnt.select("source", "c", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 200)
+        .select(
+            "source",
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    sums = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    return sums.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
     )

@@ -291,9 +291,9 @@ def test_approx_percentile_close_to_exact(spark):
         for r in spark.read.parquet(f"{sf}/events.parquet")
         .groupBy("event_type")
         .agg(
-            F.expr("round(percentile(value, 0.5), 6)").alias("p50"),
-            F.expr("round(percentile(value, 0.9), 6)").alias("p90"),
-            F.expr("round(percentile(value, 0.99), 6)").alias("p99"),
+            F.expr("round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 6)").alias("p50"),
+            F.expr("round(percentile_disc(0.9) WITHIN GROUP (ORDER BY value), 6)").alias("p90"),
+            F.expr("round(percentile_disc(0.99) WITHIN GROUP (ORDER BY value), 6)").alias("p99"),
         )
         .collect()
     }
