@@ -271,3 +271,26 @@ def test_doc_perplexity_no_pair_join(spark):
     no doc-pair expansion anywhere."""
     df = QUERIES["doc_perplexity"](spark, SF)
     assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+
+def test_tfidf_pairs_df_capped_no_cartesian(spark):
+    """Sparse tf-idf dot products come from a term-keyed equi-join on
+    the df-capped weight table — no all-pairs expansion."""
+    df = QUERIES["tfidf_cosine_pairs"](spark, SF)
+    assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+
+def test_zipf_slope_no_joins(spark):
+    """Zipf regression is aggregation + a per-source rank window over
+    the count table — no join of any kind."""
+    df = QUERIES["zipf_slope_by_source"](spark, SF)
+    assert_plan(
+        df,
+        forbids=[
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
+    )
