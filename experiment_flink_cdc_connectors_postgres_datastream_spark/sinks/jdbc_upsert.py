@@ -134,12 +134,17 @@ class JdbcUpsertSink:
     def read_rows(self) -> list[tuple]:
         """Driver-side readback of the sink table, sorted (the
         test/verification surface — the DataFrame analog of
-        ``ParquetUpsertSink.read``)."""
+        ``ParquetUpsertSink.read``). NULL-safe sort: None is not
+        orderable against str/int in Python, so nulls sort first
+        per column."""
         conn = _connect(self.dsn)
         try:
             with conn.cursor() as cur:
                 cur.execute(f"SELECT * FROM {self.table}")
-                return sorted(cur.fetchall())
+                return sorted(
+                    cur.fetchall(),
+                    key=lambda r: tuple((v is not None, v) for v in r),
+                )
         finally:
             conn.close()
 
