@@ -115,6 +115,7 @@ EXTENDED_QUERIES = [
     "content_defined_chunks",
     "tfidf_cosine_pairs",
     "zipf_slope_by_source",
+    "bus_wire_frames",
 ]
 
 
