@@ -116,6 +116,7 @@ EXTENDED_QUERIES = [
     "tfidf_cosine_pairs",
     "zipf_slope_by_source",
     "bus_wire_frames",
+    "bus_roundtrip_pipeline",
 ]
 
 

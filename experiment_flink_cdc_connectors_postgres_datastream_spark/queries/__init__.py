@@ -63,6 +63,8 @@ _PRIORITY = [
     "tfidf_cosine_pairs",
     # Zipf slope per source (corpus-health regression readout)
     "zipf_slope_by_source",
+    # K2→S4→A3→A1 wire round trip graded vs the direct pipeline
+    "bus_roundtrip_pipeline",
     # --- (3) stalest: latest grade is round 1 ---
     "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
@@ -72,7 +74,7 @@ _PRIORITY = [
     "set_ops", "window_lag_delta", "customers_with_orders",
     # --- (4) oldest round-2 rows fill the window ---
     "derived_key", "union_schemas", "keyed_count", "route_demux",
-    "tokenize", "upsert_sink_shape", "sql_group_count",
+    "tokenize", "upsert_sink_shape",
 ]
 
 

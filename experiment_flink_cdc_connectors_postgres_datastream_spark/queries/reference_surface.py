@@ -880,3 +880,56 @@ def bus_wire_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("string").alias("value_json"),
         "topic",
     )
+
+
+@register(
+    "bus_roundtrip_pipeline",
+    f"""
+    WITH src AS ({_FLAT_CDC_SQL}),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pgschema, id ORDER BY ts_ms DESC, lsn DESC) AS rn
+        FROM src) WHERE rn = 1)
+    SELECT pgschema, COUNT(1) AS user_count
+    FROM latest WHERE op <> 'd'
+    GROUP BY pgschema
+    """,
+)
+def bus_roundtrip_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL bus hop, value-graded: typed events →
+    keyed-JSON wire frames (K2, the stage-1 Pulsar publish) → parsed
+    back off the bus (S4, the stage-2 `upsert-pulsar` source) →
+    compacted upsert view (A3) → live count per pg-schema (A1). The
+    oracle is the DIRECT pipeline's answer, so the serialize→parse
+    round trip is proven value-neutral under the driver hash — the
+    wire hop between the reference's two jobs (SJCD:93-118 publish,
+    156-174 consume) cannot drop, duplicate, or retype anything.
+
+    Scale shape: adds two narrow codegen'd maps (to_json / from_json)
+    to the `cdc_pipeline` plan — same single compaction shuffle."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import count_live_by
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import changelog_from_bus
+
+    flat = _flat_users(spark, sf_dir)
+    value_schema = StructType(
+        [
+            StructField("op", StringType()),
+            StructField("schema", StringType()),
+            StructField("table", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("lsn", LongType()),
+            StructField("id", LongType()),
+            StructField("full_name", StringType()),
+        ]
+    )
+    wire = to_keyed_json(
+        flat,
+        key_col="key",
+        topic="users",
+        value_cols=[f.name for f in value_schema.fields],
+    )
+    back = changelog_from_bus(wire, value_schema)
+    counts = count_live_by(
+        back, ["schema"], ["key"], ["ts_ms", "lsn"], op_col="op", count_alias="user_count"
+    )
+    return counts.select(F.col("schema").alias("pgschema"), "user_count")

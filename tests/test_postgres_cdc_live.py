@@ -671,3 +671,44 @@ def test_streaming_engine_restart_from_checkpoint_live(scratch, spark):
         ], envs
     finally:
         q2.stop()
+
+
+def test_pg_minimal_quoting_round_trip_live(scratch):
+    """The fallback client's client-side %s rendering, proven against
+    a REAL server: strings with quotes/backslashes/unicode, None,
+    bools, ints, floats including the non-finite spellings (ADVICE r4:
+    bare `inf`/`nan` are not SQL — they must render as
+    'Infinity'::float8 etc.) go through executemany's batched
+    multi-statement path and come back value-identical."""
+    import math
+
+    cur = scratch["cur"]
+    tbl = f'"{scratch["schema"]}".quoting_rt'
+    cur.execute(
+        f"CREATE TABLE {tbl} (id int PRIMARY KEY, s text, b boolean, f float8)"
+    )
+    rows = [
+        (1, "plain", True, 1.5),
+        (2, "it's quoted", False, -0.25),
+        (3, "back\\slash and 'both'", None, float("inf")),
+        (4, None, True, float("-inf")),
+        (5, "unicode: Grüße 标准 🚀", False, float("nan")),
+        (6, "percent 100%s literal", None, 0.0),
+    ]
+    cur.executemany(f"INSERT INTO {tbl} (id, s, b, f) VALUES (%s, %s, %s, %s)", rows)
+    cur.execute(f"SELECT id, s, b, f FROM {tbl} ORDER BY id")
+    got = cur.fetchall()
+    for (eid, es, eb, ef), (gid, gs, gb, gf) in zip(rows, got):
+        assert (gid, gs, gb) == (eid, es, eb)
+        if ef != ef:  # NaN
+            assert gf != gf
+        else:
+            assert gf == ef
+    # upsert over the same PKs through the same batched path
+    cur.executemany(
+        f"INSERT INTO {tbl} (id, s, b, f) VALUES (%s, %s, %s, %s) "
+        "ON CONFLICT (id) DO UPDATE SET s = EXCLUDED.s, b = EXCLUDED.b, f = EXCLUDED.f",
+        [(1, "overwritten", False, 2.5)],
+    )
+    cur.execute(f"SELECT s, b, f FROM {tbl} WHERE id = 1")
+    assert cur.fetchone() == ("overwritten", False, 2.5)
