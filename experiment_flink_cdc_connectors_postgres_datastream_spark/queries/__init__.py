@@ -35,7 +35,7 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 # full-oracle verdicts), minhash_calibration (size-gated persist),
 # dup_rate_by_source_pair (distinct-union docs count), and the three
 # multimodal queries over the reworked decode/resize (stdlib PNG
-# fallback + sentinel guards); (2) the four round-5 additions;
+# fallback + sentinel guards); (2) the eight round-5 additions;
 # (3) the stalest queries — everything whose latest grade is round 1
 # (the TPC-H/relational block); (4) remaining slots to the oldest
 # round-2 rows. Everything outside the window stays registered and
