@@ -207,6 +207,7 @@ def main() -> None:
     ).groupBy("g").agg({"rs": "sum"}).write.format("noop").mode("overwrite").save()
     # (the pyspark.ml warmup is gone with its last user: IVF/PQ fits
     # now run driver-side in numpy on their bounded samples)
+    load_before = os.getloadavg()[0]
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES + EXTENDED_QUERIES:
         timings[name] = run_one(spark, name, sf_dir)
@@ -222,6 +223,13 @@ def main() -> None:
                 "per_query_agg": "warm1_min_of_2",  # untimed warm pass first; see run_one
                 "queries": timings,
                 "sf": sf,
+                # ambient 1-min load average at start/end: this host
+                # injects CPU-steal bursts (round-3 finding: same
+                # query, same code, 1.9s vs 42.9s), so per-query
+                # deltas across rounds should be read against the
+                # load context, not as code regressions by default
+                "loadavg_before": round(load_before, 2),
+                "loadavg_after": round(os.getloadavg()[0], 2),
             }
         )
     )
