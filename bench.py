@@ -117,6 +117,13 @@ EXTENDED_QUERIES = [
     "zipf_slope_by_source",
     "bus_wire_frames",
     "bus_roundtrip_pipeline",
+    # round 5b: Gopher rule battery + funnel, SCD2 history, JL
+    # projection
+    "gopher_quality_flags",
+    "quality_filter_funnel",
+    "cdc_scd2_history",
+    "scd2_as_of_state",
+    "embedding_sparse_projection",
 ]
 
 

@@ -109,6 +109,70 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     return df.withColumn(out_col, F.md5(F.trim(norm)))
 
 
+#: Gopher-rule stopword markers (Rae et al. 2021, "Scaling Language
+#: Models: ... Gopher" §A1.1 — the published quality-filter word set).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", min_stop_hits: int = 2
+) -> DataFrame:
+    """Gopher-style per-document quality-rule battery (Rae et al. 2021
+    §A1.1, public): word-count bounds, mean word length, symbol-to-word
+    ratio (# and ellipsis), alphabetic-word fraction, stopword presence,
+    and mode-token concentration, plus the conjunction `keep_gopher`.
+
+    All pure column expressions over one tokenization — zero Python,
+    zero shuffles, a narrow codegen'd map over the documents scan (the
+    100-TB shape: this runs at scan speed next to any filter).
+    Ratios are UNROUNDED doubles: int/int division with a fixed operand
+    order is bit-reproducible across engines (see quality_features).
+    The mode-token count is a per-row transform over the doc's distinct
+    tokens (O(u·n) within a row, vectorized JVM-side — never a shuffle).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    top1_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda w: w == x)),
+        )
+    )
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0))
+    nd = n.cast("double")
+    df = (
+        df.withColumn("n_words", n)
+        .withColumn("mean_word_len", sum_len.cast("double") / nd)
+        .withColumn("alpha_frac", n_alpha.cast("double") / nd)
+        .withColumn("stop_hits", stop_hits)
+        .withColumn("top1_frac", top1_cnt.cast("double") / nd)
+        .withColumn(
+            "symbol_ratio", (n_hash + n_ellipsis).cast("double") / nd
+        )
+    )
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("stop_hits") >= min_stop_hits)
+        & (F.col("top1_frac") <= 0.2)
+    )
+    return df.withColumn("keep_gopher", keep)
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:

@@ -35,7 +35,9 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 # full-oracle verdicts), minhash_calibration (size-gated persist),
 # dup_rate_by_source_pair (distinct-union docs count), and the three
 # multimodal queries over the reworked decode/resize (stdlib PNG
-# fallback + sentinel guards); (2) the eight round-5 additions;
+# fallback + sentinel guards); (2) the round-5 additions (including
+# the 5b batch: Gopher battery/funnel, SCD2 history + as-of, JL
+# projection);
 # (3) the stalest queries — everything whose latest grade is round 1
 # (the TPC-H/relational block); (4) remaining slots to the oldest
 # round-2 rows. Everything outside the window stays registered and
@@ -65,6 +67,12 @@ _PRIORITY = [
     "zipf_slope_by_source",
     # K2→S4→A3→A1 wire round trip graded vs the direct pipeline
     "bus_roundtrip_pipeline",
+    # Gopher-rule quality battery + first-failing-rule funnel
+    "gopher_quality_flags", "quality_filter_funnel",
+    # SCD type-2 history materialization + as-of reconstruction
+    "cdc_scd2_history", "scd2_as_of_state",
+    # Achlioptas ±1 Johnson-Lindenstrauss projection 64→16
+    "embedding_sparse_projection",
     # --- (3) stalest: latest grade is round 1 ---
     "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
@@ -72,9 +80,10 @@ _PRIORITY = [
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "revenue_by_nation", "top_k_orders", "agg_stats", "rollup_counts",
     "set_ops", "window_lag_delta", "customers_with_orders",
-    # --- (4) oldest round-2 rows fill the window ---
-    "derived_key", "union_schemas", "keyed_count", "route_demux",
-    "tokenize", "upsert_sink_shape",
+    # --- (4) oldest round-2 rows fill the window (five dropped to
+    # make room for the 5b additions above — every dropped row is
+    # green in CORRECTNESS_r02 and unchanged since) ---
+    "derived_key",
 ]
 
 

@@ -18,7 +18,11 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_ta
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.chunking import chunk_documents, pack_sequences
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import contamination_check
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.temporal import interval_join
-from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import normalize_text, repetition_features
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import (
+    gopher_quality,
+    normalize_text,
+    repetition_features,
+)
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
 
 
@@ -392,3 +396,134 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return remove_boilerplate_segments(docs, seg_len=3, min_docs=5)
+
+
+#: shared oracle CTE for the Gopher rule battery: one tokenization,
+#: every metric derived from it with the same operand order as the
+#: Spark column expressions (int/int divisions — bit-reproducible).
+_GOPHER_METRICS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             regexp_split_to_array(lower(text), '\s+') AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS INT) AS n_words,
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                  s -> list_contains(toks, s))) AS INT) AS stop_hits,
+             CAST(list_max(list_transform(list_distinct(toks),
+                    x -> len(list_filter(toks, w -> w = x)))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS top1_frac,
+             CAST((length(text) - length(replace(text, '#', ''))
+                   + len(regexp_extract_all(text, '\.\.\.'))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS symbol_ratio
+      FROM t)
+"""
+
+
+@register(
+    "gopher_quality_flags",
+    _GOPHER_METRICS_SQL
+    + r"""
+    SELECT doc_id, source, n_words, mean_word_len, alpha_frac,
+           stop_hits, top1_frac, symbol_ratio,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+            AND stop_hits >= 1 AND top1_frac <= 0.2) AS keep_gopher
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality battery per document (Rae et al. 2021
+    §A1.1): word-count / mean-word-length bounds, symbol-to-word
+    ratio, alphabetic-word fraction, stopword presence, mode-token
+    concentration, and the conjunction keep flag. Generalizes the
+    reference's text path (StreamingJob.java:105-112) into the
+    standard published pretraining quality filter. Zero shuffles —
+    a narrow codegen'd map over the scan. The stopword-presence
+    threshold is calibrated to 1 for this synthetic corpus (its
+    vocabulary carries at most one distinct Gopher marker per doc);
+    the operator default keeps the paper's 2."""
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality(docs, min_stop_hits=1).select(
+        "doc_id",
+        "source",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "stop_hits",
+        "top1_frac",
+        "symbol_ratio",
+        "keep_gopher",
+    )
+
+
+@register(
+    "quality_filter_funnel",
+    _GOPHER_METRICS_SQL
+    + r"""
+    SELECT stage_idx, stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CASE
+               WHEN n_words < 50 OR n_words > 100000 THEN 1
+               WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 2
+               WHEN symbol_ratio > 0.1 THEN 3
+               WHEN alpha_frac < 0.8 THEN 4
+               WHEN stop_hits < 1 THEN 5
+               WHEN top1_frac > 0.2 THEN 6
+               ELSE 7 END AS stage_idx,
+             CASE
+               WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+               WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_len'
+               WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+               WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+               WHEN stop_hits < 1 THEN 'stop_hits'
+               WHEN top1_frac > 0.2 THEN 'top1_frac'
+               ELSE 'kept' END AS stage
+      FROM m)
+    GROUP BY stage_idx, stage
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-attribution funnel over the Gopher battery: each document
+    is charged to the FIRST rule it fails (fixed published rule
+    order), 'kept' otherwise — the per-rule removal accounting a
+    curation run reports. One narrow map + one tiny hash aggregation
+    (≤7 groups); map-side partial combine makes this scan-bound at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_quality(docs, min_stop_hits=1)
+    wc_fail = (F.col("n_words") < 50) | (F.col("n_words") > 100000)
+    mwl_fail = (F.col("mean_word_len") < 3.0) | (F.col("mean_word_len") > 10.0)
+    sym_fail = F.col("symbol_ratio") > 0.1
+    alpha_fail = F.col("alpha_frac") < 0.8
+    stop_fail = F.col("stop_hits") < 1
+    top1_fail = F.col("top1_frac") > 0.2
+    stage_idx = (
+        F.when(wc_fail, F.lit(1))
+        .when(mwl_fail, F.lit(2))
+        .when(sym_fail, F.lit(3))
+        .when(alpha_fail, F.lit(4))
+        .when(stop_fail, F.lit(5))
+        .when(top1_fail, F.lit(6))
+        .otherwise(F.lit(7))
+    )
+    stage = (
+        F.when(wc_fail, F.lit("word_count"))
+        .when(mwl_fail, F.lit("mean_word_len"))
+        .when(sym_fail, F.lit("symbol_ratio"))
+        .when(alpha_fail, F.lit("alpha_frac"))
+        .when(stop_fail, F.lit("stop_hits"))
+        .when(top1_fail, F.lit("top1_frac"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        g.select(stage_idx.alias("stage_idx"), stage.alias("stage"))
+        .groupBy("stage_idx", "stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -933,3 +933,69 @@ def bus_roundtrip_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         back, ["schema"], ["key"], ["ts_ms", "lsn"], op_col="op", count_alias="user_count"
     )
     return counts.select(F.col("schema").alias("pgschema"), "user_count")
+
+
+# ------------------------------------------------------------------- A3/A4
+
+@register(
+    "cdc_scd2_history",
+    """
+    SELECT user_id, event_id, event_type, value,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 materialization of the changelog: one versioned row
+    per change event with validity interval [ts, next ts) and a
+    current flag — the history-preserving warehouse consumer of the
+    reference's CDC feed (vs `compact_latest`, which keeps only the
+    live row; StreamingJobWithCustomDeserializer.java:156-174). One
+    key-partitioned window (shuffle on user_id + per-key sort)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(ev, ["user_id"], ["ts", "event_id"])
+    return hist.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@register(
+    "scd2_as_of_state",
+    """
+    WITH hist AS (
+      SELECT user_id, event_id, event_type, value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events)
+    SELECT user_id, event_id, event_type, value
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+)
+def scd2_as_of_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: the table state AS OF a
+    fixed instant, reconstructed by interval containment — and
+    provably identical to compacting the changelog prefix ts <= T
+    (the law is pinned by test_scd2_as_of_equals_prefix_compaction).
+    Same single key-partitioned window as `cdc_scd2_history`; the
+    containment filter is a narrow post-window predicate."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import scd2_history
+
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(ev, ["user_id"], ["ts", "event_id"])
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "event_id", "event_type", "value")

@@ -543,3 +543,60 @@ def semantic_dedup_reps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         (F.count(F.lit(1)) - 1).alias("n_removed"),
     )
+
+
+# ----------------------------------------------------- random projection
+
+#: Achlioptas (2003) database-friendly random projection: the dense
+#: Gaussian matrix is replaced by iid ±1 signs — a published result
+#: preserving the Johnson-Lindenstrauss distance guarantee.  Signs are
+#: derived from md5 so the Spark plan and the DuckDB oracle embed the
+#: IDENTICAL literal matrix (the md5-family determinism trick used by
+#: the LSH/SimHash queries); scaling by 1/sqrt(k)=1/4 is a power of
+#: two, hence exact in IEEE doubles.
+_PROJ_K = 16
+_PROJ_D = 64
+
+
+def _proj_sign(i: int, j: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"proj_{i}_{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def _proj_signs(i: int) -> list[int]:
+    return [_proj_sign(i, j) for j in range(_PROJ_D)]
+
+
+def _proj_oracle_sql() -> str:
+    comps = []
+    for i in range(_PROJ_K):
+        lit = "[" + ",".join(str(s) for s in _proj_signs(i)) + "]"
+        comps.append(
+            f"ROUND(list_aggregate(list_transform(range(1, {_PROJ_D + 1}), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * ({lit})[j]), 'sum') / 4.0, 6) "
+            f"AS p{i:02d}"
+        )
+    return "SELECT vec_id, label, " + ", ".join(comps) + " FROM embeddings"
+
+
+@register("embedding_sparse_projection", _proj_oracle_sql())
+def embedding_sparse_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64→16 via the
+    Achlioptas ±1 sign matrix (see `_proj_sign`): the cheap projection
+    step in front of clustering/ANN when the raw embedding is wider
+    than the index needs. Rendered as ONE selectExpr SQL text (single
+    JVM parse — the py4j plan-build cure the SimHash/sign-LSH stages
+    use); per row it is a fixed 16×64 fused multiply-add, a narrow
+    codegen'd map with zero shuffles — scan-bound at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exprs = ["vec_id", "label"]
+    for i in range(_PROJ_K):
+        lit = "array(" + ",".join(f"{s}.0D" for s in _proj_signs(i)) + ")"
+        exprs.append(
+            f"round(aggregate(zip_with(embedding, {lit}, "
+            f"(x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), "
+            f"(a, x) -> a + x) / 4.0D, 6) AS p{i:02d}"
+        )
+    return emb.selectExpr(*exprs)

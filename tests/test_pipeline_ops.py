@@ -104,3 +104,110 @@ def test_repetition_ratio_bounds_and_short_docs(spark):
     assert out[1]["repetition_ratio"] > 0.5          # degenerate repetition
     assert out[2]["repetition_ratio"] == 0.0         # all trigrams unique
     assert out[3]["n_ngrams"] == 0 and out[3]["repetition_ratio"] == 0.0
+
+
+def test_gopher_quality_known_doc(spark):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import gopher_quality
+
+    # 8 words: "the" twice (top1 2/8), one pure-symbol token, sum of
+    # word lengths hand-computed below
+    text = "the cat sat with the dog ### today..."
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_quality(docs).collect()[0]
+    assert r["n_words"] == 8
+    toks = text.lower().split()
+    assert r["mean_word_len"] == sum(len(w) for w in toks) / 8
+    assert r["alpha_frac"] == 7 / 8          # "###" has no letter
+    assert r["stop_hits"] == 2               # the, with
+    assert r["top1_frac"] == 2 / 8           # "the" twice
+    # 3 '#' chars + 1 non-overlapping '...' = 4 symbols over 8 words
+    assert r["symbol_ratio"] == 4 / 8
+    assert not r["keep_gopher"]              # fails word count + symbol
+
+
+def test_gopher_keep_flag_thresholds(spark):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import gopher_quality
+
+    # 60 distinct-ish words incl. >=2 stopwords, all alphabetic ->
+    # passes every rule
+    words = ["the", "of"] + [f"word{i:02d}" for i in range(58)]
+    good = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, good), (2, "short doc")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert rows[1]["keep_gopher"]
+    assert not rows[2]["keep_gopher"]
+
+
+def test_quality_filter_funnel_charges_first_failing_rule(spark, tmp_path):
+    # funnel counts must sum to the corpus size, and every charged
+    # stage must be the doc's FIRST failing rule by construction
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES
+
+    out = QUERIES["quality_filter_funnel"](spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_docs"] for r in out) == 500
+    assert all(1 <= r["stage_idx"] <= 7 for r in out)
+
+
+def test_scd2_history_intervals(spark):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import scd2_history
+
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        (2, 5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, v string")
+    out = {(r["k"], r["seq"]): r for r in scd2_history(df, ["k"], ["seq"]).collect()}
+    assert out[(1, 10)]["valid_to"] == 20 and not out[(1, 10)]["is_current"]
+    assert out[(1, 20)]["valid_to"] == 30
+    assert out[(1, 30)]["valid_to"] is None and out[(1, 30)]["is_current"]
+    assert out[(2, 5)]["is_current"]
+    # exactly one current row per key; intervals chain without gaps
+    cur = [r for r in out.values() if r["is_current"]]
+    assert sorted(r["k"] for r in cur) == [1, 2]
+
+
+def test_sparse_projection_numpy_golden(spark):
+    import numpy as np
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.similarity_ops import (
+        _PROJ_D,
+        _PROJ_K,
+        _proj_signs,
+        embedding_sparse_projection,
+    )
+
+    out = embedding_sparse_projection(spark, "/root/testdata/sf0.001")
+    got = {r["vec_id"]: r for r in out.take(5)}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id").isin(*got.keys()))
+        .collect()
+    }
+    S = np.array([_proj_signs(i) for i in range(_PROJ_K)])  # (16, 64)
+    for vid, r in got.items():
+        want = (S @ emb[vid]) / 4.0
+        for i in range(_PROJ_K):
+            assert abs(r[f"p{i:02d}"] - round(want[i], 6)) < 2e-6, (vid, i)
+
+
+def test_scd2_as_of_equals_prefix_compaction(spark):
+    """The SCD2 as-of law: interval containment at instant T must
+    reconstruct exactly compact_latest() over the changelog prefix
+    ts <= T (including same-timestamp ties broken by event_id)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import compact_latest
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    asof = QUERIES["scd2_as_of_state"](spark, sf)
+    ev = load_table(spark, sf, "events").filter(F.col("ts") <= t)
+    compacted = compact_latest(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    assert asof.exceptAll(compacted).count() == 0
+    assert compacted.exceptAll(asof).count() == 0
+    assert asof.count() > 0

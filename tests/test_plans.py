@@ -294,3 +294,45 @@ def test_zipf_slope_no_joins(spark):
             "BroadcastNestedLoopJoin",
         ],
     )
+
+
+def test_gopher_quality_zero_shuffles(spark):
+    """The Gopher rule battery is a narrow map over the documents
+    scan: no exchange, no join — scan-bound at any scale."""
+    df = QUERIES["gopher_quality_flags"](spark, SF)
+    assert_plan(
+        df,
+        forbids=[
+            "Exchange",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "CartesianProduct",
+        ],
+    )
+
+
+def test_quality_funnel_single_tiny_agg(spark):
+    """Funnel = narrow map + one hash aggregation over <=7 groups:
+    exactly one exchange (the partial/final agg split), no joins."""
+    plan = QUERIES["quality_filter_funnel"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_scd2_single_key_partitioned_window(spark):
+    """SCD2 history: ONE shuffle (partitionBy the SCD key) feeding the
+    lead() window — no extra exchange, no join."""
+    plan = QUERIES["cdc_scd2_history"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_sparse_projection_zero_shuffles(spark):
+    """The JL projection is a per-row fused multiply-add: nothing but
+    scan + project may appear in the plan."""
+    df = QUERIES["embedding_sparse_projection"](spark, SF)
+    assert_plan(
+        df,
+        forbids=["Exchange", "Join", "CartesianProduct"],
+    )
