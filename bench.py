@@ -124,6 +124,7 @@ EXTENDED_QUERIES = [
     "cdc_scd2_history",
     "scd2_as_of_state",
     "embedding_sparse_projection",
+    "label_centroids",
 ]
 
 

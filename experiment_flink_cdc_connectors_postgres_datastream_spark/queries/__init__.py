@@ -73,6 +73,8 @@ _PRIORITY = [
     "cdc_scd2_history", "scd2_as_of_state",
     # Achlioptas ±1 Johnson-Lindenstrauss projection 64→16
     "embedding_sparse_projection",
+    # per-label quantized centroids (k-means E-step aggregation shape)
+    "label_centroids",
     # --- (3) stalest: latest grade is round 1 ---
     "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
@@ -80,10 +82,11 @@ _PRIORITY = [
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "revenue_by_nation", "top_k_orders", "agg_stats", "rollup_counts",
     "set_ops", "window_lag_delta", "customers_with_orders",
-    # --- (4) oldest round-2 rows fill the window (five dropped to
-    # make room for the 5b additions above — every dropped row is
-    # green in CORRECTNESS_r02 and unchanged since) ---
-    "derived_key",
+    # (4) the oldest round-2 rows were dropped from the window to make
+    # room for the 5b additions above — every dropped row (derived_key,
+    # union_schemas, keyed_count, route_demux, tokenize,
+    # upsert_sink_shape) is green in CORRECTNESS_r02 and unchanged
+    # since.
 ]
 
 

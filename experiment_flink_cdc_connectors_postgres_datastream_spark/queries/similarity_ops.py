@@ -600,3 +600,45 @@ def embedding_sparse_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(a, x) -> a + x) / 4.0D, 6) AS p{i:02d}"
         )
     return emb.selectExpr(*exprs)
+
+
+@register(
+    "label_centroids",
+    """
+    SELECT label, CAST(j - 1 AS INT) AS pos,
+           CAST(COUNT(1) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q,
+           CAST(SUM(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(1) AS DOUBLE) AS centroid_q
+    FROM embeddings, range(1, 65) r(j)
+    GROUP BY label, j
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid of the embedding corpus — the
+    class-prototype / k-means-E-step aggregation shape: posexplode to
+    (label, dim) then ONE map-side-combined hash aggregation (shuffle
+    keyed on label×dim — at 100 TB the reduce side is labels×64 rows
+    regardless of corpus size). Components are 1e-6-quantized to
+    BIGINT before summing so the aggregate is exact and
+    order-independent (float summation order differs between a
+    32-partition Spark agg and DuckDB's sequential scan; integer sums
+    make the oracle comparison deterministic — same quantization
+    framing as `embedding_quantize_error`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x").cast("double") * F.lit(1000000.0)).cast("bigint")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(q).alias("sum_q"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n_vecs",
+            "sum_q",
+            (F.col("sum_q").cast("double") / F.col("n_vecs").cast("double")).alias("centroid_q"),
+        )
+    )

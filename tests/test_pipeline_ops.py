@@ -211,3 +211,23 @@ def test_scd2_as_of_equals_prefix_compaction(spark):
     assert asof.exceptAll(compacted).count() == 0
     assert compacted.exceptAll(asof).count() == 0
     assert asof.count() > 0
+
+
+def test_label_centroids_known_vectors(spark):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.similarity_ops import label_centroids
+
+    # centroid of [1.0, -0.5] and [2.0, 0.5] is quantized-exact
+    # (1e6 multiples)
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5], 7), (2, [2.0, 0.5], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    emb.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = {r["pos"]: r for r in label_centroids(spark, tmp).collect()}
+    assert out[0]["n_vecs"] == 2 and out[0]["sum_q"] == 3_000_000
+    assert out[0]["centroid_q"] == 1_500_000.0
+    assert out[1]["sum_q"] == 0 and out[1]["centroid_q"] == 0.0

@@ -336,3 +336,13 @@ def test_sparse_projection_zero_shuffles(spark):
         df,
         forbids=["Exchange", "Join", "CartesianProduct"],
     )
+
+
+def test_label_centroids_single_agg_exchange(spark):
+    """Centroids = posexplode + one map-side-combined hash agg: one
+    exchange on (label, pos), partial aggregation before it, no
+    joins."""
+    plan = QUERIES["label_centroids"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial" in plan.lower(), plan
