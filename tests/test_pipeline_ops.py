@@ -231,3 +231,52 @@ def test_label_centroids_known_vectors(spark):
     assert out[0]["n_vecs"] == 2 and out[0]["sum_q"] == 3_000_000
     assert out[0]["centroid_q"] == 1_500_000.0
     assert out[1]["sum_q"] == 0 and out[1]["centroid_q"] == 0.0
+
+
+# --- hypothesis: gopher battery vs an independent Python reference ---
+
+from hypothesis import given, settings, strategies as st
+
+_WORDS = st.lists(
+    st.sampled_from(
+        ["the", "of", "with", "###", "a...b", "word", "Spark", "x1", "...", "zz"]
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_gopher(text: str) -> dict:
+    toks = text.lower().split()
+    n = len(toks)
+    import re as _re
+
+    counts: dict[str, int] = {}
+    for w in toks:
+        counts[w] = counts.get(w, 0) + 1
+    return {
+        "n_words": n,
+        "mean_word_len": sum(len(w) for w in toks) / n,
+        "alpha_frac": sum(1 for w in toks if _re.search("[a-z]", w)) / n,
+        "stop_hits": sum(
+            1
+            for s in ["the", "be", "to", "of", "and", "that", "have", "with"]
+            if s in toks
+        ),
+        "top1_frac": max(counts.values()) / n,
+        "symbol_ratio": (text.count("#") + len(_re.findall(r"\.\.\.", text))) / n,
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(_WORDS, min_size=1, max_size=6))
+def test_gopher_matches_python_reference(spark, docs):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import gopher_quality
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    for i, text in rows:
+        want = _py_gopher(text)
+        for k, v in want.items():
+            assert got[i][k] == v, (k, text, got[i][k], v)
