@@ -673,3 +673,102 @@ def stream_static_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
     # Arrow-path re-materialization (see session_window_streamed)
     return spark.createDataFrame(pdf, "tier long, n_events long, total_value double")
+
+
+@register(
+    "stream_stream_left_join_streamed",
+    """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT v.user_id,
+           CAST(COUNT(c.ts) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+           CAST(COALESCE(SUM(epoch_us(c.ts) - epoch_us(v.ts)), 0) AS BIGINT) AS lag_us_checksum
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
+    GROUP BY v.user_id
+    """,
+)
+def stream_stream_left_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time STREAM-STREAM **LEFT OUTER** join: unlike the inner
+    twin (`stream_stream_join_streamed`), an unmatched view must emit
+    a NULL-click row — and may only do so once the watermark proves no
+    click can still arrive inside [view, view + 1h]. That
+    watermark-driven null emission is the semantic under test: the
+    driver hash compares matched-pair counts, unmatched-view counts
+    AND the exact matched-lag checksum against the batch LEFT JOIN
+    oracle, so a row emitted early (phantom null), late (stuck in
+    state), or twice flips the hash.
+
+    A sentinel view+click pair 2h past the corpus maximum (user_id
+    -1, excluded from the result) pushes the final watermark past
+    every real view's eviction bound — the same trick the
+    late-data window twin uses — so the outer rows for the last hour
+    of the stream actually flush before the query stops. State stays
+    bounded by the 1h time bound + watermark eviction, exactly the
+    production contract on an unbounded stream."""
+    work = tempfile.mkdtemp(prefix="sslj_streamed_")
+    tbl = f"sslj_streamed_{uuid.uuid4().hex[:8]}"
+    schema = "user_id long, ts timestamp, event_type string"
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+        max_ts = ev.agg(F.max("ts")).first()[0]  # 1-row bound for the sentinel
+        sentinel = spark.createDataFrame(
+            [(-1, max_ts, "view"), (-1, max_ts, "click")], schema
+        ).select("user_id", (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"), "event_type")
+        src = os.path.join(work, "src")
+        ev.unionByName(sentinel).coalesce(2).write.mode("overwrite").parquet(src)
+        views = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "0 seconds")
+        )
+        clicks = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "0 seconds")
+        )
+        joined = views.join(
+            clicks,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        ).select(
+            F.col("v_user").alias("user_id"),
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(tbl)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        pdf = (
+            spark.table(tbl)
+            .filter(F.col("user_id") != -1)
+            .groupBy("user_id")
+            .agg(
+                F.count("lag_us").alias("n_matched"),
+                F.sum(F.when(F.col("lag_us").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+                F.coalesce(F.sum("lag_us"), F.lit(0)).alias("lag_us_checksum"),
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "user_id long, n_matched long, n_unmatched long, lag_us_checksum long"
+    )
