@@ -22,7 +22,7 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similar
     int8_quantize_error,
     l2_norm,
 )
-from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import bigrams, tokens
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import exploded_bigrams, tokens
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
 
 
@@ -146,7 +146,7 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort materializes); ties broken by bigram for a
     deterministic boundary."""
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    bg = docs.select(F.explode(bigrams(tokens(F.col("text")))).alias("bigram"))
+    bg = exploded_bigrams(docs)
     return (
         bg.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -195,10 +195,9 @@ def bigram_logprob_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle path already shuffles, and the unigram side is small
     enough for AQE to broadcast."""
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    toks = tokens(F.col("text"))
-    b = docs.select(
-        "doc_id", "source", F.explode(bigrams(toks)).alias("bigram")
-    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    b = exploded_bigrams(docs, keys=["doc_id", "source"]).withColumn(
+        "w1", F.split(F.col("bigram"), " ").getItem(0)
+    )
     cb = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
     cu = (
         cb.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
@@ -311,7 +310,7 @@ def word_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs anywhere."""
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
-    b = docs.select(F.explode(bigrams(toks)).alias("bigram"))
+    b = exploded_bigrams(docs)
     u = docs.select(F.explode(toks).alias("w")).filter(F.col("w") != "")
     cb_all = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
     cb = cb_all.filter(F.col("c_b") >= 5)
@@ -436,7 +435,7 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed aggregation — the same join pattern `bigram_logprob_by_source`
     already carries at scale."""
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    b = docs.select("doc_id", F.explode(bigrams(tokens(F.col("text")))).alias("bigram")).withColumn(
+    b = exploded_bigrams(docs, keys=["doc_id"]).withColumn(
         "w1", F.split(F.col("bigram"), " ").getItem(0)
     )
     cb = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
