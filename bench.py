@@ -125,6 +125,7 @@ EXTENDED_QUERIES = [
     "scd2_as_of_state",
     "embedding_sparse_projection",
     "label_centroids",
+    "dedup_keep_best",
 ]
 
 

@@ -579,3 +579,89 @@ def dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_copies").alias("n_docs"),
         (F.sum("n_copies") - F.count(F.lit(1))).alias("n_removable"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    """
+    WITH sh_all AS (
+      SELECT DISTINCT doc_id AS _id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents))),
+    sh AS (
+      SELECT sh_all.* FROM sh_all
+      JOIN (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(1) <= 1000) ok
+      USING (shingle)),
+    sizes AS (SELECT _id, COUNT(1) AS n_sh FROM sh GROUP BY _id),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a._id AS id_a, b._id AS id_b, COUNT(1) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a._id < b._id
+        GROUP BY a._id, b._id) i
+      JOIN sizes sa ON sa._id = id_a
+      JOIN sizes sb ON sb._id = id_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) >= 0.3),
+    quality AS (
+      SELECT doc_id,
+             0.5 * least(len(regexp_split_to_array(lower(text), '\\s+')) / 64.0, 1.0)
+               + 0.3 * least((CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> w IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+                   / len(regexp_split_to_array(lower(text), '\\s+'))) * 10.0, 1.0)
+               + 0.2 * (1.0 - least((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                   / length(text)) * 5.0, 1.0)) AS q
+      FROM documents),
+    resolved AS (
+      SELECT CASE WHEN qa.q > qb.q THEN id_b
+                  WHEN qb.q > qa.q THEN id_a
+                  ELSE greatest(id_a, id_b) END AS loser,
+             CASE WHEN qa.q > qb.q THEN id_a
+                  WHEN qb.q > qa.q THEN id_b
+                  ELSE least(id_a, id_b) END AS winner
+      FROM pairs
+      JOIN quality qa ON qa.doc_id = id_a
+      JOIN quality qb ON qb.doc_id = id_b)
+    SELECT loser AS doc_id,
+           CAST(COUNT(1) AS BIGINT) AS n_lost_pairs,
+           CAST(MIN(winner) AS BIGINT) AS kept_example
+    FROM resolved GROUP BY loser
+    """,
+)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution: for every exact-Jaccard
+    ≥ 0.3 pair, the LOWER-quality document loses (curation keeps the
+    best copy, not the smallest id — the `dedup_apply_fuzzy`
+    complement; quality ties keep the smaller id). Emits each losing
+    doc with its lost-pair count and one winning counterpart. The
+    quality join adds two hash joins on doc_id to the pair pipeline —
+    both sides pre-aggregated, no new pair-space blowup; the same
+    shape at 100 TB since quality is a narrow per-doc map."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.3, max_shingle_df=1000).select(
+        "id_a", "id_b"
+    )
+    q = quality_features(docs).select("doc_id", "quality_score")
+    qa = q.select(F.col("doc_id").alias("id_a"), F.col("quality_score").alias("qa"))
+    qb = q.select(F.col("doc_id").alias("id_b"), F.col("quality_score").alias("qb"))
+    j = pairs.join(qa, "id_a").join(qb, "id_b")
+    loser = (
+        F.when(F.col("qa") > F.col("qb"), F.col("id_b"))
+        .when(F.col("qb") > F.col("qa"), F.col("id_a"))
+        .otherwise(F.greatest("id_a", "id_b"))
+    )
+    winner = (
+        F.when(F.col("qa") > F.col("qb"), F.col("id_a"))
+        .when(F.col("qb") > F.col("qa"), F.col("id_b"))
+        .otherwise(F.least("id_a", "id_b"))
+    )
+    return (
+        j.select(loser.alias("doc_id"), winner.alias("winner"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lost_pairs"),
+            F.min("winner").alias("kept_example"),
+        )
+    )

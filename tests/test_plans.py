@@ -346,3 +346,10 @@ def test_label_centroids_single_agg_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_dedup_keep_best_no_cartesian(spark):
+    """Quality-aware resolution rides the df-capped shingle pair join
+    plus two doc_id hash joins — no cartesian product may appear."""
+    df = QUERIES["dedup_keep_best"](spark, SF)
+    assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
