@@ -69,8 +69,9 @@ _PRIORITY = [
     "bus_roundtrip_pipeline",
     # Gopher-rule quality battery + first-failing-rule funnel
     "gopher_quality_flags", "quality_filter_funnel",
-    # SCD type-2 history materialization + as-of reconstruction
-    "cdc_scd2_history", "scd2_as_of_state",
+    # SCD type-2 history materialization + as-of reconstruction +
+    # out-of-order incremental maintenance through the streaming path
+    "cdc_scd2_history", "scd2_as_of_state", "cdc_scd2_streamed",
     # Achlioptas ±1 Johnson-Lindenstrauss projection 64→16
     "embedding_sparse_projection",
     # per-label quantized centroids (k-means E-step aggregation shape)
@@ -85,7 +86,6 @@ _PRIORITY = [
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "revenue_by_nation", "top_k_orders", "agg_stats", "rollup_counts",
-    "set_ops",
     # (4) the oldest round-2 rows were dropped from the window to make
     # room for the 5b additions above — every dropped row (derived_key,
     # union_schemas, keyed_count, route_demux, tokenize,

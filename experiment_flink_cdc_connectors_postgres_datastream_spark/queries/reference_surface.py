@@ -999,3 +999,101 @@ def scd2_as_of_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "cdc_scd2_streamed",
+    """
+    SELECT user_id, event_id, event_type, value,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_scd2_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 maintained INCREMENTALLY over a stream: each micro-batch
+    upserts only the AFFECTED keys' histories (pull that key's stored
+    rows, merge the new events, recompute its intervals, upsert by
+    (user_id, event_id)) — per-batch work is bounded by the touched
+    keys' history, never the table. The source is deliberately split
+    by ``event_id % 3`` into one file per micro-batch, so events
+    arrive OUT OF TIME ORDER across batches and rows are re-keyed —
+    a later batch must reopen and re-close intervals the earlier
+    batch finalized (``valid_to``/``is_current`` overwritten through
+    the upsert). Hash-matching the batch `cdc_scd2_history` oracle is
+    the claim that out-of-order incremental maintenance converges to
+    the batch-recomputed history exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import scd2_history
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks import ParquetUpsertSink
+
+    work = tempfile.mkdtemp(prefix="scd2_streamed_")
+    raw_cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    try:
+        ev = load_table(spark, sf_dir, "events").select(*raw_cols)
+        src = os.path.join(work, "src")
+        # one file per residue class: micro-batches interleave in time
+        for r in range(3):
+            ev.filter(F.col("event_id") % 3 == r).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        sink = ParquetUpsertSink(
+            os.path.join(work, "sink"), key_cols=["user_id", "event_id"]
+        )
+
+        def maintain(batch_df, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            batch = batch_df.dropDuplicates(["user_id", "event_id"])
+            affected = batch.select("user_id").distinct()
+            try:
+                prev = sink.read(sp)
+            except FileNotFoundError:  # first batch: nothing committed yet
+                prev = None
+            merged = batch
+            if prev is not None and prev.columns:
+                prior = prev.join(affected, "user_id").select(*raw_cols)
+                merged = prior.unionByName(batch).dropDuplicates(
+                    ["user_id", "event_id"]
+                )
+            hist = scd2_history(merged, ["user_id"], ["ts", "event_id"])
+            sink(hist, batch_id)
+
+        schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .queryName("cdc_scd2_streamed")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        pdf = (
+            sink.read(spark)
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                "value",
+                F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+                F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+                "is_current",
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "user_id long, event_id long, event_type string, value double, "
+        "valid_from_us long, valid_to_us long, is_current boolean",
+    )
