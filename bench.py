@@ -126,6 +126,7 @@ EXTENDED_QUERIES = [
     "embedding_sparse_projection",
     "label_centroids",
     "dedup_keep_best",
+    "k_anonymity_audit",
 ]
 
 

@@ -421,3 +421,30 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("wv"), 6).alias("wins_mean"),
         F.round(F.stddev_samp("wv"), 6).alias("wins_std"),
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH cells AS (
+      SELECT lang, source, COUNT(1) AS n_docs
+      FROM documents GROUP BY lang, source)
+    SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+           (n_docs < 5) AS below_k
+    FROM cells
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (lang, source):
+    every equivalence-class cell with its size and a below-k flag
+    (k=5 — the conventional release threshold; cells under it would
+    need suppression or generalization before publication). The
+    release-safety complement to `pii_redact`'s content scrubbing.
+    One map-side-combined hash aggregation — group-cardinality-sized
+    output at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("below_k", F.col("n_docs") < 5)
+    )
