@@ -83,3 +83,75 @@ def test_restart_from_checkpoint_no_double_count(spark, tmp_path):
     counts2 = {r["schema"]: r["user_count"] for r in sink.read(spark).collect()}
     # update must not double count; only the insert changes a count
     assert counts2 == {"schema1": 2, "schema2": 2}
+
+
+def test_scd2_streamed_restart_converges_to_batch(spark, tmp_path):
+    """Incremental SCD2 maintenance across a kill/restart: process one
+    out-of-order slice, stop the query, restart from the same
+    checkpoint with the remaining slices — the upsert-by-(key,event)
+    sink makes batch replay idempotent, and the final table must
+    equal the batch-recomputed history exactly (same law the graded
+    `cdc_scd2_streamed` query pins, here with a crash in the middle)."""
+    import pyspark.sql.functions as F
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import scd2_history
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks import ParquetUpsertSink
+
+    raw_cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(*raw_cols)
+    src = str(tmp_path / "src")
+    sink = ParquetUpsertSink(str(tmp_path / "sink"), key_cols=["user_id", "event_id"])
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+
+    def maintain(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(["user_id", "event_id"])
+        affected = batch.select("user_id").distinct()
+        try:
+            prev = sink.read(sp)
+        except FileNotFoundError:
+            prev = None
+        merged = batch
+        if prev is not None and prev.columns:
+            prior = prev.join(affected, "user_id").select(*raw_cols)
+            merged = prior.unionByName(batch).dropDuplicates(["user_id", "event_id"])
+        sink(scd2_history(merged, ["user_id"], ["ts", "event_id"]), batch_id)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    # slice 0 only, then kill
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").parquet(src)
+    q = run()
+    q.processAllAvailable()
+    q.stop()
+    # remaining out-of-order slices arrive after the restart
+    for r in (1, 2):
+        ev.filter(F.col("event_id") % 3 == r).coalesce(1).write.mode("append").parquet(src)
+    q = run()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sink.read(spark).select(
+        "user_id", "event_id",
+        F.unix_micros("valid_from").alias("f"),
+        F.unix_micros("valid_to").alias("t"),
+        "is_current",
+    )
+    want = scd2_history(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id",
+        F.unix_micros("valid_from").alias("f"),
+        F.unix_micros("valid_to").alias("t"),
+        "is_current",
+    )
+    assert got.count() == ev.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
