@@ -1042,16 +1042,30 @@ def cdc_scd2_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter(F.col("event_id") % 3 == r).coalesce(1).write.mode(
                 "append"
             ).parquet(src)
+        # bucket by user_id (a PREFIX of the upsert key): all of a
+        # user's events co-locate, so the affected-keys read below is
+        # a partition-pruned scan of just the touched buckets — the
+        # shape that keeps per-batch I/O bounded at 100 TB
         sink = ParquetUpsertSink(
-            os.path.join(work, "sink"), key_cols=["user_id", "event_id"]
+            os.path.join(work, "sink"),
+            key_cols=["user_id", "event_id"],
+            bucket_cols=["user_id"],
         )
 
         def maintain(batch_df, batch_id: int) -> None:
+            from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import bucket_expr
+
             sp = batch_df.sparkSession
             batch = batch_df.dropDuplicates(["user_id", "event_id"])
             affected = batch.select("user_id").distinct()
+            touched = [
+                r[0]
+                for r in affected.select(
+                    bucket_expr(["user_id"], sink.n_buckets).alias("b")
+                ).distinct().collect()
+            ]  # bounded: <= n_buckets ints
             try:
-                prev = sink.read(sp)
+                prev = sink.read(sp, buckets=touched)
             except FileNotFoundError:  # first batch: nothing committed yet
                 prev = None
             merged = batch

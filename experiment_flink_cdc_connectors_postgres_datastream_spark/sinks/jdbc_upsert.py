@@ -175,12 +175,17 @@ class ParquetUpsertSink:
     """
 
     def __init__(self, path: str, key_cols: list[str], seq_cols: list[str] | None = None,
-                 n_buckets: int = 8, refresh: bool = False):
+                 n_buckets: int = 8, refresh: bool = False,
+                 bucket_cols: list[str] | None = None):
         self.path = path
         self.key_cols = key_cols
         self.seq_cols = seq_cols or []
         self.n_buckets = n_buckets
         self.refresh = refresh
+        # optional key-prefix bucketing (see GenerationalStateStore):
+        # co-locates all rows of an entity so entity-scoped reads can
+        # prune to their buckets
+        self.bucket_cols = bucket_cols
         self._store = None
 
     def _get_store(self, spark: SparkSession):
@@ -188,7 +193,8 @@ class ParquetUpsertSink:
 
         if self._store is None:
             self._store = GenerationalStateStore(
-                spark, self.path, self.key_cols, n_buckets=self.n_buckets
+                spark, self.path, self.key_cols, n_buckets=self.n_buckets,
+                bucket_cols=self.bucket_cols,
             )
         return self._store
 
@@ -234,8 +240,11 @@ class ParquetUpsertSink:
             version=batch_id,
         )
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        state = self._get_store(spark).read()
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Committed state; with ``buckets``, a partition-pruned read of
+        just those bucket ids (pair with ``bucket_cols`` so an
+        entity-scoped consumer never scans the full table)."""
+        state = self._get_store(spark).read(buckets=buckets)
         if state is None:
             raise FileNotFoundError(f"ParquetUpsertSink: no committed state at {self.path}")
         from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import BUCKET_COL

@@ -112,10 +112,16 @@ class GenerationalStateStore:
         key_cols: list[str],
         n_buckets: int = 64,
         max_generations: int = 8,
+        bucket_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root
         self.key_cols = key_cols
+        # bucket assignment may use a PREFIX of the key (e.g. bucket an
+        # SCD2 store keyed (user_id, event_id) by user_id alone) so all
+        # rows of one entity co-locate and per-entity reads touch one
+        # bucket; merge/upsert identity stays the full key_cols.
+        self.bucket_cols = bucket_cols or key_cols
         self.n_buckets = n_buckets
         self.max_generations = max_generations
         self._io = _Fs(spark, root)
@@ -145,7 +151,7 @@ class GenerationalStateStore:
     # -- reads ----------------------------------------------------------------
 
     def with_bucket(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets))
+        return df.withColumn(BUCKET_COL, bucket_expr(self.bucket_cols, self.n_buckets))
 
     def read(self, buckets: list[int] | None = None) -> DataFrame | None:
         """Current state rows (with the bucket column), optionally

@@ -101,15 +101,27 @@ def test_scd2_streamed_restart_converges_to_batch(spark, tmp_path):
     raw_cols = ["user_id", "event_id", "ts", "event_type", "value"]
     ev = load_table(spark, "/root/testdata/sf0.001", "events").select(*raw_cols)
     src = str(tmp_path / "src")
-    sink = ParquetUpsertSink(str(tmp_path / "sink"), key_cols=["user_id", "event_id"])
+    sink = ParquetUpsertSink(
+        str(tmp_path / "sink"),
+        key_cols=["user_id", "event_id"],
+        bucket_cols=["user_id"],
+    )
     schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
 
     def maintain(batch_df, batch_id):
         sp = batch_df.sparkSession
         batch = batch_df.dropDuplicates(["user_id", "event_id"])
         affected = batch.select("user_id").distinct()
+        from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import bucket_expr
+
+        touched = [
+            r[0]
+            for r in affected.select(
+                bucket_expr(["user_id"], sink.n_buckets).alias("b")
+            ).distinct().collect()
+        ]
         try:
-            prev = sink.read(sp)
+            prev = sink.read(sp, buckets=touched)
         except FileNotFoundError:
             prev = None
         merged = batch
