@@ -129,6 +129,11 @@ class GenerationalStateStore:
         if current is not None and current.get("n_buckets") != n_buckets:
             # bucket count is part of the on-disk layout; honor what's stored
             self.n_buckets = int(current["n_buckets"])
+        # bucket assignment is ALSO part of the layout: a store created
+        # with prefix bucketing must keep it when reopened/restored, or
+        # new commits would scatter an entity's rows across buckets
+        if current is not None and current.get("bucket_cols"):
+            self.bucket_cols = list(current["bucket_cols"])
 
     # -- manifest bookkeeping -------------------------------------------------
 
@@ -221,7 +226,11 @@ class GenerationalStateStore:
         buckets = dict(manifest["buckets"])
         for b in touched_buckets:
             buckets[str(b)] = gen
-        new_manifest = {"n_buckets": self.n_buckets, "buckets": buckets}
+        new_manifest = {
+            "n_buckets": self.n_buckets,
+            "bucket_cols": self.bucket_cols,
+            "buckets": buckets,
+        }
         self._io.write_text_atomic(
             self._io.path(f"manifest-{version}.json.tmp"),
             self._io.path(f"manifest-{version}.json"),
@@ -253,6 +262,7 @@ class GenerationalStateStore:
         state.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(f"{path}/gen-0")
         manifest = {
             "n_buckets": self.n_buckets,
+            "bucket_cols": self.bucket_cols,
             "buckets": {str(b): "gen-0" for b in range(self.n_buckets)},
         }
         io.write_text_atomic(
@@ -286,7 +296,13 @@ class GenerationalStateStore:
         dst.write_text_atomic(
             dst.path("manifest-0.json.tmp"),
             dst.path("manifest-0.json"),
-            json.dumps({"n_buckets": n_buckets, "buckets": dict(manifest["buckets"])}),
+            json.dumps(
+                {
+                    "n_buckets": n_buckets,
+                    "bucket_cols": manifest.get("bucket_cols"),
+                    "buckets": dict(manifest["buckets"]),
+                }
+            ),
         )
         return cls(spark, root, key_cols, n_buckets=n_buckets, max_generations=max_generations)
 

@@ -167,3 +167,30 @@ def test_savepoint_roundtrip_and_independence(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         store.savepoint(sp)
+
+
+def test_bucket_cols_read_back_from_manifest(spark, tmp_path):
+    """Prefix bucketing is part of the on-disk layout: a store created
+    bucketed by a key prefix must keep that assignment when reopened
+    with different (or default) bucket_cols, or new commits would
+    scatter an entity's rows across buckets."""
+    store = GenerationalStateStore(
+        spark, str(tmp_path / "state"), ["k", "seq"], n_buckets=4,
+        bucket_cols=["k"],
+    )
+    df = store.with_bucket(
+        spark.createDataFrame([(1, 10, "a"), (1, 20, "b")], "k long, seq long, v string")
+    )
+    # one entity, bucketed by prefix -> exactly one bucket touched
+    touched = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    assert len(touched) == 1
+    store.commit(df, touched, version=0)
+
+    reopened = GenerationalStateStore(
+        spark, str(tmp_path / "state"), ["k", "seq"], n_buckets=4
+    )
+    assert reopened.bucket_cols == ["k"]
+    df2 = reopened.with_bucket(
+        spark.createDataFrame([(1, 30, "c")], "k long, seq long, v string")
+    )
+    assert [r[0] for r in df2.select(BUCKET_COL).distinct().collect()] == touched
