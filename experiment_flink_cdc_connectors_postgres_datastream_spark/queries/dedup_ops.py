@@ -633,7 +633,11 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.3 pair, the LOWER-quality document loses (curation keeps the
     best copy, not the smallest id — the `dedup_apply_fuzzy`
     complement; quality ties keep the smaller id). Emits each losing
-    doc with its lost-pair count and one winning counterpart. The
+    doc with its lost-pair count and one winning counterpart
+    (resolution is PAIRWISE, not transitive — in an a>b>c quality
+    chain the kept_example of c may itself lose another pair; use
+    `dedup_apply_fuzzy`'s connected-component path when cluster-level
+    survivors are required). The
     quality join adds two hash joins on doc_id to the pair pipeline —
     both sides pre-aggregated, no new pair-space blowup; the same
     shape at 100 TB since quality is a narrow per-doc map."""
