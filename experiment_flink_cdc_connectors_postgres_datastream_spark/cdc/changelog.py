@@ -150,8 +150,10 @@ def scd2_history(
     per-key order total. Every change event — including a tombstone —
     becomes a version row here (an SCD2 warehouse keeps the delete as
     the final, still-queryable version); dropping dead keys entirely
-    is `compact_latest`'s contract, not this one's. One shuffle keyed by the SCD key with a
-    per-key sort — a window is the right physical shape here because
+    is `compact_latest`'s contract, not this one's.
+
+    One shuffle keyed by the SCD key with a per-key sort — a window
+    is the right physical shape here because
     every row needs its successor, not just the max (contrast
     `compact_latest`'s sort-free ``max_by``). At 100 TB this
     partitions by key exactly like the compaction, so the two can
