@@ -127,6 +127,7 @@ EXTENDED_QUERIES = [
     "label_centroids",
     "dedup_keep_best",
     "k_anonymity_audit",
+    "chunk_dedup_stats",
 ]
 
 

@@ -82,17 +82,20 @@ _PRIORITY = [
     "dedup_keep_best",
     # k-anonymity release audit over (lang, source) cells
     "k_anonymity_audit",
+    # cross-doc duplicated-span stats over content-defined chunks
+    "chunk_dedup_stats",
     # --- (3) stalest: latest grade is round 1 ---
     "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "revenue_by_nation", "top_k_orders", "agg_stats",
-    # (4) the oldest round-2 rows were dropped from the window to make
-    # room for the 5b additions above — every dropped row (derived_key,
-    # union_schemas, keyed_count, route_demux, tokenize,
-    # upsert_sink_shape) is green in CORRECTNESS_r02 and unchanged
-    # since.
+    "revenue_by_nation", "top_k_orders",
+    # (4) the oldest round-2 rows (derived_key, union_schemas,
+    # keyed_count, route_demux, tokenize, upsert_sink_shape) and the
+    # stale-but-green agg_stats / rollup_counts / set_ops /
+    # window_lag_delta / customers_with_orders were dropped from the
+    # window to make room for the round-5 additions above — every
+    # dropped row is green in CORRECTNESS_r01/r02 and unchanged since.
 ]
 
 

@@ -725,3 +725,108 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "chunk_dedup_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, source, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM t),
+    b AS (
+      SELECT doc_id, source, pos, tok,
+             CASE WHEN lag(tok) OVER w IS NOT NULL
+                       AND CAST(('0x' || substr(md5(lag(tok) OVER w || ' ' || tok), 1, 15)) AS BIGINT) % 64 = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM tok
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    c AS (
+      SELECT doc_id, source, pos, tok,
+             SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+      FROM b),
+    inst AS (
+      SELECT doc_id, source, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
+             COUNT(1) AS n_toks
+      FROM c GROUP BY doc_id, source, chunk_id),
+    fpc AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS n_docs_with
+      FROM inst GROUP BY fp)
+    SELECT source,
+           CAST(COUNT(1) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN n_docs_with >= 2 THEN n_toks ELSE 0 END) AS BIGINT) AS dup_tokens,
+           CAST(SUM(CASE WHEN n_docs_with >= 2 THEN n_toks ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n_toks) AS DOUBLE) AS dup_token_share
+    FROM inst JOIN fpc USING (fp)
+    GROUP BY source
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level cross-document dedup over the content-defined
+    boundaries — the actual payoff of `content_defined_chunks`: a
+    span duplicated between documents lands in identical chunks even
+    when shifted by insertions elsewhere, so fingerprinting chunks
+    (md5 of the chunk text) finds shifted duplicate spans without any
+    pair join. Per source: chunk instances, instances whose
+    fingerprint appears in ≥2 distinct documents corpus-wide, and the
+    duplicated-token share (int/int division — deterministic).
+
+    Scale shape: the chunker's explode + per-doc windows, one chunk
+    aggregation (ordered collect within a doc partition), one
+    fingerprint-keyed count, one hash join back on fp, one per-source
+    agg — fingerprints shuffle as 32-char strings, never chunk text²
+    pairs."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "source", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("tok").over(w)
+    boundary = F.when(
+        prev.isNotNull()
+        & (md5_long(F.concat_ws(" ", prev, F.col("tok"))) % 64 == 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    chunked = tok.select(
+        "doc_id",
+        "source",
+        "pos",
+        "tok",
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("chunk_id"),
+    )
+    inst = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            )
+        ).alias("fp"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    fpc = inst.groupBy("fp").agg(F.count_distinct("doc_id").alias("n_docs_with"))
+    dup = F.col("n_docs_with") >= 2
+    return (
+        inst.join(fpc, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("n_toks")).otherwise(0)).alias("dup_tokens"),
+            (
+                F.sum(F.when(dup, F.col("n_toks")).otherwise(0)).cast("double")
+                / F.sum("n_toks").cast("double")
+            ).alias("dup_token_share"),
+        )
+    )
