@@ -35,9 +35,12 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 # full-oracle verdicts), minhash_calibration (size-gated persist),
 # dup_rate_by_source_pair (distinct-union docs count), and the three
 # multimodal queries over the reworked decode/resize (stdlib PNG
-# fallback + sentinel guards); (2) the round-5 additions (including
-# the 5b batch: Gopher battery/funnel, SCD2 history + as-of, JL
-# projection);
+# fallback + sentinel guards); (2) every round-5 addition (ANN recall,
+# semantic dedup, perplexity, vocab coverage, CDC chunking + chunk
+# dedup, bus wire frames/round trip, tf-idf pairs, Zipf slope, Gopher
+# battery + funnel, SCD2 history/as-of/streamed, JL projection, label
+# centroids, left-outer stream-stream join, keep-best dedup,
+# k-anonymity);
 # (3) the stalest queries — everything whose latest grade is round 1
 # (the TPC-H/relational block); (4) remaining slots to the oldest
 # round-2 rows. Everything outside the window stays registered and
