@@ -353,3 +353,11 @@ def test_dedup_keep_best_no_cartesian(spark):
     plus two doc_id hash joins — no cartesian product may appear."""
     df = QUERIES["dedup_keep_best"](spark, SF)
     assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+
+def test_chunk_dedup_stats_no_pair_join(spark):
+    """Chunk-level span dedup must never form text pairs: only the
+    fp-keyed hash join back onto instances — no cartesian, no
+    sort-merge over chunk text."""
+    df = QUERIES["chunk_dedup_stats"](spark, SF)
+    assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
