@@ -772,3 +772,60 @@ def stream_stream_left_join_streamed(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.createDataFrame(
         pdf, "user_id long, n_matched long, n_unmatched long, lag_us_checksum long"
     )
+
+
+@register(
+    "sliding_window_streamed",
+    """
+    SELECT epoch_us(win_start) AS window_start_us, COUNT(1) AS n_events,
+           ROUND(SUM(value), 3) AS total_value
+    FROM (
+      SELECT value,
+             time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS win_start
+      FROM events, (SELECT unnest([0, 1]) AS k))
+    GROUP BY win_start
+    """,
+)
+def sliding_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 SLIDING window (10 min / 5 min hop) through the streaming
+    path — each event lands in two overlapping windows, so the
+    streaming engine must maintain multiple concurrent window states
+    per event; final table hash-matched against the batch
+    `sliding_window` oracle (complete mode for the bounded replay;
+    watermark+append is the production form, see the tumbling twins).
+    Completes the windowed-aggregation streamed family: tumbling,
+    session, and sliding all stream-batch-consistency graded."""
+    work = tempfile.mkdtemp(prefix="slwin_streamed_")
+    tbl = f"slwin_streamed_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events").select("ts", "value")
+        src = os.path.join(work, "src")
+        ev.coalesce(4).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+        agg = (
+            stream.groupBy(F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 3).alias("total_value"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "n_events",
+                "total_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(tbl)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        pdf = spark.table(tbl).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "window_start_us long, n_events long, total_value double"
+    )
