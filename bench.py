@@ -128,6 +128,7 @@ EXTENDED_QUERIES = [
     "dedup_keep_best",
     "k_anonymity_audit",
     "chunk_dedup_stats",
+    "heavy_hitters_sketch",
 ]
 
 

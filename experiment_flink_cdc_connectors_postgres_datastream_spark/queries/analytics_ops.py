@@ -415,3 +415,42 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("l_partkey")).alias("n_parts"),
         F.count_distinct(F.col("l_suppkey")).alias("n_supps"),
     )
+
+
+@register(
+    "heavy_hitters_sketch",
+    r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+      FROM documents),
+    t2 AS (SELECT term FROM tok WHERE term <> ''),
+    cnt AS (SELECT term, COUNT(1) AS exact_cnt FROM t2 GROUP BY term),
+    tot AS (SELECT COUNT(1) AS n FROM t2)
+    SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           TRUE AS found_in_sketch
+    FROM cnt, tot
+    WHERE exact_cnt * 50 > n
+    """,
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark's `df.stat.freqItems` one-pass sketch
+    (the Karp-Schenker-Papadimitriou frequent-items algorithm): the
+    sketch guarantees NO FALSE NEGATIVES above the support threshold,
+    and that guarantee is what the driver grades — the query emits
+    every term whose exact count exceeds support=1/50 of the token
+    stream (an exact integer comparison, no float threshold) with a
+    `found_in_sketch` boolean; the oracle emits literal TRUE, so a
+    sketch that misses a true heavy hitter flips the hash. The
+    candidate set is a single collected row bounded by 1/support
+    (≤50 items) — constant driver memory at any corpus scale, vs an
+    exact top-k's full-vocabulary shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    sketch_items = set(words.stat.freqItems(["term"], 0.02).first()[0])
+    cnt = words.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    total = words.count()
+    heavy = cnt.filter(F.col("exact_cnt") * 50 > F.lit(total))
+    in_sketch = F.col("term").isin(*sketch_items) if sketch_items else F.lit(False)
+    return heavy.select("term", "exact_cnt", in_sketch.alias("found_in_sketch"))
