@@ -361,3 +361,12 @@ def test_chunk_dedup_stats_no_pair_join(spark):
     sort-merge over chunk text."""
     df = QUERIES["chunk_dedup_stats"](spark, SF)
     assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+
+def test_scd2_as_of_single_window_exchange(spark):
+    """As-of reconstruction = the same single key-partitioned window
+    as the full history, plus a narrow post-window containment filter
+    — no second exchange, no join."""
+    plan = QUERIES["scd2_as_of_state"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
