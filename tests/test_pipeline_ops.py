@@ -280,3 +280,35 @@ def test_gopher_matches_python_reference(spark, docs):
         want = _py_gopher(text)
         for k, v in want.items():
             assert got[i][k] == v, (k, text, got[i][k], v)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 5)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1], r[2]),
+    )
+)
+def test_scd2_partitions_each_keys_timeline(spark, rows):
+    """SCD2 law: per key, ordered intervals chain exactly — each row's
+    valid_to equals the next row's valid_from, exactly one open
+    (current) interval per key, and valid_from never exceeds its own
+    valid_to."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import scd2_history
+
+    df = spark.createDataFrame(
+        [(k, s, t) for k, s, t in rows], "k long, seq long, tb long"
+    )
+    out = scd2_history(df, ["k"], ["seq", "tb"]).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: (r["seq"], r["tb"]))
+        assert sum(1 for r in rs if r["is_current"]) == 1
+        assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"], (k, a, b)
+            assert a["valid_from"] <= a["valid_to"]
