@@ -92,7 +92,11 @@ def decode_media(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
         else the stdlib PNG codec (same gating pattern as psycopg2 →
         pg_minimal in the CDC source). Empty or undecodable payloads
         return the (0, 0, 0) sentinel — a corrupt item must not crash
-        the executor (ADVICE r4)."""
+        the executor (ADVICE r4). A MISSING codec is not corrupt data:
+        with PIL absent, a payload that is not even a PNG by signature
+        raises NotImplementedError loudly (the whole format is
+        undecodable in this environment) instead of silently
+        sentinel-ing the entire corpus."""
         if not payload:
             return 0, 0, 0
         try:
@@ -104,10 +108,17 @@ def decode_media(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
                 with Image.open(io.BytesIO(payload)) as img:
                     return img.size[0], img.size[1], int(getattr(img, "n_frames", 1))
             except ImportError:
-                from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.png_stdlib import decode_png  # noqa: PLC0415
+                from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.png_stdlib import PNG_SIGNATURE, decode_png  # noqa: PLC0415
 
+                if not payload.startswith(PNG_SIGNATURE):
+                    raise NotImplementedError(
+                        "real decoder: PIL is not installed and the stdlib "
+                        "fallback decodes PNG only — this payload is not a PNG"
+                    ) from None
                 w, h, _ch, _rows = decode_png(payload)
                 return w, h, 1
+        except NotImplementedError:
+            raise  # missing codec: fail the job, don't fake a sentinel
         except Exception:  # undecodable bytes → sentinel, not a crash
             return 0, 0, 0
 
@@ -192,12 +203,19 @@ def resize_media(
             except ImportError:
                 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators import png_stdlib  # noqa: PLC0415
 
+                if not p.startswith(png_stdlib.PNG_SIGNATURE):
+                    raise NotImplementedError(
+                        "real resize: PIL is not installed and the stdlib "
+                        "fallback decodes PNG only — this payload is not a PNG"
+                    ) from None
                 w, h, ch, rows = png_stdlib.decode_png(p)
                 resized = png_stdlib.resize_nearest(
                     rows, w, h, ch, target_width, target_height
                 )
                 data = png_stdlib.encode_png(resized, target_width, target_height, ch)
             return len(data), hashlib.md5(data).hexdigest()
+        except NotImplementedError:
+            raise  # missing codec: fail the job, don't fake a sentinel
         except Exception:
             return 0, ""
 

@@ -20,6 +20,10 @@ import struct
 import zlib
 
 _SIG = b"\x89PNG\r\n\x1a\n"
+
+#: public alias: callers use this to distinguish "not a PNG at all"
+#: (missing-codec territory when PIL is absent) from corrupt PNG data
+PNG_SIGNATURE = _SIG
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _COLOR_TYPE = {1: 0, 3: 2, 2: 4, 4: 6}
 
@@ -58,16 +62,22 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytearray]]:
         off += 12 + length  # length + type + crc
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
-    )
+    try:
+        width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr
+        )
+    except struct.error as e:  # short IHDR body
+        raise ValueError(f"malformed IHDR: {e}") from e
     if depth != 8 or interlace != 0 or color not in _CHANNELS:
         raise ValueError(
             f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
         )
     channels = _CHANNELS[color]
     stride = width * channels
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt deflate stream
+        raise ValueError(f"corrupt IDAT deflate data: {e}") from e
     if len(raw) != (stride + 1) * height:
         raise ValueError("pixel data length mismatch")
     rows: list[bytearray] = []

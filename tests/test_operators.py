@@ -189,11 +189,19 @@ def test_multimodal_feature_extraction_feeds_similarity(spark):
 
 
 def test_multimodal_real_decoder_sentinel_on_undecodable(spark):
-    """Real path on non-image bytes: a corrupt payload must yield the
-    (0, 0, 0) sentinel row, never crash the executor (one bad crawl
-    image must not kill a 100-TB decode pass)."""
+    """Real path on corrupt image bytes: a payload that claims to be a
+    PNG (valid signature) but holds garbage must yield the (0, 0, 0)
+    sentinel row, never crash the executor (one bad crawl image must
+    not kill a 100-TB decode pass). Payloads that are not even the
+    right FORMAT are the loud missing-codec case when PIL is absent —
+    see test_real_decoder_missing_codec_is_loud_not_sentinel."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.png_stdlib import PNG_SIGNATURE
+
     df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
-    [row] = decode_media(attach_binary_payload(df), use_real_decoder=True).collect()
+    corrupt = attach_binary_payload(df).withColumn(
+        "payload", F.lit(PNG_SIGNATURE + b"\x13\x37" * 16)
+    )
+    [row] = decode_media(corrupt, use_real_decoder=True).collect()
     assert (row["width"], row["height"], row["n_frames"]) == (0, 0, 0)
 
 
@@ -507,3 +515,40 @@ def test_multimodal_resize_real_decoder_png(spark):
     [row] = resize_media(df, target_width=3, target_height=2, use_real_decoder=True).collect()
     assert (row["width"], row["height"]) == (3, 2)
     assert row["n_bytes_in"] == len(png) and row["n_bytes_out"] > 0
+
+
+def test_real_decoder_missing_codec_is_loud_not_sentinel(spark):
+    """With PIL absent, a payload that is not even a PNG by signature
+    must raise (the codec for that format is MISSING in this
+    environment) — only corrupt/truncated data gets the sentinel.
+    Distinguishes 'cannot decode this item' from 'cannot decode this
+    format at all' (the silent-all-sentinel failure mode)."""
+    pytest.importorskip("zlib")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: all formats decodable, no missing-codec path")
+    except ImportError:
+        pass
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # JPEG SOI, not a PNG
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with_payload = attach_binary_payload(docs).withColumn(
+        "payload", F.lit(jpeg_ish)
+    )
+    import py4j.protocol
+
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)) as ei:
+        decode_media(with_payload, use_real_decoder=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "not a PNG" in str(ei.value)
+
+    # corrupt PNG (valid signature, garbage body) stays a sentinel row
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.png_stdlib import PNG_SIGNATURE
+
+    corrupt = PNG_SIGNATURE + b"\x00" * 32
+    rows = decode_media(
+        attach_binary_payload(docs).withColumn("payload", F.lit(corrupt)),
+        use_real_decoder=True,
+    ).collect()
+    assert rows[0]["width"] == 0 and rows[0]["height"] == 0
