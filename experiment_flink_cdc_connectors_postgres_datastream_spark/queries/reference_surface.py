@@ -1053,17 +1053,11 @@ def cdc_scd2_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def maintain(batch_df, batch_id: int) -> None:
-            from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import bucket_expr
-
             sp = batch_df.sparkSession
             batch = batch_df.dropDuplicates(["user_id", "event_id"])
             affected = batch.select("user_id").distinct()
-            touched = [
-                r[0]
-                for r in affected.select(
-                    bucket_expr(["user_id"], sink.n_buckets).alias("b")
-                ).distinct().collect()
-            ]  # bounded: <= n_buckets ints
+            # manifest-honored bucket assignment; bounded <= n_buckets
+            touched = sink.touched_buckets(affected)
             try:
                 prev = sink.read(sp, buckets=touched)
             except FileNotFoundError:  # first batch: nothing committed yet

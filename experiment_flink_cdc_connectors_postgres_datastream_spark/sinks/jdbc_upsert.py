@@ -240,6 +240,20 @@ class ParquetUpsertSink:
             version=batch_id,
         )
 
+    def touched_buckets(self, df: DataFrame) -> list[int]:
+        """Bucket ids the given rows map to, computed with the STORE's
+        manifest-honored bucket_cols / n_buckets (the constructor
+        values are overridden by an existing store's manifest — using
+        them directly would prune the wrong buckets on reopen).
+        Bounded collect: at most n_buckets ints."""
+        from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import BUCKET_COL
+
+        store = self._get_store(df.sparkSession)
+        return [
+            r[0]
+            for r in store.with_bucket(df).select(BUCKET_COL).distinct().collect()
+        ]
+
     def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
         """Committed state; with ``buckets``, a partition-pruned read of
         just those bucket ids (pair with ``bucket_cols`` so an

@@ -730,7 +730,6 @@ def test_streaming_engine_scd2_history_live(scratch, spark):
     from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.envelope import parse_cdc, project_flat, with_key
     from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.jdbc_upsert import ParquetUpsertSink
     from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import register
-    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import bucket_expr
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     _setup_plugin(scratch, "pgoutput")
@@ -769,12 +768,7 @@ def test_streaming_engine_scd2_history_live(scratch, spark):
         sp = batch_df.sparkSession
         batch = batch_df.select(*raw_cols).dropDuplicates(["key", "lsn"])
         affected = batch.select("key").distinct()
-        touched = [
-            r[0]
-            for r in affected.select(
-                bucket_expr(["key"], sink.n_buckets).alias("b")
-            ).distinct().collect()
-        ]
+        touched = sink.touched_buckets(affected)
         try:
             prev = sink.read(sp, buckets=touched)
         except FileNotFoundError:

@@ -112,14 +112,7 @@ def test_scd2_streamed_restart_converges_to_batch(spark, tmp_path):
         sp = batch_df.sparkSession
         batch = batch_df.dropDuplicates(["user_id", "event_id"])
         affected = batch.select("user_id").distinct()
-        from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import bucket_expr
-
-        touched = [
-            r[0]
-            for r in affected.select(
-                bucket_expr(["user_id"], sink.n_buckets).alias("b")
-            ).distinct().collect()
-        ]
+        touched = sink.touched_buckets(affected)
         try:
             prev = sink.read(sp, buckets=touched)
         except FileNotFoundError:
