@@ -56,13 +56,19 @@ def build_upsert_sql(table: str, columns: list[str], key_cols: list[str]) -> str
 def build_delete_stale_sql(table: str, key_cols: list[str], n_keep: int) -> str:
     """DELETE every row whose key is NOT among the ``n_keep`` kept key
     tuples (%s params, row-constructor comparison). ``n_keep == 0``
-    truncates: an empty full-state batch means the table is empty."""
+    truncates: an empty full-state batch means the table is empty.
+
+    Null-safe by construction: ``NOT IN`` would evaluate to NULL for
+    EVERY row as soon as one kept tuple contains a NULL (deleting
+    nothing — the exact stale-group bug refresh mode exists to
+    prevent), so the predicate is an AND-chain of row-constructor
+    ``IS DISTINCT FROM`` comparisons instead."""
     if n_keep == 0:
         return f"DELETE FROM {table}"
     keylist = ", ".join(key_cols)
     tup = "(" + ", ".join(["%s"] * len(key_cols)) + ")"
-    tuples = ", ".join([tup] * n_keep)
-    return f"DELETE FROM {table} WHERE ({keylist}) NOT IN ({tuples})"
+    preds = " AND ".join([f"({keylist}) IS DISTINCT FROM {tup}"] * n_keep)
+    return f"DELETE FROM {table} WHERE {preds}"
 
 
 class JdbcUpsertSink:

@@ -142,3 +142,16 @@ def test_parquet_upsert_sink_without_seq_cols_last_occurrence_wins(spark, tmp_pa
     sink(df, 0)
     [row] = sink.read(spark).collect()
     assert row["v"] == 3
+
+
+def test_delete_stale_sql_is_null_safe():
+    """The refresh delete must use row-constructor IS DISTINCT FROM,
+    never NOT IN: one NULL in a kept key tuple makes `x NOT IN (...)`
+    NULL for every row and the delete silently removes nothing."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.jdbc_upsert import build_delete_stale_sql
+
+    sql = build_delete_stale_sql("t", ["a", "b"], 2)
+    assert "NOT IN" not in sql
+    assert sql.count("IS DISTINCT FROM") == 2
+    assert sql.count("%s") == 4
+    assert build_delete_stale_sql("t", ["a"], 0) == "DELETE FROM t"
