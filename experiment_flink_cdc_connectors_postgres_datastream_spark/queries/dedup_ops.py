@@ -372,16 +372,25 @@ CALIBRATION_PERSIST_THRESHOLD_BYTES = 1 << 30
 
 
 def _calibration_candidates(docs: DataFrame, threshold: int | None = None) -> DataFrame:
-    """Candidate pairs for calibration; size-gated persist (see
-    :data:`CALIBRATION_PERSIST_THRESHOLD_BYTES`). The pair table feeds
-    two joins (exact intersection + final annotate); persisting makes
-    the band-join subplan execute once for both."""
+    """Candidate pairs for calibration; size-gated materialization
+    (see :data:`CALIBRATION_PERSIST_THRESHOLD_BYTES`). The pair table
+    feeds two joins (exact intersection + final annotate);
+    materializing makes the band-join subplan execute once for both.
+
+    ``localCheckpoint(eager=False)`` rather than ``persist()``: a
+    registry query returns a lazy DataFrame and no caller ever gets a
+    natural place to unpersist, so an explicit cache entry would pin
+    O(candidate-pairs) blocks for the session lifetime (one leak per
+    large-scale invocation in a 170-query loop). Checkpoint blocks
+    are released by the ContextCleaner as soon as the consuming plan
+    is garbage-collected — same single-execution guarantee, no
+    session-lifetime pin."""
     limit = CALIBRATION_PERSIST_THRESHOLD_BYTES if threshold is None else threshold
     cands = minhash_candidate_pairs(docs, min_est_jaccard=0.3, hash_family="md5")
     est_bytes = int(
         docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
-    return cands.persist() if est_bytes > limit else cands
+    return cands.localCheckpoint(eager=False) if est_bytes > limit else cands
 
 
 @register(

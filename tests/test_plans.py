@@ -197,25 +197,26 @@ def test_minhash_calibration_no_cartesian(spark):
 def test_minhash_calibration_size_gated_persist(spark):
     """The candidate-pair table feeds two consumers (exact-
     intersection join + final annotate join). Above the input-size
-    threshold it must be persisted so the corpus-wide shingle+band
-    subplan executes ONCE — both consumers read InMemoryTableScan over
-    the same cached relation, and each of its partitions computes once
-    (block-manager cache), not once per consumer (VERDICT r4 #4).
-    Below the threshold the recompute is cheaper than materialization
-    (A/B at sf0.1) and no cache node may appear."""
+    threshold it must be materialized (lazy localCheckpoint — blocks
+    GC-released, not a session-pinned cache entry) so the corpus-wide
+    shingle+band subplan executes ONCE: the plan reads a checkpointed
+    RDD scan, not the band join (VERDICT r4 #4). Below the threshold
+    the recompute is cheaper than materialization (A/B at sf0.1) and
+    no checkpoint scan may appear."""
     from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table
     from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.dedup_ops import _calibration_candidates
 
     docs = load_table(spark, SF, "documents")
-    try:
-        big = _calibration_candidates(docs, threshold=0)  # force persist path
-        plan = big._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("InMemoryTableScan") >= 1, plan
-    finally:
-        big.unpersist()
+    big = _calibration_candidates(docs, threshold=0)  # force checkpoint path
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
     small = _calibration_candidates(docs)  # sf0.001 ≪ 1 GiB → recompute
     plan = small._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" not in plan, plan
+    # recompute path: the band self-join is IN the plan (the signature
+    # pipeline's own internal checkpoint may appear as an RDD scan in
+    # both paths, so the join's presence is the discriminator)
+    assert "Join" in plan, plan
 
 
 def test_mad_outliers_broadcasts_group_stats(spark):
