@@ -133,6 +133,19 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
 #: Models: ... Gopher" §A1.1 — the published quality-filter word set).
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
+#: Gopher rule thresholds (§A1.1), shared by the keep conjunction in
+#: :func:`gopher_quality` and the funnel predicates in
+#: queries/pipeline_ops.py — one source of truth on the Spark side
+#: (the SQL oracles repeat the literals by design: oracle text must
+#: be self-contained).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_TOP1_FRAC = 0.2
+
 
 def gopher_quality(
     df: DataFrame, text_col: str = "text", min_stop_hits: int = 2
@@ -190,14 +203,14 @@ def gopher_quality(
         )
     )
     keep = (
-        (F.col("n_words") >= 50)
-        & (F.col("n_words") <= 100000)
-        & (F.col("mean_word_len") >= 3.0)
-        & (F.col("mean_word_len") <= 10.0)
-        & (F.col("symbol_ratio") <= 0.1)
-        & (F.col("alpha_frac") >= 0.8)
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
         & (F.col("stop_hits") >= min_stop_hits)
-        & (F.col("top1_frac") <= 0.2)
+        & (F.col("top1_frac") <= GOPHER_MAX_TOP1_FRAC)
     )
     return df.withColumn("keep_gopher", keep)
 

@@ -450,7 +450,12 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("term") != "")
     sketch_items = set(words.stat.freqItems(["term"], 0.02).first()[0])
     cnt = words.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    total = words.count()
-    heavy = cnt.filter(F.col("exact_cnt") * 50 > F.lit(total))
+    # total tokens = sum of the per-term counts: derived from the
+    # vocabulary-sized cnt table, NOT a third scan+tokenize pass over
+    # the corpus (freqItems and cnt are the only two corpus passes)
+    totals = cnt.agg(F.sum("exact_cnt").alias("n_total"))
+    heavy = cnt.crossJoin(F.broadcast(totals)).filter(
+        F.col("exact_cnt") * 50 > F.col("n_total")
+    )
     in_sketch = F.col("term").isin(*sketch_items) if sketch_items else F.lit(False)
     return heavy.select("term", "exact_cnt", in_sketch.alias("found_in_sketch"))

@@ -19,6 +19,13 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.chunkin
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import contamination_check
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.temporal import interval_join
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import (
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_TOP1_FRAC,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_FRAC,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_WORDS,
     gopher_quality,
     normalize_text,
     repetition_features,
@@ -498,12 +505,16 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     g = gopher_quality(docs, min_stop_hits=1)
-    wc_fail = (F.col("n_words") < 50) | (F.col("n_words") > 100000)
-    mwl_fail = (F.col("mean_word_len") < 3.0) | (F.col("mean_word_len") > 10.0)
-    sym_fail = F.col("symbol_ratio") > 0.1
-    alpha_fail = F.col("alpha_frac") < 0.8
+    wc_fail = (F.col("n_words") < GOPHER_MIN_WORDS) | (
+        F.col("n_words") > GOPHER_MAX_WORDS
+    )
+    mwl_fail = (F.col("mean_word_len") < GOPHER_MIN_MEAN_WORD_LEN) | (
+        F.col("mean_word_len") > GOPHER_MAX_MEAN_WORD_LEN
+    )
+    sym_fail = F.col("symbol_ratio") > GOPHER_MAX_SYMBOL_RATIO
+    alpha_fail = F.col("alpha_frac") < GOPHER_MIN_ALPHA_FRAC
     stop_fail = F.col("stop_hits") < 1
-    top1_fail = F.col("top1_frac") > 0.2
+    top1_fail = F.col("top1_frac") > GOPHER_MAX_TOP1_FRAC
     stage_idx = (
         F.when(wc_fail, F.lit(1))
         .when(mwl_fail, F.lit(2))
