@@ -129,6 +129,7 @@ EXTENDED_QUERIES = [
     "k_anonymity_audit",
     "chunk_dedup_stats",
     "heavy_hitters_sketch",
+    "minhash_recall_curve",
 ]
 
 

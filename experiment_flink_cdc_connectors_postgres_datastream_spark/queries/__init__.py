@@ -91,11 +91,13 @@ _PRIORITY = [
     "sliding_window_streamed",
     # freqItems heavy hitters — no-false-negative guarantee graded
     "heavy_hitters_sketch",
+    # LSH S-curve: band-join recall vs ground-truth Jaccard pairs
+    "minhash_recall_curve",
     # --- (3) stalest: latest grade is round 1 ---
     "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "tpch_q19", "tpch_q20", "tpch_q21",
     # (4) the oldest round-2 rows (derived_key, union_schemas,
     # keyed_count, route_demux, tokenize, upsert_sink_shape) and the
     # stale-but-green agg_stats / rollup_counts / set_ops /

@@ -678,3 +678,99 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("winner").alias("kept_example"),
         )
     )
+
+
+@register(
+    "minhash_recall_curve",
+    f"""
+    WITH
+    {_MD5_SHINGLE_CTE},
+    sizes AS (SELECT _id, COUNT(1) AS n_sh FROM sh GROUP BY _id),
+    exact AS (
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS j
+      FROM (
+        SELECT a._id AS id_a, b._id AS id_b, COUNT(1) AS n_inter
+        FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a._id < b._id
+        GROUP BY a._id, b._id) i
+      JOIN sizes sa ON sa._id = id_a
+      JOIN sizes sb ON sb._id = id_b),
+    mins AS (
+      SELECT _id, k,
+             MIN(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(sh_h AS VARCHAR)), 1, 15)) AS BIGINT)) AS mh
+      FROM sh CROSS JOIN range(32) t(k)
+      GROUP BY _id, k),
+    sigs AS (SELECT _id, list(mh ORDER BY k) AS sig FROM mins GROUP BY _id),
+    bands AS (
+      SELECT _id, b,
+             CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+                   array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',')), 1, 15)) AS BIGINT) AS bh
+      FROM sigs CROSS JOIN range(8) t(b)),
+    cand AS (
+      SELECT DISTINCT x._id AS id_a, y._id AS id_b
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x._id < y._id),
+    banded AS (
+      SELECT CASE WHEN e.j >= 0.5 THEN '0.50+'
+                  WHEN e.j >= 0.3 THEN '0.30-0.50'
+                  ELSE '0.10-0.30' END AS j_band,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+      FROM exact e
+      LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
+      WHERE e.j >= 0.1)
+    SELECT j_band,
+           CAST(COUNT(1) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(caught) AS BIGINT) AS n_caught,
+           CAST(SUM(caught) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS recall
+    FROM banded GROUP BY j_band
+    """,
+)
+def minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, measured: recall of the MinHash band join
+    against ground-truth Jaccard pairs, per similarity band — the
+    text-side analog of `ann_recall_lsh` and the readout that chooses
+    (num_hashes, bands) for a corpus (`minhash_calibration` audits
+    the ESTIMATES on caught pairs; this measures which true pairs the
+    bands catch at all). Ground truth reuses the df-capped hashed
+    shingle self-join (never all-pairs — pairs sharing no shingle
+    have Jaccard 0 and belong to no band); candidates come from the
+    same md5-family signature pipeline the graded dedup_minhash runs.
+    Exact int/int recall division — deterministic across engines."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(docs, hash_family="md5")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.1)
+    )
+    cands = minhash_candidate_pairs(docs, min_est_jaccard=0.0, hash_family="md5").select(
+        "id_a", "id_b", F.lit(1).alias("caught")
+    )
+    j_band = (
+        F.when(F.col("j") >= 0.5, F.lit("0.50+"))
+        .when(F.col("j") >= 0.3, F.lit("0.30-0.50"))
+        .otherwise(F.lit("0.10-0.30"))
+    )
+    return (
+        exact.join(cands, ["id_a", "id_b"], "left")
+        .select(j_band.alias("j_band"), F.coalesce(F.col("caught"), F.lit(0)).alias("caught"))
+        .groupBy("j_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum("caught").alias("n_caught"),
+            (F.sum("caught").cast("double") / F.count(F.lit(1)).cast("double")).alias("recall"),
+        )
+    )
