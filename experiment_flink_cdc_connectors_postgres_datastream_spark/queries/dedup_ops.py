@@ -680,18 +680,81 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: `minhash_recall_curve` fixture knobs: deterministic token-prefix
+#: variants of every 5th document (≥ 24 tokens) at these fractions.
+#: A p-fraction token prefix's shingle set is a SUBSET of the full
+#: document's, so J(doc, prefix_p) ≈ p and J(prefix_p, prefix_q) ≈ p/q
+#: — pairs land near 0.25/0.35/0.45/0.55/0.65/0.70, populating every
+#: band of the S-curve (the natural corpus dups all sit at J ≥ 0.5,
+#: which is why the un-augmented readout measured a single band).
+_CURVE_FRACS = [(1, 0.25), (2, 0.45), (3, 0.70)]
+_CURVE_MIN_TOKENS = 24
+_CURVE_SAMPLE_MOD = 5
+_CURVE_ID_STRIDE = 1_000_000
+_CURVE_SHINGLE_DF_CAP = 1000
+
+#: the same augmentation, rendered for DuckDB (tokenization identical
+#: to `operators.text.tokens`: split lowered text on whitespace)
+_CURVE_AUG_CTE = f"""
+    aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT t.doc_id + v.v * {_CURVE_ID_STRIDE} AS doc_id,
+             array_to_string(t.toks[1:greatest(CAST(floor(v.p * len(t.toks)) AS INT), 3)], ' ') AS text
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+            FROM documents
+            WHERE doc_id % {_CURVE_SAMPLE_MOD} = 0
+              AND len(regexp_split_to_array(lower(text), '\\s+')) >= {_CURVE_MIN_TOKENS}) t
+      CROSS JOIN (VALUES (1, 0.25), (2, 0.45), (3, 0.70)) v(v, p))
+"""
+
+
+def _augmented_docs(docs: DataFrame) -> DataFrame:
+    """`documents` ∪ deterministic token-prefix variants (the Spark
+    side of `_CURVE_AUG_CTE` — text built from the SAME lowered
+    whitespace tokenization the shingler uses, so both engines shingle
+    identical variant strings)."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    out = docs.select("doc_id", "text")
+    sampled = docs.filter(
+        ((F.col("doc_id") % _CURVE_SAMPLE_MOD) == 0) & (F.size(toks) >= _CURVE_MIN_TOKENS)
+    )
+    for v, p in _CURVE_FRACS:
+        k = F.greatest(F.floor(F.lit(p) * F.size(toks)).cast("int"), F.lit(3))
+        out = out.unionByName(
+            sampled.select(
+                (F.col("doc_id") + F.lit(v * _CURVE_ID_STRIDE)).alias("doc_id"),
+                F.array_join(F.slice(toks, 1, k), " ").alias("text"),
+            )
+        )
+    return out
+
+
 @register(
     "minhash_recall_curve",
     f"""
     WITH
-    {_MD5_SHINGLE_CTE},
-    sizes AS (SELECT _id, COUNT(1) AS n_sh FROM sh GROUP BY _id),
+    {_CURVE_AUG_CTE},
+    atoks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM aug),
+    sh AS (
+      SELECT DISTINCT doc_id AS _id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+            FROM atoks)),
+    shc AS (
+      SELECT sh.* FROM sh
+      JOIN (SELECT sh_h FROM sh GROUP BY sh_h
+            HAVING COUNT(1) <= {_CURVE_SHINGLE_DF_CAP}) ok USING (sh_h)),
+    sizes AS (SELECT _id, COUNT(1) AS n_sh FROM shc GROUP BY _id),
     exact AS (
       SELECT id_a, id_b,
              CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS j
       FROM (
         SELECT a._id AS id_a, b._id AS id_b, COUNT(1) AS n_inter
-        FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a._id < b._id
+        FROM shc a JOIN shc b ON a.sh_h = b.sh_h AND a._id < b._id
         GROUP BY a._id, b._id) i
       JOIN sizes sa ON sa._id = id_a
       JOIN sizes sb ON sb._id = id_b),
@@ -730,19 +793,42 @@ def minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-side analog of `ann_recall_lsh` and the readout that chooses
     (num_hashes, bands) for a corpus (`minhash_calibration` audits
     the ESTIMATES on caught pairs; this measures which true pairs the
-    bands catch at all). Ground truth reuses the df-capped hashed
-    shingle self-join (never all-pairs — pairs sharing no shingle
-    have Jaccard 0 and belong to no band); candidates come from the
-    same md5-family signature pipeline the graded dedup_minhash runs.
-    Exact int/int recall division — deterministic across engines."""
+    bands catch at all).
+
+    Measured corpus = documents ∪ deterministic token-prefix variants
+    (see `_CURVE_FRACS`): the natural corpus' true pairs all sit at
+    J ≥ 0.5, so without the variants the "curve" was one band; the
+    prefix pairs land throughout 0.1-0.7 and make the band-miss
+    behavior LSH exists to trade off actually measurable (expected
+    catch rate 1-(1-J⁴)⁸: ~2% at J=0.22, ~19% at J=0.40, →1 at J≥0.8).
+
+    Ground truth is the df-capped hashed shingle self-join (cap
+    {_CURVE_SHINGLE_DF_CAP}, broadcast anti-join against the hot set —
+    same bound as `ngram_jaccard_pairs(max_shingle_df=...)`, mirrored
+    in the oracle's `shc` CTE; never all-pairs — pairs sharing no
+    retained shingle have Jaccard ~0 and belong to no band).
+    Candidates come from the same UNCAPPED md5-family signature
+    pipeline the graded `dedup_minhash` runs — the production path
+    being measured. Exact int/int recall — deterministic across
+    engines."""
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import shingle_hashes
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes(docs, hash_family="md5")
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    aug = _augmented_docs(docs)
+    # one materialization feeds the hot-set agg, the anti-join probe,
+    # the size agg, and both sides of the intersection join
+    sh = shingle_hashes(aug, hash_family="md5").localCheckpoint(eager=False)
+    hot = (
+        sh.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > _CURVE_SHINGLE_DF_CAP)
+        .select("_sh")
+    )
+    shc = sh.join(hot, "_sh", "left_anti")
+    sizes = shc.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        shc.alias("a")
+        .join(shc.alias("b"), (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -756,7 +842,7 @@ def minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("j") >= 0.1)
     )
-    cands = minhash_candidate_pairs(docs, min_est_jaccard=0.0, hash_family="md5").select(
+    cands = minhash_candidate_pairs(aug, min_est_jaccard=0.0, hash_family="md5").select(
         "id_a", "id_b", F.lit(1).alias("caught")
     )
     j_band = (

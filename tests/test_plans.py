@@ -371,3 +371,14 @@ def test_scd2_as_of_single_window_exchange(spark):
     plan = QUERIES["scd2_as_of_state"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_minhash_recall_curve_ground_truth_df_capped(spark):
+    """The recall curve's ground-truth shingle self-join must drop
+    hot shingles FIRST (the docstring's promise): a LeftAnti join
+    against the df > cap hot set has to appear in the plan, and no
+    all-pairs expansion anywhere."""
+    df = QUERIES["minhash_recall_curve"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
