@@ -226,6 +226,23 @@ def main() -> None:
         timings[name] = run_one(spark, name, sf_dir)
     headline = round(sum(timings[n] for n in BENCH_QUERIES), 3)
     total = round(sum(timings.values()), 3)
+    # Two JSON lines, full detail FIRST, compact summary LAST: the
+    # driver retains only the final ~2000 output chars, and round 5's
+    # single 86-query line lost its leading summary keys to that
+    # window (BENCH_r05 parsed: null). The last line is small enough
+    # to always survive the tail whole — it carries every contract
+    # key (metric/value/unit/queries/sf) with `queries` restricted to
+    # the 18 headline (ratchet) queries; the first line still records
+    # every per-query timing for humans and diffing.
+    print(
+        json.dumps(
+            {
+                "detail": "all_query_timings",
+                "per_query_agg": "warm1_min_of_2",  # untimed warm pass first; see run_one
+                "queries": timings,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -233,8 +250,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "headline18_sec": headline,
-                "per_query_agg": "warm1_min_of_2",  # untimed warm pass first; see run_one
-                "queries": timings,
+                "queries": {n: timings[n] for n in BENCH_QUERIES},
+                "n_extended_queries": len(timings) - len(BENCH_QUERIES),
+                "extended_total_sec": round(total - headline, 3),
                 "sf": sf,
                 # ambient 1-min load average at start/end: this host
                 # injects CPU-steal bursts (round-3 finding: same

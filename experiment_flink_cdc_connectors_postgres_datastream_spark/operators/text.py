@@ -41,11 +41,16 @@ def exploded_bigrams(df: DataFrame, text_col: str = "text", keys: list[str] | No
     explode, matching ``bigrams``'s empty-array contract."""
     keys = list(keys or [])
     toks = tokens(F.col(text_col))
+    # alias both slices so arrays_zip emits EXPLICIT struct field
+    # names — the positional '0'/'1' names it assigns to anonymous
+    # expressions are an undocumented detail that has shifted across
+    # Spark releases
     z = F.arrays_zip(
-        F.slice(toks, 1, F.size(toks) - 1), F.slice(toks, 2, F.size(toks) - 1)
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
     )
     return df.select(*keys, F.explode(z).alias("_p")).select(
-        *keys, F.concat_ws(" ", F.col("_p.0"), F.col("_p.1")).alias(out_col)
+        *keys, F.concat_ws(" ", F.col("_p.w1"), F.col("_p.w2")).alias(out_col)
     )
 
 

@@ -574,8 +574,9 @@ def _proj_oracle_sql() -> str:
     for i in range(_PROJ_K):
         lit = "[" + ",".join(str(s) for s in _proj_signs(i)) + "]"
         comps.append(
-            f"ROUND(list_aggregate(list_transform(range(1, {_PROJ_D + 1}), "
-            f"j -> CAST(embedding[j] AS DOUBLE) * ({lit})[j]), 'sum') / 4.0, 6) "
+            f"CAST(CAST(list_aggregate(list_transform(range(1, {_PROJ_D + 1}), "
+            f"j -> CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0) AS BIGINT) * ({lit})[j]), "
+            f"'sum') AS BIGINT) AS DOUBLE) / 4000000.0 "
             f"AS p{i:02d}"
         )
     return "SELECT vec_id, label, " + ", ".join(comps) + " FROM embeddings"
@@ -589,15 +590,22 @@ def embedding_sparse_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the index needs. Rendered as ONE selectExpr SQL text (single
     JVM parse — the py4j plan-build cure the SimHash/sign-LSH stages
     use); per row it is a fixed 16×64 fused multiply-add, a narrow
-    codegen'd map with zero shuffles — scan-bound at 100 TB."""
+    codegen'd map with zero shuffles — scan-bound at 100 TB.
+
+    Determinism: each element is floor-quantized to BIGINT FIRST and
+    the ±1 dot product accumulates exactly in integers (the
+    `label_centroids` pattern) — `round(double, 6)` on an accumulated
+    float disagrees between Spark and DuckDB at decimal midpoints
+    (see the quality_features determinism note); dividing the
+    identical integer by 4e6 yields the identical double in both."""
     emb = load_table(spark, sf_dir, "embeddings")
     exprs = ["vec_id", "label"]
     for i in range(_PROJ_K):
-        lit = "array(" + ",".join(f"{s}.0D" for s in _proj_signs(i)) + ")"
+        lit = "array(" + ",".join(f"{s}L" for s in _proj_signs(i)) + ")"
         exprs.append(
-            f"round(aggregate(zip_with(embedding, {lit}, "
-            f"(x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), "
-            f"(a, x) -> a + x) / 4.0D, 6) AS p{i:02d}"
+            f"CAST(aggregate(zip_with(embedding, {lit}, "
+            f"(x, s) -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT) * s), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / 4000000.0D AS p{i:02d}"
         )
     return emb.selectExpr(*exprs)
 

@@ -131,9 +131,13 @@ class GenerationalStateStore:
             self.n_buckets = int(current["n_buckets"])
         # bucket assignment is ALSO part of the layout: a store created
         # with prefix bucketing must keep it when reopened/restored, or
-        # new commits would scatter an entity's rows across buckets
-        if current is not None and current.get("bucket_cols"):
-            self.bucket_cols = list(current["bucket_cols"])
+        # new commits would scatter an entity's rows across buckets.
+        # A manifest WITHOUT bucket_cols (legacy store, or a restore
+        # of one) could only have been written by full-key bucketing,
+        # so the fallback is key_cols — honoring a constructor-passed
+        # prefix here would make pruned reads look in the wrong buckets
+        if current is not None:
+            self.bucket_cols = list(current.get("bucket_cols") or key_cols)
 
     # -- manifest bookkeeping -------------------------------------------------
 
@@ -299,7 +303,11 @@ class GenerationalStateStore:
             json.dumps(
                 {
                     "n_buckets": n_buckets,
-                    "bucket_cols": manifest.get("bucket_cols"),
+                    # record the source store's EFFECTIVE layout: a
+                    # legacy savepoint without bucket_cols was written
+                    # with full-key bucketing, so persist key_cols
+                    # rather than propagating the null
+                    "bucket_cols": list(manifest.get("bucket_cols") or key_cols),
                     "buckets": dict(manifest["buckets"]),
                 }
             ),

@@ -194,3 +194,61 @@ def test_bucket_cols_read_back_from_manifest(spark, tmp_path):
         spark.createDataFrame([(1, 30, "c")], "k long, seq long, v string")
     )
     assert [r[0] for r in df2.select(BUCKET_COL).distinct().collect()] == touched
+
+
+def test_legacy_manifest_without_bucket_cols_falls_back_to_key_cols(spark, tmp_path):
+    """A manifest that predates bucket_cols (or a restore that wrote
+    null) could only have been produced by full-key bucketing —
+    reopening such a store with a PREFIX bucket_cols argument must
+    ignore the argument, or pruned reads would look in the wrong
+    buckets and silently miss rows."""
+    store = GenerationalStateStore(spark, str(tmp_path / "state"), ["k", "seq"], n_buckets=4)
+    df = store.with_bucket(
+        spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], "k long, seq long, v string")
+    )
+    touched = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    store.commit(df, touched, version=0)
+
+    # simulate the legacy layout: strip bucket_cols from the manifest
+    root = str(tmp_path / "state")
+    names = sorted(n for n in os.listdir(root) if n.startswith("manifest-"))
+    path = os.path.join(root, names[-1])
+    manifest = json.loads(open(path).read())
+    manifest.pop("bucket_cols", None)
+    open(path, "w").write(json.dumps(manifest))
+    crc = os.path.join(root, f".{names[-1]}.crc")
+    if os.path.exists(crc):  # hadoop local-fs checksum sidecar
+        os.remove(crc)
+
+    reopened = GenerationalStateStore(
+        spark, root, ["k", "seq"], n_buckets=4, bucket_cols=["k"]
+    )
+    assert reopened.bucket_cols == ["k", "seq"]
+    # pruned read by the full-key bucketing still finds every row
+    got = {(r["k"], r["v"]) for r in reopened.read(buckets=touched).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_restore_records_effective_bucket_cols(spark, tmp_path):
+    """restore() must persist the source store's EFFECTIVE layout:
+    restoring a legacy savepoint (bucket_cols null) writes key_cols,
+    never propagates the null."""
+    store = GenerationalStateStore(spark, str(tmp_path / "state"), ["k"], n_buckets=4)
+    df = store.with_bucket(spark.createDataFrame([(1, "a")], "k long, v string"))
+    touched = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    store.commit(df, touched, version=0)
+    sp = str(tmp_path / "sp")
+    store.savepoint(sp)
+    manifest = json.loads(open(os.path.join(sp, "manifest-0.json")).read())
+    manifest.pop("bucket_cols", None)
+    open(os.path.join(sp, "manifest-0.json"), "w").write(json.dumps(manifest))
+    crc = os.path.join(sp, ".manifest-0.json.crc")
+    if os.path.exists(crc):  # hadoop local-fs checksum sidecar
+        os.remove(crc)
+
+    restored = GenerationalStateStore.restore_from_savepoint(
+        spark, sp, str(tmp_path / "state2"), ["k"]
+    )
+    assert restored.bucket_cols == ["k"]
+    written = json.loads(open(os.path.join(str(tmp_path / "state2"), "manifest-0.json")).read())
+    assert written["bucket_cols"] == ["k"]
