@@ -71,6 +71,40 @@ def build_delete_stale_sql(table: str, key_cols: list[str], n_keep: int) -> str:
     return f"DELETE FROM {table} WHERE {preds}"
 
 
+#: staged-keys temp table name — TEMP is session-scoped and the sink
+#: opens a fresh connection per refresh batch, so it vanishes with the
+#: connection. (NOT ``ON COMMIT DROP``: the pg_minimal fallback driver
+#: autocommits per statement, which would drop the table between the
+#: CTAS and the inserts.)
+STAGE_TABLE = "_graft_kept_keys"
+
+
+def build_stage_keys_ddl(table: str, key_cols: list[str]) -> str:
+    """CREATE the kept-keys staging temp table with the TARGET's own
+    key column types (CTAS off an always-false predicate) — no type
+    mapping to maintain."""
+    keylist = ", ".join(key_cols)
+    return (
+        f"CREATE TEMP TABLE {STAGE_TABLE} AS "
+        f"SELECT {keylist} FROM {table} WHERE FALSE"
+    )
+
+
+def build_delete_unstaged_sql(table: str, key_cols: list[str]) -> str:
+    """DELETE rows whose key tuple is absent from the staged kept-key
+    table — the O(1)-statement-size form of :func:`build_delete_stale_sql`
+    for high-cardinality aggregates. Null-safe: row-constructor
+    ``IS NOT DISTINCT FROM`` matches NULL key components, so a kept
+    NULL-bearing tuple protects its row (``NOT IN`` / plain ``=``
+    would not)."""
+    t_tup = "(" + ", ".join(f"t.{c}" for c in key_cols) + ")"
+    s_tup = "(" + ", ".join(f"s.{c}" for c in key_cols) + ")"
+    return (
+        f"DELETE FROM {table} t WHERE NOT EXISTS "
+        f"(SELECT 1 FROM {STAGE_TABLE} s WHERE {s_tup} IS NOT DISTINCT FROM {t_tup})"
+    )
+
+
 class JdbcUpsertSink:
     """foreachBatch-compatible upsert writer: one connection per
     partition, batched executemany.
@@ -78,20 +112,31 @@ class JdbcUpsertSink:
     ``refresh=True`` treats every batch as the COMPLETE table (the
     shape ``run_compacted_aggregate`` produces — it recomputes the
     aggregate over full live state each micro-batch): after the
-    partition upserts, keys absent from the batch are DELETED in one
-    driver-side statement, so a group whose live count transiently
-    drops to zero cannot leave a stale row behind (same contract as
+    partition upserts, keys absent from the batch are DELETED, so a
+    group whose live count transiently drops to zero cannot leave a
+    stale row behind (same contract as
     ``ParquetUpsertSink(refresh=True)``). The key collect is bounded
     by GROUP CARDINALITY (the aggregate's output size), not data size
-    — the only reason a driver-side collect is admissible here."""
+    — the only reason a driver-side collect is admissible here.
+
+    The delete itself is size-gated (``stage_threshold``): up to the
+    threshold it is ONE statement of row-constructor ``IS DISTINCT
+    FROM`` predicates; above it, that statement would be O(groups) SQL
+    text the server re-parses every micro-batch (megabytes at ~10⁵
+    groups), so the kept keys are staged into a temp table (CTAS takes
+    the target's own column types, batched inserts) and stale rows go
+    via one constant-size ``NOT EXISTS`` anti-join DELETE — the same
+    gate-by-size pattern as the calibration persist."""
 
     def __init__(self, dsn: str, table: str, key_cols: list[str],
-                 batch_size: int = 1000, refresh: bool = False):
+                 batch_size: int = 1000, refresh: bool = False,
+                 stage_threshold: int = 5000):
         self.dsn = dsn
         self.table = table
         self.key_cols = key_cols
         self.batch_size = batch_size
         self.refresh = refresh
+        self.stage_threshold = stage_threshold
 
     def __call__(self, df: DataFrame, batch_id: int) -> None:
         columns = df.columns
@@ -130,10 +175,20 @@ class JdbcUpsertSink:
         conn = _connect(dsn)
         try:
             with conn, conn.cursor() as cur:
-                cur.execute(
-                    build_delete_stale_sql(self.table, self.key_cols, len(keys)),
-                    [v for k in keys for v in k] or None,
-                )
+                if len(keys) > self.stage_threshold:
+                    cur.execute(build_stage_keys_ddl(self.table, self.key_cols))
+                    ins = (
+                        f"INSERT INTO {STAGE_TABLE} VALUES "
+                        f"({', '.join(['%s'] * len(self.key_cols))})"
+                    )
+                    for i in range(0, len(keys), batch_size):
+                        cur.executemany(ins, keys[i : i + batch_size])
+                    cur.execute(build_delete_unstaged_sql(self.table, self.key_cols))
+                else:
+                    cur.execute(
+                        build_delete_stale_sql(self.table, self.key_cols, len(keys)),
+                        [v for k in keys for v in k] or None,
+                    )
         finally:
             conn.close()
 

@@ -817,3 +817,37 @@ def test_streaming_engine_scd2_history_live(scratch, spark):
             assert sum(1 for r in vs if r["is_current"]) == 1, (vid, vs)
     finally:
         q.stop()
+
+
+def test_refresh_delete_stage_gate_live(scratch, spark):
+    """K3 LIVE, both sides of the stale-delete size gate: below
+    ``stage_threshold`` the delete is the single predicate-chain
+    statement; above it the kept keys are staged into a temp table
+    and stale rows go via one NOT EXISTS anti-join DELETE. Identical
+    final table state either way — the gate only changes the
+    statement shape the server parses."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.jdbc_upsert import JdbcUpsertSink
+
+    tbl = _sink_table(scratch)
+    seed = JdbcUpsertSink(DSN, tbl, key_cols=["pgschema"])
+    rows = [(f"schema{i}", i) for i in range(8)]
+    seed(spark.createDataFrame(rows, "pgschema string, user_count long"), batch_id=0)
+    assert len(seed.read_rows()) == 8
+
+    # below the gate: predicate-chain DELETE (threshold above n_keep)
+    chain = JdbcUpsertSink(DSN, tbl, key_cols=["pgschema"], refresh=True, stage_threshold=100)
+    keep1 = [(f"schema{i}", i + 10) for i in range(5)]
+    chain(spark.createDataFrame(keep1, "pgschema string, user_count long"), batch_id=1)
+    assert chain.read_rows() == sorted(keep1)
+
+    # above the gate: staged temp-table NOT EXISTS DELETE (threshold 2 < 3 kept)
+    staged = JdbcUpsertSink(DSN, tbl, key_cols=["pgschema"], refresh=True, stage_threshold=2)
+    keep2 = [("schema1", 21), ("schema3", 23), ("schema4", 24)]
+    staged(spark.createDataFrame(keep2, "pgschema string, user_count long"), batch_id=2)
+    assert staged.read_rows() == sorted(keep2)
+
+    # staged path with an empty batch still truncates (len 0 <= any
+    # threshold -> chain path "DELETE FROM t"; force staging anyway)
+    zero = JdbcUpsertSink(DSN, tbl, key_cols=["pgschema"], refresh=True, stage_threshold=-1)
+    zero(spark.createDataFrame([], "pgschema string, user_count long"), batch_id=3)
+    assert zero.read_rows() == []

@@ -155,3 +155,25 @@ def test_delete_stale_sql_is_null_safe():
     assert sql.count("IS DISTINCT FROM") == 2
     assert sql.count("%s") == 4
     assert build_delete_stale_sql("t", ["a"], 0) == "DELETE FROM t"
+
+
+def test_delete_unstaged_sql_shape():
+    """Above the stage gate the DELETE is CONSTANT-size SQL: a
+    NOT EXISTS anti-join against the staged temp table, null-safe via
+    row-constructor IS NOT DISTINCT FROM; the CTAS takes the target's
+    own key column types off a WHERE FALSE select."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.jdbc_upsert import (
+        STAGE_TABLE,
+        build_delete_unstaged_sql,
+        build_stage_keys_ddl,
+    )
+
+    ddl = build_stage_keys_ddl("t", ["a", "b"])
+    assert ddl == (
+        f"CREATE TEMP TABLE {STAGE_TABLE} AS SELECT a, b FROM t WHERE FALSE"
+    )
+    sql = build_delete_unstaged_sql("t", ["a", "b"])
+    assert "NOT EXISTS" in sql
+    assert "(s.a, s.b) IS NOT DISTINCT FROM (t.a, t.b)" in sql
+    # statement size independent of kept-key count — that's the point
+    assert "%s" not in sql
