@@ -13,11 +13,27 @@ per key — batch via `compact_latest`, streaming via
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Iterator
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import compact_latest
+
+try:  # Spark 4 Python DataSource API (same guard as postgres_cdc)
+    from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+    _HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - pre-4.0 pyspark
+    DataSource = object  # type: ignore[assignment]
+    DataSourceStreamReader = object  # type: ignore[assignment]
+    InputPartition = object  # type: ignore[assignment]
+    _HAS_DATASOURCE_API = False
 
 #: wire metadata ↔ reference DDL mapping (SJCD:162-165):
 #:   timestamp ↔ eventTime METADATA, topic ↔ topic VIRTUAL,
@@ -55,3 +71,149 @@ def upsert_view(
     (`PRIMARY KEY … NOT ENFORCED` semantics — enforcement happens
     here, by compaction, not at write time)."""
     return compact_latest(changelog, list(key_cols), list(seq_cols), op_col=op_col)
+
+
+# --------------------------------------------------------------------------
+# Streaming source: spark.readStream.format("bus_upsert")
+#
+# No broker is installable in this environment, so the topic is
+# modeled as a SPOOL: a directory of immutable JSONL frame files with
+# monotonically-sorting names (the broker stand-in the wire-frame
+# tests already grade byte-for-byte). The source consumes the spool
+# through the engine's DataSource API exactly like postgres_cdc —
+# driver plans offsets (file counts), executors read the frame files
+# — so the upsert-table semantics run through readStream, not test
+# plumbing. Against a real Pulsar/Kafka, only this reader changes;
+# everything downstream (changelog_from_bus → upsert_view → agg) is
+# wire-format-identical.
+# --------------------------------------------------------------------------
+
+#: wire-frame schema the source emits (the Kafka/Pulsar reader shape:
+#: SJCD:162-165 metadata mapping documented at BUS_METADATA_COLS).
+#: `timestamp` is broker epoch-ms (may be null in spooled frames);
+#: `offset` is the assigned sequence id (file_index << 32 | line).
+BUS_FRAME_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("value", StringType()),
+        StructField("topic", StringType()),
+        StructField("timestamp", LongType()),
+        StructField("offset", LongType()),
+    ]
+)
+
+
+def spool_frames(frames: DataFrame, spool_dir: str, seq: int) -> None:
+    """Publish one batch of wire frames into the spool (the producer /
+    K2 side): a distributed JSON write into a hidden temp dir, then
+    per-part atomic renames to ``frames-{seq}-{part}.jsonl``. Readers
+    only ever see complete, immutable files, and names sort in publish
+    order — the two properties offset replay depends on."""
+    os.makedirs(spool_dir, exist_ok=True)
+    tmp = os.path.join(spool_dir, f".tmp-{seq}-{uuid.uuid4().hex[:8]}")
+    cols = [
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    ]
+    if "topic" in frames.columns:
+        cols.append(F.col("topic"))
+    if "timestamp" in frames.columns:
+        cols.append(F.col("timestamp").cast("long"))
+    frames.select(*cols).write.mode("overwrite").json(tmp)
+    parts = sorted(p for p in os.listdir(tmp) if p.startswith("part-"))
+    for i, p in enumerate(parts):
+        os.replace(os.path.join(tmp, p), os.path.join(spool_dir, f"frames-{seq:08d}-{i:04d}.jsonl"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+class BusSpoolPartition(InputPartition):
+    def __init__(self, path: str | None, file_index: int):
+        self.path = path
+        self.file_index = file_index
+
+
+class BusUpsertStreamReader(DataSourceStreamReader):
+    """Spool reader: offsets are published-file counts; each
+    micro-batch turns every new file into one input partition read
+    executor-side (the driver touches names only, never frame bytes —
+    at scale the spool lives on the shared store and reads distribute
+    like any file source). Replay of a checkpointed span re-serves the
+    same files: spool files are immutable and names monotone, so a
+    (start, end) count pair identifies the identical frame set."""
+
+    def __init__(self, spool_dir: str):
+        if not spool_dir:
+            raise ValueError("bus_upsert source requires option 'path' (the spool directory)")
+        self.spool_dir = spool_dir
+
+    def _names(self) -> list[str]:
+        if not os.path.isdir(self.spool_dir):
+            return []
+        return sorted(n for n in os.listdir(self.spool_dir) if n.endswith(".jsonl"))
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n_files": len(self._names())}
+
+    def partitions(self, start: dict, end: dict) -> list[BusSpoolPartition]:
+        names = self._names()
+        s, e = start.get("n_files", 0), end.get("n_files", 0)
+        if e > len(names):
+            raise RuntimeError(
+                f"bus_upsert: checkpoint expects {e} spool files under "
+                f"{self.spool_dir!r} but only {len(names)} exist — the spool "
+                "was truncated; refusing to serve a partial replay."
+            )
+        out = [
+            BusSpoolPartition(os.path.join(self.spool_dir, names[i]), i) for i in range(s, e)
+        ]
+        return out or [BusSpoolPartition(None, -1)]
+
+    def read(self, partition: BusSpoolPartition) -> Iterator[tuple]:
+        if partition.path is None:
+            return
+        with open(partition.path, encoding="utf-8") as fh:
+            for line_index, line in enumerate(fh):
+                if not line.strip():
+                    continue
+                d = json.loads(line)
+                yield (
+                    d.get("key"),
+                    d.get("value"),
+                    d.get("topic"),
+                    d.get("timestamp"),
+                    (partition.file_index << 32) | line_index,
+                )
+
+    def commit(self, end: dict) -> None:
+        # the spool retains frames (broker retention is a policy knob,
+        # not the reader's job); nothing to advance
+        return
+
+
+if _HAS_DATASOURCE_API:
+
+    class BusUpsertDataSource(DataSource):
+        """`spark.readStream.format("bus_upsert").option("path", spool)`
+        entry point — the S4 `upsert-pulsar` table's source half
+        (SJCD:156-174) through the engine's source API."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "bus_upsert"
+
+        def schema(self) -> StructType:
+            return BUS_FRAME_SCHEMA
+
+        def streamReader(self, schema: StructType) -> BusUpsertStreamReader:
+            return BusUpsertStreamReader(dict(self.options).get("path", ""))
+
+    def register_bus_source(spark) -> None:
+        spark.dataSource.register(BusUpsertDataSource)
+
+else:  # pragma: no cover
+
+    def register_bus_source(spark) -> None:
+        raise ImportError("bus_upsert source requires the Spark 4 Python DataSource API")

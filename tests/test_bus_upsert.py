@@ -60,3 +60,58 @@ def test_streaming_dropduplicates_within_watermark(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT count(1) c FROM dedup_mem").first()["c"] == 2
+
+
+def test_bus_spool_source_replay_and_truncation_guard(spark, tmp_path):
+    """The streaming source contract: (a) readStream delivers exactly
+    the spooled frames with assigned sequence offsets; (b) a
+    checkpointed span (start,end) re-serves the identical files
+    (restart replay); (c) a truncated spool refuses a partial replay
+    instead of silently returning fewer frames."""
+    import pytest as _pytest
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        BusUpsertStreamReader,
+        register_bus_source,
+        spool_frames,
+    )
+
+    spool = str(tmp_path / "spool")
+    df1 = spark.createDataFrame(
+        [("k1", '{"a":1}', "t"), ("k2", '{"a":2}', "t")], "key string, value string, topic string"
+    )
+    df2 = spark.createDataFrame([("k1", '{"a":3}', "t")], "key string, value string, topic string")
+    spool_frames(df1.coalesce(1), spool, seq=0)
+    spool_frames(df2.coalesce(1), spool, seq=1)
+
+    # (a) end-to-end through readStream
+    register_bus_source(spark)
+    stream = spark.readStream.format("bus_upsert").option("path", spool).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("bus_spool_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["key"], r["value"]) for r in spark.table("bus_spool_t").collect()}
+    assert got == {("k1", '{"a":1}'), ("k2", '{"a":2}'), ("k1", '{"a":3}')}
+    offs = sorted(r["offset"] for r in spark.table("bus_spool_t").collect())
+    assert offs == [0, 1, 1 << 32]  # file_index << 32 | line
+
+    # (b) replay of the first span returns exactly file 0's frames
+    reader = BusUpsertStreamReader(spool)
+    parts = reader.partitions({"n_files": 0}, {"n_files": 1})
+    replay = [row for p in parts for row in reader.read(p)]
+    assert {(r[0], r[1]) for r in replay} == {("k1", '{"a":1}'), ("k2", '{"a":2}')}
+
+    # (c) truncation: checkpoint expects 2 files, spool has fewer
+    import os as _os
+
+    for n in _os.listdir(spool):
+        if n.startswith("frames-00000001"):
+            _os.remove(_os.path.join(spool, n))
+    with _pytest.raises(RuntimeError, match="truncated"):
+        reader.partitions({"n_files": 0}, {"n_files": 2})
