@@ -99,6 +99,36 @@ def salted_agg(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big side gets a row-local salt in
+    [0, salt), the small side is replicated ``salt`` times, and the
+    join runs on ``on + [_salt]`` — a hot join key's rows spread over
+    ``salt`` shuffle partitions instead of one monster task, at the
+    cost of shuffling the small side ``salt``×.
+
+    When to reach for it: the small side is too big to broadcast AND
+    the key histogram is skewed AND you can't rely on AQE's runtime
+    skew split (static plans, pre-shuffle bucketing, or a combiner-less
+    downstream that needs the spread to persist). For a genuinely tiny
+    dimension, ``broadcast()`` beats this — no shuffle at all.
+
+    The salt comes from partition-local row position (same recipe as
+    ``salted_agg``), so it varies WITHIN every join key — salting by
+    any function of the key alone would spread nothing."""
+    sb = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    bb = big.withColumn(
+        "_salt",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)).cast("int"),
+    )
+    return bb.join(sb, [*on, "_salt"], how).drop("_salt")
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

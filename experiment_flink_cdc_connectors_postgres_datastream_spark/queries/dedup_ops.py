@@ -155,13 +155,20 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: df-capped (≤ 1000) like `dedup_ngram_jaccard`: every consumer of
+#: this pair pipeline inherits the hot-shingle k² bound — at 100 TB an
+#: uncapped stopword-run shingle alone is ~5e11 join rows.
 _JACCARD_PAIRS_CTE = """
-    sh AS (
+    sh_all AS (
       SELECT DISTINCT doc_id AS _id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
         FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents))),
+    sh AS (
+      SELECT sh_all.* FROM sh_all
+      JOIN (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(1) <= 1000) ok
+      USING (shingle)),
     sizes AS (SELECT _id, COUNT(1) AS n_sh FROM sh GROUP BY _id),
     inter AS (
       SELECT a._id AS id_a, b._id AS id_b, COUNT(1) AS n_inter
@@ -198,7 +205,9 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint with a recursive reachability CTE."""
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import connected_components
 
-    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), min_jaccard=0.1)
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), min_jaccard=0.1, max_shingle_df=1000
+    )
     return connected_components(pairs).select(
         F.col("_id").alias("doc_id"), "component"
     )
@@ -331,7 +340,9 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical recursive-reachability oracle."""
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import connected_components_star
 
-    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), min_jaccard=0.1)
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), min_jaccard=0.1, max_shingle_df=1000
+    )
     return connected_components_star(pairs).select(
         F.col("_id").alias("doc_id"), "component"
     )
@@ -358,7 +369,9 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the quoted-document case symmetric dedup misses)."""
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import containment_pairs
 
-    return containment_pairs(load_table(spark, sf_dir, "documents"), min_containment=0.6)
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), min_containment=0.6, max_shingle_df=1000
+    )
 
 
 #: persist the calibration candidate-pair table when the scanned
@@ -858,5 +871,69 @@ def minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_true_pairs"),
             F.sum("caught").alias("n_caught"),
             (F.sum("caught").cast("double") / F.count(F.lit(1)).cast("double")).alias("recall"),
+        )
+    )
+
+
+@register(
+    "cluster_safe_splits",
+    f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_CTE},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS rep,
+             CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT split,
+           CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+    FROM assigned GROUP BY split
+    """,
+)
+def cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split is decided by
+    the md5 of the duplicate-CLUSTER representative, not the document
+    id, so two near-duplicate documents can never straddle splits —
+    the leakage mode `train_val_test_split` (per-doc hashing) cannot
+    rule out and decontamination papers flag as eval inflation.
+    Singleton docs are their own representative; thresholds match the
+    per-doc splitter (~80/10/10 over clusters).
+
+    Scale shape: the near-dup pair pipeline (df-capped shingle join)
+    → hash-min components (bounded label propagation) → one LEFT hash
+    join back onto the corpus → one aggregation. The doc_id_checksum
+    grades the exact membership, not just the counts."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.1, max_shingle_df=1000)
+    comp = connected_components(pairs).select(
+        F.col("_id").alias("doc_id"), "component"
+    )
+    rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    h2 = F.substring(F.md5(rep.cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cc", F.lit("train")).when(h2 < "e6", F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id", rep.alias("rep"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+            F.sum("doc_id").alias("doc_id_checksum"),
         )
     )

@@ -538,3 +538,91 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage_idx", "stage")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "mixture_sample",
+    """
+    WITH rated AS (
+      SELECT doc_id, source,
+             100 + (CAST(substr(source, 4) AS INT) * 50) % 900 AS rate_permille,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 15)) AS BIGINT) % 1000 AS bucket
+      FROM documents)
+    SELECT source,
+           CAST(MIN(rate_permille) AS INT) AS rate_permille,
+           CAST(COUNT(1) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate_permille THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+    FROM rated GROUP BY source
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture downsampling: each source gets a keep-rate
+    (permille; here a deterministic function of the source name
+    standing in for the mixture-weight table a trainer supplies), and
+    a document survives iff the md5-prefix hash of ``doc_id:source``
+    falls under the rate — the reproducible, restart-stable form of
+    per-source weighted sampling (a doc's fate never changes across
+    runs or as the corpus grows, unlike ``sample()``), and the
+    decision is a pure narrow map: zero shuffles before the one
+    readout aggregation. ``kept_checksum`` grades the exact kept SET,
+    not just the per-source counts. In production the rate column
+    joins in from a broadcast mixture-weights dim instead of the
+    name-derived stand-in."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (F.lit(100) + (F.substring(F.col("source"), 4, 10).cast("int") * 50) % 900).alias(
+        "rate_permille"
+    )
+    bucket = F.pmod(
+        md5_long(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source"))), F.lit(1000)
+    )
+    kept = (bucket < F.col("rate_permille")).cast("long")
+    return (
+        docs.select("doc_id", "source", rate)
+        .select("doc_id", "source", "rate_permille", kept.alias("_kept"))
+        .groupBy("source")
+        .agg(
+            F.min("rate_permille").cast("int").alias("rate_permille"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("_kept").alias("n_kept"),
+            F.sum(F.col("_kept") * F.col("doc_id")).alias("kept_checksum"),
+        )
+    )
+
+
+@register(
+    "salted_join_agg",
+    """
+    WITH dim AS (SELECT DISTINCT event_type, LENGTH(event_type) AS type_len FROM events)
+    SELECT e.event_type, d.type_len,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 3) AS total_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type, d.type_len
+    """,
+)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe SALTED JOIN made first-class (`operators.scale.
+    salted_join`), hash-matching the plain-join oracle — the proof the
+    salt is value-neutral. The fact stream joins a dimension on
+    event_type (cardinality 5: every key is hot — the 100× version of
+    the reference's keyBy(pg-schema)); the big side takes a row-local
+    salt, the dim replicates `salt` ways, and the join keys become
+    (event_type, _salt) so no single shuffle partition owns a key.
+    The merge hint models the real target case — a dim too big to
+    broadcast (a broadcast join would bypass the skewed shuffle
+    entirely and need no salt). The 3-decimal ROUND absorbs
+    summation-order float skew, as in `tumbling_window`."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        ev.select("event_type").distinct().withColumn("type_len", F.length("event_type"))
+    ).hint("merge")
+    joined = salted_join(ev, dim, ["event_type"], salt=8)
+    return joined.groupBy("event_type", "type_len").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    )

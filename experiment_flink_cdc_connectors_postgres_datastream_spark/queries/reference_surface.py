@@ -267,6 +267,38 @@ def count_live_by_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_live_by(ev, ["event_type"], ["user_id"], ["ts", "event_id"], count_alias="user_count")
 
 
+@register(
+    "count_live_by_salted",
+    """
+    SELECT event_type, COUNT(1) AS user_count
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def count_live_by_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 skew-hardened: the changelog COUNT through the two-phase
+    salted aggregation (`operators.scale.salted_agg`), hash-matching
+    the UNSALTED oracle — the proof the salt is value-neutral.
+
+    The reference keys this aggregate by pg-schema (SJCD:83) —
+    cardinality 2-4, the textbook skewed keyBy: in Flink every change
+    for one schema lands on ONE subtask forever. Spark's hash
+    aggregate already map-side-combines plain counts, so for COUNT
+    alone the salt buys little; the two-phase form is the general
+    defense when the per-group partial state is heavy (exact distinct
+    sets, collect-style aggregates, high-cardinality sketch merges)
+    or when a combiner-less path would funnel a hot group through one
+    reducer. Graded here so the swap-in is proven semantics-preserving;
+    the plan test pins partial-on-(group, salt) → final-on-(group)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    live = compact_latest(ev, ["user_id"], ["ts", "event_id"])
+    return salted_agg(live, ["event_type"], {"user_count": ("user_id", "count")})
+
+
 # ------------------------------------------------------------------- A2
 
 @register(

@@ -382,3 +382,55 @@ def test_minhash_recall_curve_ground_truth_df_capped(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan
     assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+
+def test_count_live_by_salted_two_phase_agg(spark):
+    """The salted changelog COUNT must show the two-phase shape:
+    a partial aggregate keyed (event_type, _salt), an exchange, and a
+    final aggregate keyed event_type alone — a hot group becomes
+    `salt` partial rows instead of one monster reducer task."""
+    plan = (
+        QUERIES["count_live_by_salted"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_salt" in plan, plan
+    # final aggregate groups by event_type only (salt folded away)
+    assert "keys=[event_type" in plan, plan
+
+
+def test_salted_join_keys_include_salt(spark):
+    """The salted join must shuffle on (event_type, _salt) — a
+    sort-merge join whose keys include the salt — and replicate the
+    dim via explode, never broadcast (broadcast would bypass the
+    skewed shuffle the salt exists to fix)."""
+    plan = (
+        QUERIES["salted_join_agg"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan, plan
+    assert "_salt" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_mixture_sample_zero_prejoin_shuffles(spark):
+    """The sampling decision is a pure narrow map: exactly one
+    exchange (the readout aggregation), no joins."""
+    plan = (
+        QUERIES["mixture_sample"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_cluster_safe_splits_no_cartesian(spark):
+    """Cluster-safe splits ride the df-capped pair pipeline + hash
+    joins only."""
+    df = QUERIES["cluster_safe_splits"](spark, SF)
+    assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
