@@ -626,3 +626,60 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 3).alias("total_value"),
     )
+
+
+@register(
+    "token_budget_selection",
+    r"""
+    WITH scored AS (
+      SELECT source, doc_id, n_chars,
+             len(regexp_split_to_array(lower(text), '\s+')) AS n_tok
+      FROM documents),
+    cum AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM scored)
+    SELECT source,
+           CAST(COUNT(1) AS BIGINT) AS n_selected,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_used,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+    FROM cum WHERE cum_tok <= 2000
+    GROUP BY source
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget curation: rank documents by a quality
+    proxy (here n_chars — longer docs first, the stand-in for a model
+    score column), take them greedily until the source's token budget
+    (2000) is spent — the 'best docs under a budget' selection every
+    mixture builder runs per source. STRICT budget: a doc whose
+    tokens would overflow the budget is skipped along with everything
+    after it (prefix-sum cutoff, deterministic via the total
+    (n_chars DESC, doc_id) order).
+
+    Scale shape: one window over (source) — the same per-source
+    partitioning the data would already be laid out by — then one
+    aggregation; no joins. The doc_id_checksum grades the exact
+    selected set."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.select(
+        "source", "doc_id", "n_chars", n_tok.alias("n_tok")
+    ).withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.filter(F.col("cum_tok") <= 2000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tok").alias("tokens_used"),
+            F.sum("doc_id").alias("doc_id_checksum"),
+        )
+    )

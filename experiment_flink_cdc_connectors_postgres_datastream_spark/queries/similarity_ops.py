@@ -650,3 +650,65 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_q").cast("double") / F.col("n_vecs").cast("double")).alias("centroid_q"),
         )
     )
+
+
+@register(
+    "embedding_int8_quant",
+    """
+    WITH x AS (
+      SELECT vec_id, CAST(j - 1 AS INT) AS pos, CAST(embedding[j] AS DOUBLE) AS v
+      FROM embeddings, range(1, 65) r(j)),
+    stats AS (SELECT pos, MAX(ABS(v)) AS maxabs FROM x GROUP BY pos),
+    q AS (
+      SELECT x.pos,
+             LEAST(127, GREATEST(-127,
+               CAST(floor(x.v * 127.0 / s.maxabs) AS BIGINT))) AS qv
+      FROM x JOIN stats s ON s.pos = x.pos)
+    SELECT q.pos,
+           CAST(floor(s.maxabs * 1000000.0) AS BIGINT) AS maxabs_q,
+           CAST(SUM(CASE WHEN ABS(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+           CAST(SUM(qv) AS BIGINT) AS q_checksum
+    FROM q JOIN stats s ON s.pos = q.pos
+    GROUP BY q.pos, s.maxabs
+    """,
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension INT8 quantization of the embedding
+    corpus — the compression step in front of a memory-bound ANN
+    serving index (4× smaller vectors, SIMD int8 dot products): pass 1
+    aggregates each dimension's max |x| (the symmetric scale), pass 2
+    quantizes q = floor(x·127/maxabs) clamped to [-127,127] and emits
+    per-dimension saturation counts + the exact quantized checksum.
+
+    Determinism: floor (not round — engine-divergent at midpoints) on
+    identical IEEE double expressions, then exact integer sums; the
+    scale itself is graded floor-quantized (`maxabs_q`).
+
+    Scale shape: one map-side-combined aggregation over (pos), the
+    64-row scale table broadcast back onto the explode, one final
+    aggregation — no non-broadcast joins, no driver-side fit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("v"))
+    stats = x.groupBy("pos").agg(F.max(F.abs(F.col("v"))).alias("maxabs"))
+    q = x.join(F.broadcast(stats), "pos").select(
+        "pos",
+        "maxabs",
+        F.least(
+            F.lit(127).cast("long"),
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.floor(F.col("v") * F.lit(127.0) / F.col("maxabs")),
+            ),
+        ).alias("qv"),
+    )
+    return q.groupBy("pos", "maxabs").agg(
+        F.count(F.when(F.abs(F.col("qv")) == 127, 1)).alias("n_saturated"),
+        F.sum("qv").alias("q_checksum"),
+    ).select(
+        "pos",
+        F.floor(F.col("maxabs") * 1000000.0).cast("long").alias("maxabs_q"),
+        "n_saturated",
+        "q_checksum",
+    )

@@ -188,9 +188,11 @@ def test_sparse_projection_numpy_golden(spark):
     }
     S = np.array([_proj_signs(i) for i in range(_PROJ_K)])  # (16, 64)
     for vid, r in got.items():
-        want = (S @ emb[vid]) / 4.0
+        # mirror the engine's definition exactly: floor-quantize each
+        # element to 1e-6 BIGINT, exact integer dot, divide by 4e6
+        want = (S @ np.floor(emb[vid] * 1_000_000.0)) / 4_000_000.0
         for i in range(_PROJ_K):
-            assert abs(r[f"p{i:02d}"] - round(want[i], 6)) < 2e-6, (vid, i)
+            assert r[f"p{i:02d}"] == want[i], (vid, i)
 
 
 def test_scd2_as_of_equals_prefix_compaction(spark):
