@@ -541,7 +541,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mixture_sample",
+    "mixture_sample_hash",
     """
     WITH rated AS (
       SELECT doc_id, source,
@@ -556,16 +556,19 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rated GROUP BY source
     """,
 )
-def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mixture downsampling: each source gets a keep-rate
-    (permille; here a deterministic function of the source name
-    standing in for the mixture-weight table a trainer supplies), and
-    a document survives iff the md5-prefix hash of ``doc_id:source``
-    falls under the rate — the reproducible, restart-stable form of
-    per-source weighted sampling (a doc's fate never changes across
-    runs or as the corpus grows, unlike ``sample()``), and the
-    decision is a pure narrow map: zero shuffles before the one
-    readout aggregation. ``kept_checksum`` grades the exact kept SET,
+def mixture_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINDOWLESS scale form of `mixture_sample` (behavior_ops),
+    made first-class: that twin hash-RANKS within each source for
+    exact per-source counts (a per-source window shuffle); here a
+    document survives iff the md5-prefix hash of ``doc_id:source``
+    falls under the source's keep-rate (permille; a deterministic
+    function of the source name standing in for the trainer's
+    mixture-weight table) — approximate counts (binomial around the
+    rate), but reproducible and restart-stable (a doc's fate never
+    changes across runs or as the corpus grows, unlike ``sample()``),
+    and the decision is a pure narrow map: ZERO shuffles before the
+    one readout aggregation — at 100 TB the window twin re-shuffles
+    the corpus, this one never does. ``kept_checksum`` grades the exact kept SET,
     not just the per-source counts. In production the rate column
     joins in from a broadcast mixture-weights dim instead of the
     name-derived stand-in."""

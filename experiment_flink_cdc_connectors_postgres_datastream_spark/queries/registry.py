@@ -19,6 +19,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # a silent overwrite would leave one of two same-named
+            # queries ungraded (and which one wins depends on module
+            # import order) — fail loudly at import instead
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

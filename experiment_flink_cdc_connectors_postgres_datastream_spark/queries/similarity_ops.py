@@ -673,12 +673,15 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-dimension INT8 quantization of the embedding
+    """Symmetric per-DIMENSION INT8 quantization of the embedding
     corpus — the compression step in front of a memory-bound ANN
-    serving index (4× smaller vectors, SIMD int8 dot products): pass 1
-    aggregates each dimension's max |x| (the symmetric scale), pass 2
-    quantizes q = floor(x·127/maxabs) clamped to [-127,127] and emits
-    per-dimension saturation counts + the exact quantized checksum.
+    serving index (4× smaller vectors, SIMD int8 dot products;
+    complements `embedding_quantize_error`, which audits per-VECTOR
+    scales — per-dim corpus scales are what a shared serving index
+    actually stores): pass 1 aggregates each dimension's max |x| (the
+    symmetric scale), pass 2 quantizes q = floor(x·127/maxabs)
+    clamped to [-127,127] and emits per-dimension saturation counts +
+    the exact quantized checksum.
 
     Determinism: floor (not round — engine-divergent at midpoints) on
     identical IEEE double expressions, then exact integer sums; the

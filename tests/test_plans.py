@@ -416,11 +416,11 @@ def test_salted_join_keys_include_salt(spark):
     assert "BroadcastHashJoin" not in plan, plan
 
 
-def test_mixture_sample_zero_prejoin_shuffles(spark):
+def test_mixture_sample_hash_zero_prejoin_shuffles(spark):
     """The sampling decision is a pure narrow map: exactly one
     exchange (the readout aggregation), no joins."""
     plan = (
-        QUERIES["mixture_sample"](spark, SF)
+        QUERIES["mixture_sample_hash"](spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
