@@ -25,85 +25,65 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import be
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import governance_ops  # noqa: F401
 
 # The correctness driver grades the FIRST 50 registered queries, in
-# registration order. After round 4, every one of the 153 then-
-# registered queries has a driver CORRECTNESS row in some round
-# (cumulative coverage complete). Round-5 window policy (same
-# rotation contract as r4): (1) every query whose code path or oracle
-# changed this round gets a fresh grade — collect_sorted_ids
-# (array→string canonicalization fix, the one red row of r4),
-# the two sketch queries (reshaped from rows-only to banded
-# full-oracle verdicts), minhash_calibration (size-gated persist),
-# dup_rate_by_source_pair (distinct-union docs count), and the three
-# multimodal queries over the reworked decode/resize (stdlib PNG
-# fallback + sentinel guards); (2) every round-5 addition (ANN recall,
-# semantic dedup, perplexity, vocab coverage, CDC chunking + chunk
-# dedup, bus wire frames/round trip, tf-idf pairs, Zipf slope, Gopher
-# battery + funnel, SCD2 history/as-of/streamed, JL projection, label
-# centroids, left-outer stream-stream join, keep-best dedup,
-# k-anonymity);
-# (3) the stalest queries — everything whose latest grade is round 1
-# (the TPC-H/relational block); (4) remaining slots to the oldest
-# round-2 rows. Everything outside the window stays registered and
-# locally verified via tools/verify_local.py.
+# registration order. Cumulative coverage is complete: every query
+# registered through round 5 has a driver CORRECTNESS row in some
+# round (all green at their latest grade). Round-6 window policy
+# (same rotation contract as r4/r5): (1) every query whose code path
+# or oracle changed this round gets a fresh grade — the rewritten
+# recall curve (df-capped ground truth + prefix-variant bands), the
+# quantized sparse projection, the four consumers of the now-df-capped
+# _JACCARD_PAIRS_CTE, and the four bigram queries over the renamed
+# arrays_zip fields (value-identical, regraded anyway); (2) every
+# round-6 addition; (3) the stalest rows — everything whose latest
+# grade is round 1; (4) remaining slots to the oldest round-2 rows in
+# registration order. Everything outside the window stays registered
+# and locally verified via tools/verify_local.py.
 _PRIORITY = [
-    # --- (1) code path / oracle changed in round 5 → fresh grade ---
-    "collect_sorted_ids", "approx_distinct_users",
-    "approx_percentile_by_type", "minhash_calibration",
-    "dup_rate_by_source_pair", "multimodal_decode", "multimodal_frames",
-    "multimodal_resize",
-    # --- (2) new in round 5 ---
-    # ANN recall@10 audit: LSH vs exact top-k, value-hash graded
-    "ann_recall_lsh",
-    # SemDeDup-style keep-one-rep-per-embedding-bucket dedup
-    "semantic_dedup_reps",
-    # per-doc bigram perplexity (quality-filter input scores)
-    "doc_perplexity",
-    # corpus-derived vocab coverage per source (tokenizer fit)
-    "tokenizer_coverage",
-    # content-defined (rolling-hash) chunking statistics
-    "content_defined_chunks",
-    # K2 wire bytes (key + JSON value frames) value-hash graded
-    "bus_wire_frames",
-    # tf-idf cosine near-dup pairs (bag-of-words complement to shingles)
-    "tfidf_cosine_pairs",
-    # Zipf slope per source (corpus-health regression readout)
-    "zipf_slope_by_source",
-    # K2→S4→A3→A1 wire round trip graded vs the direct pipeline
-    "bus_roundtrip_pipeline",
-    # Gopher-rule quality battery + first-failing-rule funnel
-    "gopher_quality_flags", "quality_filter_funnel",
-    # SCD type-2 history materialization + as-of reconstruction +
-    # out-of-order incremental maintenance through the streaming path
-    "cdc_scd2_history", "scd2_as_of_state", "cdc_scd2_streamed",
-    # Achlioptas ±1 Johnson-Lindenstrauss projection 64→16
-    "embedding_sparse_projection",
-    # per-label quantized centroids (k-means E-step aggregation shape)
-    "label_centroids",
-    # LEFT OUTER stream-stream join (watermark-driven null emission)
-    "stream_stream_left_join_streamed",
-    # quality-aware near-dup resolution (keep the best copy)
-    "dedup_keep_best",
-    # k-anonymity release audit over (lang, source) cells
-    "k_anonymity_audit",
-    # cross-doc duplicated-span stats over content-defined chunks
-    "chunk_dedup_stats",
-    # sliding window streamed twin (completes the A2 streamed family)
-    "sliding_window_streamed",
-    # freqItems heavy hitters — no-false-negative guarantee graded
-    "heavy_hitters_sketch",
-    # LSH S-curve: band-join recall vs ground-truth Jaccard pairs
+    # --- (1) code path / oracle changed in round 6 → fresh grade ---
+    # LSH S-curve: ground truth df-capped (broadcast anti-join) and
+    # prefix-variant pairs populate all three J bands (r5 verdict #1/#2)
     "minhash_recall_curve",
+    # floor-quantized exact-integer JL projection (midpoint-rounding fix)
+    "embedding_sparse_projection",
+    # _JACCARD_PAIRS_CTE consumers: shingle df-cap now applies family-wide
+    "dedup_clusters", "dedup_clusters_star", "dedup_apply_fuzzy",
+    "dedup_containment",
+    # exploded_bigrams arrays_zip field naming made explicit (w1/w2)
+    "top_bigrams", "bigram_logprob_by_source", "word_pmi_top",
+    "doc_perplexity",
+    # --- (2) new in round 6 ---
+    # S4 through the engine's source API: spool-backed bus_upsert
+    # readStream, two planned micro-batches, vs the direct pipeline
+    "bus_roundtrip_streamed",
+    # A1 through the two-phase salted aggregation (skew hardening)
+    "count_live_by_salted",
+    # skew-safe salted JOIN vs the plain-join oracle
+    "salted_join_agg",
+    # split by duplicate-cluster representative (no near-dup leakage)
+    "cluster_safe_splits",
+    # windowless hash-threshold mixture sampling (zero-shuffle form)
+    "mixture_sample_hash",
+    # per-source greedy best-docs-under-a-token-budget selection
+    "token_budget_selection",
+    # per-dimension symmetric INT8 corpus quantization
+    "embedding_int8_quant",
     # --- (3) stalest: latest grade is round 1 ---
-    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21",
-    # (4) the oldest round-2 rows (derived_key, union_schemas,
-    # keyed_count, route_demux, tokenize, upsert_sink_shape) and the
-    # stale-but-green agg_stats / rollup_counts / set_ops /
-    # window_lag_delta / customers_with_orders were dropped from the
-    # window to make room for the round-5 additions above — every
-    # dropped row is green in CORRECTNESS_r01/r02 and unchanged since.
+    "revenue_by_nation", "top_k_orders", "agg_stats", "rollup_counts",
+    "set_ops", "window_lag_delta", "customers_with_orders", "tpch_q22",
+    # --- (4) oldest round-2 rows, registration order ---
+    "derived_key", "union_schemas", "keyed_count", "route_demux",
+    "tokenize", "upsert_sink_shape", "sql_group_count",
+    "grouped_count_alias", "tpch_q1", "tpch_q12", "token_count",
+    "quality_score", "lang_id", "doc_fingerprint",
+    "text_stats_by_source", "vocab_top_terms", "tfidf_top_terms",
+    "similarity_topk", "embedding_stats", "similarity_topk_ivf",
+    "multimodal_meta", "sliding_window", "asof_join", "pivot_counts",
+    "udaf_weighted_mean",
+    # Still outside the window, all last green in round 2 and
+    # unchanged since (next rotation's front of the line):
+    # json_extract_props, percentile_by_type, cube_counts,
+    # window_rank_family, embedding_norm_stats, pii_redact,
+    # shard_assignment.
 ]
 
 
