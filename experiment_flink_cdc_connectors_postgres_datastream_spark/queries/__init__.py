@@ -67,6 +67,9 @@ _PRIORITY = [
     "token_budget_selection",
     # per-dimension symmetric INT8 corpus quantization
     "embedding_int8_quant",
+    # FULL OUTER stream-stream join (both-sides watermark-driven
+    # null emission; completes the inner/left/full graded family)
+    "stream_stream_full_outer_streamed",
     # --- (3) stalest: latest grade is round 1 ---
     "revenue_by_nation", "top_k_orders", "agg_stats", "rollup_counts",
     "set_ops", "window_lag_delta", "customers_with_orders", "tpch_q22",
@@ -78,12 +81,11 @@ _PRIORITY = [
     "text_stats_by_source", "vocab_top_terms", "tfidf_top_terms",
     "similarity_topk", "embedding_stats", "similarity_topk_ivf",
     "multimodal_meta", "sliding_window", "asof_join", "pivot_counts",
-    "udaf_weighted_mean",
     # Still outside the window, all last green in round 2 and
     # unchanged since (next rotation's front of the line):
-    # json_extract_props, percentile_by_type, cube_counts,
-    # window_rank_family, embedding_norm_stats, pii_redact,
-    # shard_assignment.
+    # udaf_weighted_mean, json_extract_props, percentile_by_type,
+    # cube_counts, window_rank_family, embedding_norm_stats,
+    # pii_redact, shard_assignment.
 ]
 
 

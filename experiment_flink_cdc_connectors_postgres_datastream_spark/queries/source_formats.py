@@ -829,3 +829,107 @@ def sliding_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pdf, "window_start_us long, n_events long, total_value double"
     )
+
+
+@register(
+    "stream_stream_full_outer_streamed",
+    """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT COALESCE(v.user_id, c.user_id) AS user_id,
+           CAST(SUM(CASE WHEN v.ts IS NOT NULL AND c.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN v.ts IS NOT NULL AND c.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_views,
+           CAST(SUM(CASE WHEN v.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_clicks,
+           CAST(COALESCE(SUM(epoch_us(c.ts) - epoch_us(v.ts)), 0) AS BIGINT) AS lag_us_checksum
+    FROM v FULL JOIN c ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
+    GROUP BY 1
+    """,
+)
+def stream_stream_full_outer_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time STREAM-STREAM **FULL OUTER** join — completes the
+    graded join family (inner, left outer, and now both-sides outer):
+    an unmatched VIEW must emit a null-click row AND an unmatched
+    CLICK must emit a null-view row, each only once the watermark
+    proves its match window is closed (a click's candidate views lie
+    in [c_ts - 1h, c_ts]). The driver hash compares matched counts,
+    BOTH unmatched counts, and the exact matched-lag checksum against
+    the batch FULL JOIN oracle — a row emitted early, late, or twice
+    on either side flips the hash.
+
+    Same sentinel trick as the left twin: one view+click pair 2h past
+    the corpus maximum (user -1, excluded) drives both watermarks past
+    every real row's eviction bound so outer rows flush before stop.
+    State bounded by the 1h condition + watermark eviction."""
+    work = tempfile.mkdtemp(prefix="ssfo_streamed_")
+    tbl = f"ssfo_streamed_{uuid.uuid4().hex[:8]}"
+    schema = "user_id long, ts timestamp, event_type string"
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+        max_ts = ev.agg(F.max("ts")).first()[0]  # 1-row bound for the sentinel
+        sentinel = spark.createDataFrame(
+            [(-1, max_ts, "view"), (-1, max_ts, "click")], schema
+        ).select("user_id", (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"), "event_type")
+        src = os.path.join(work, "src")
+        ev.unionByName(sentinel).coalesce(2).write.mode("overwrite").parquet(src)
+        views = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "0 seconds")
+        )
+        clicks = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "0 seconds")
+        )
+        joined = views.join(
+            clicks,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            "fullOuter",
+        ).select(
+            F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+            F.col("v_ts").isNotNull().alias("has_view"),
+            F.col("c_ts").isNotNull().alias("has_click"),
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(tbl)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        pdf = (
+            spark.table(tbl)
+            .filter(F.col("user_id") != -1)
+            .groupBy("user_id")
+            .agg(
+                F.sum((F.col("has_view") & F.col("has_click")).cast("long")).alias("n_matched"),
+                F.sum((F.col("has_view") & ~F.col("has_click")).cast("long")).alias(
+                    "n_unmatched_views"
+                ),
+                F.sum((~F.col("has_view")).cast("long")).alias("n_unmatched_clicks"),
+                F.coalesce(F.sum("lag_us"), F.lit(0)).alias("lag_us_checksum"),
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf,
+        "user_id long, n_matched long, n_unmatched_views long, "
+        "n_unmatched_clicks long, lag_us_checksum long",
+    )

@@ -851,3 +851,43 @@ def test_refresh_delete_stage_gate_live(scratch, spark):
     zero = JdbcUpsertSink(DSN, tbl, key_cols=["pgschema"], refresh=True, stage_threshold=-1)
     zero(spark.createDataFrame([], "pgschema string, user_count long"), batch_id=3)
     assert zero.read_rows() == []
+
+
+def test_schema_drift_add_column_live(scratch):
+    """Mid-stream ALTER TABLE ADD COLUMN (the Debezium schema-drift
+    case): Postgres re-sends the pgoutput Relation message with the
+    widened column list before the next row change, and the decoder
+    re-registers oid→columns idempotently — so envelopes before the
+    DDL are unchanged, envelopes after it carry the new field, and
+    REPLICA IDENTITY FULL before-images include it too. Downstream,
+    Spark's from_json(schema) simply projects unknown fields away, so
+    a consumer pinned to the old schema keeps running (additive drift
+    tolerance — the CDC contract a long-lived pipeline needs)."""
+    _setup_plugin(scratch, "pgoutput")
+    cfg = _config(scratch, plugin="pgoutput")
+    reader = PostgresCDCStreamReader(cfg)
+    envs, end = _drain(reader, reader.initialOffset())
+    reader.commit(end)
+
+    cur = scratch["cur"]
+    sch = scratch["schema"]
+    cur.execute(f'INSERT INTO "{sch}".users VALUES (10, \'pre drift\')')
+    cur.execute(f'ALTER TABLE "{sch}".users ADD COLUMN email text')
+    cur.execute(
+        f'INSERT INTO "{sch}".users (id, full_name, email) '
+        "VALUES (11, 'post drift', 'p@d')"
+    )
+    envs, end2 = _drain(reader, end)
+    by_id = {e["after"]["id"]: e for e in envs}
+    assert set(by_id) == {10, 11}
+    assert "email" not in by_id[10]["after"], "pre-DDL envelope must keep the old shape"
+    assert by_id[11]["after"]["email"] == "p@d"
+    reader.commit(end2)
+
+    # the widened schema flows through an UPDATE's before-image too
+    cur.execute(f'UPDATE "{sch}".users SET email = \'new@d\' WHERE id = 11')
+    envs, end3 = _drain(reader, end2)
+    assert len(envs) == 1 and envs[0]["op"] == "u"
+    assert envs[0]["after"]["email"] == "new@d"
+    assert envs[0]["before"]["email"] == "p@d"
+    reader.commit(end3)
