@@ -121,13 +121,24 @@ def minhash_signatures(
     num_hashes: int = 32,
     n: int = 3,
     hash_family: str = "xx",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Bulk MinHash signatures over hashed shingles: ``num_hashes``
     codegen'd ``min(h_k(shingle_hash))`` aggregations (h_k = xxhash64
     seeded by k, or the md5-derived family for oracle grading). Partial
     aggregation reduces shingles map-side, so the agg shuffle carries
-    one row per document. Output: ``_id``, ``_sig`` (array<bigint>)."""
-    sh = shingle_hashes(df, text_col, id_col, n, hash_family=hash_family)
+    one row per document. Output: ``_id``, ``_sig`` (array<bigint>).
+
+    ``shingles_df``: a precomputed ``(_id, _sh)`` table (the
+    `shingle_hashes` shape, SAME hash family) to reuse instead of
+    re-shingling — at scale the shingle pass is the expensive half,
+    and callers that also need exact-Jaccard ground truth (the recall
+    curve) or several signature widths should materialize it once."""
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_hashes(df, text_col, id_col, n, hash_family=hash_family)
+    )
     if hash_family == "md5":
         def hk(k: int) -> Column:
             return md5_long(F.concat_ws(":", F.lit(k), F.col("_sh").cast("string")))
@@ -161,6 +172,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     min_est_jaccard: float = 0.5,
     hash_family: str = "xx",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
@@ -174,7 +186,7 @@ def minhash_candidate_pairs(
     # sides of the pair join); localCheckpoint materializes it once
     # instead of recomputing the explode+agg lineage per consumer
     sig = minhash_signatures(
-        df, text_col, id_col, num_hashes, hash_family=hash_family
+        df, text_col, id_col, num_hashes, hash_family=hash_family, shingles_df=shingles_df
     ).localCheckpoint(eager=False)
     banded = sig.select(
         "_id",

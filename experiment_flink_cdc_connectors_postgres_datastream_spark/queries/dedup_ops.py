@@ -855,9 +855,12 @@ def minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("j") >= 0.1)
     )
-    cands = minhash_candidate_pairs(aug, min_est_jaccard=0.0, hash_family="md5").select(
-        "id_a", "id_b", F.lit(1).alias("caught")
-    )
+    # the signature pipeline reuses the SAME materialized shingle
+    # table the ground truth reads — one shingle pass, not two (the
+    # cap applies only to the ground-truth consumer above)
+    cands = minhash_candidate_pairs(
+        aug, min_est_jaccard=0.0, hash_family="md5", shingles_df=sh
+    ).select("id_a", "id_b", F.lit(1).alias("caught"))
     j_band = (
         F.when(F.col("j") >= 0.5, F.lit("0.50+"))
         .when(F.col("j") >= 0.3, F.lit("0.30-0.50"))
