@@ -96,3 +96,27 @@ def test_spread_scan_fires_only_for_under_split_file_scans(spark, tmp_path):
     # the probe must not force a plan→RDD conversion to find out
     local = spark.range(0, 100).coalesce(1)
     assert spread_scan(local, min_partitions=8) is local
+
+
+def test_salted_join_value_neutral(spark):
+    """salted_join must be a drop-in for an inner equi-join: same
+    multiset of output rows for skewed data, null join keys dropped
+    on both paths (SQL equi-join semantics)."""
+    import pyspark.sql.functions as F
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import salted_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", 1), (None, 9)],
+        "k string, v long",
+    )
+    small = spark.createDataFrame(
+        [("hot", 10), ("cold", 20), (None, 30)], "k string, w long"
+    )
+    plain = big.join(small, ["k"]).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    )
+    salted = salted_join(big, small, ["k"], salt=4).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
