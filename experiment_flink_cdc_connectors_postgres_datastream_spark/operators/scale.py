@@ -120,7 +120,17 @@ def salted_join(
 
     The salt comes from partition-local row position (same recipe as
     ``salted_agg``), so it varies WITHIN every join key — salting by
-    any function of the key alone would spread nothing."""
+    any function of the key alone would spread nothing.
+
+    Inner/left joins only: a right/full outer join would emit every
+    unmatched SMALL-side row once per replica (``salt`` copies) —
+    flip the sides (the preserved side must be the salted one)."""
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: a "
+            "right/full outer join would duplicate unmatched replicated "
+            "small-side rows salt times — swap the sides instead"
+        )
     sb = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     bb = big.withColumn(
         "_salt",

@@ -118,7 +118,7 @@ def spool_frames(frames: DataFrame, spool_dir: str, seq: int) -> None:
     if "topic" in frames.columns:
         cols.append(F.col("topic"))
     if "timestamp" in frames.columns:
-        cols.append(F.col("timestamp").cast("long"))
+        cols.append(F.col("timestamp").cast("long").alias("timestamp"))
     frames.select(*cols).write.mode("overwrite").json(tmp)
     parts = sorted(p for p in os.listdir(tmp) if p.startswith("part-"))
     for i, p in enumerate(parts):
