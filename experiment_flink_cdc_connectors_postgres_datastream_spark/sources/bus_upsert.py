@@ -141,10 +141,14 @@ class BusUpsertStreamReader(DataSourceStreamReader):
     same files: spool files are immutable and names monotone, so a
     (start, end) count pair identifies the identical frame set."""
 
-    def __init__(self, spool_dir: str):
+    def __init__(self, spool_dir: str, max_files_per_trigger: int | None = None):
         if not spool_dir:
             raise ValueError("bus_upsert source requires option 'path' (the spool directory)")
+        if max_files_per_trigger is not None and max_files_per_trigger < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
         self.spool_dir = spool_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self._planned = 0  # rate-limit watermark (driver-local; see below)
 
     def _names(self) -> list[str]:
         if not os.path.isdir(self.spool_dir):
@@ -155,11 +159,31 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         return {"n_files": 0}
 
     def latestOffset(self) -> dict:
-        return {"n_files": len(self._names())}
+        """Newest offset to plan. With ``maxFilesPerTrigger`` the
+        advance is capped per call — a cold start against a deep spool
+        (or a restart after downtime) becomes several bounded
+        micro-batches instead of one giant catch-up batch, the same
+        backpressure contract as the file source's option of the same
+        name. The watermark is driver-local planning state only: after
+        a restart it re-seeds from the checkpoint via partitions()'s
+        start offset, never from disk."""
+        n = len(self._names())
+        if self.max_files_per_trigger is not None:
+            n = min(n, self._planned + self.max_files_per_trigger)
+        self._planned = max(self._planned, n)
+        return {"n_files": n}
 
     def partitions(self, start: dict, end: dict) -> list[BusSpoolPartition]:
         names = self._names()
         s, e = start.get("n_files", 0), end.get("n_files", 0)
+        # restart seeding: the checkpointed span tells a fresh reader
+        # how far planning had progressed, so the rate-limit watermark
+        # resumes from there instead of re-pacing from zero — and a
+        # transiently backwards span (rate-limited latestOffset fired
+        # before this seed) is served as an empty batch, not an error
+        self._planned = max(self._planned, s, e)
+        if e <= s:
+            return [BusSpoolPartition(None, -1)]
         if e > len(names):
             raise RuntimeError(
                 f"bus_upsert: checkpoint expects {e} spool files under "
@@ -208,7 +232,12 @@ if _HAS_DATASOURCE_API:
             return BUS_FRAME_SCHEMA
 
         def streamReader(self, schema: StructType) -> BusUpsertStreamReader:
-            return BusUpsertStreamReader(dict(self.options).get("path", ""))
+            opts = dict(self.options)
+            cap = opts.get("maxfilespertrigger") or opts.get("maxFilesPerTrigger")
+            return BusUpsertStreamReader(
+                opts.get("path", ""),
+                max_files_per_trigger=int(cap) if cap is not None else None,
+            )
 
     def register_bus_source(spark) -> None:
         spark.dataSource.register(BusUpsertDataSource)

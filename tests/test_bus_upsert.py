@@ -167,3 +167,39 @@ def test_bus_spool_source_restart_from_checkpoint(spark, tmp_path):
     assert got_b == [("k1", "v1"), ("k2", "v2"), ("k3", "v3")], (
         f"committed span replayed or dropped: {got_b}"
     )
+
+
+def test_bus_spool_rate_limit_and_restart_seed(spark, tmp_path):
+    """maxFilesPerTrigger paces a deep spool into bounded micro-
+    batches (cold start: offsets advance 1,2,3), and a restarted
+    reader re-seeds its pacing watermark from the checkpointed span
+    instead of re-pacing from zero; a transiently backwards span is
+    an empty batch, not an error."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        BusUpsertStreamReader,
+        spool_frames,
+    )
+
+    spool = str(tmp_path / "spool")
+    schema = "key string, value string, topic string"
+    for i in range(3):
+        spool_frames(
+            spark.createDataFrame([(f"k{i}", f"v{i}", "t")], schema).coalesce(1), spool, seq=i
+        )
+
+    r = BusUpsertStreamReader(spool, max_files_per_trigger=1)
+    assert r.latestOffset() == {"n_files": 1}
+    assert r.latestOffset() == {"n_files": 2}
+    assert r.latestOffset() == {"n_files": 3}
+    assert r.latestOffset() == {"n_files": 3}  # caught up
+
+    # restart: fresh reader, checkpoint says 2 files already planned
+    r2 = BusUpsertStreamReader(spool, max_files_per_trigger=1)
+    rows = [row for p in r2.partitions({"n_files": 0}, {"n_files": 2}) for row in r2.read(p)]
+    assert [x[0] for x in rows] == ["k0", "k1"]
+    assert r2.latestOffset() == {"n_files": 3}  # resumes from the seed, not zero
+
+    # backwards span (rate-limited latestOffset before seeding) is empty
+    r3 = BusUpsertStreamReader(spool, max_files_per_trigger=1)
+    assert [row for p in r3.partitions({"n_files": 2}, {"n_files": 1}) for row in r3.read(p)] == []
+    assert r3.latestOffset() == {"n_files": 3}
