@@ -330,6 +330,27 @@ def simhash_near_pairs(
     )
 
 
+def drop_hot_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Remove shingles whose document frequency exceeds the cap — the
+    single shared implementation of the hot-shingle k² bound (a
+    shingle in k docs contributes k(k-1)/2 self-join pairs; one
+    stopword-run shingle in a million docs alone is ~5e11 rows).
+
+    Anti-join against the HOT set, not inner-join against the keep
+    set: heavy hitters are few by construction (≤ total occurrences /
+    cap, Zipfian in practice), so AQE turns this into a broadcast
+    anti-join and the full shingle table never takes an extra shuffle.
+    The df aggregation itself is cheap: map-side combine collapses to
+    distinct shingles per partition."""
+    hot = (
+        sh.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_shingle_df)
+        .select("_sh")
+    )
+    return sh.join(hot, "_sh", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -355,19 +376,7 @@ def ngram_jaccard_pairs(
     # collisions, and every shuffle/join carries longs, not strings
     sh = shingle_hashes(df, text_col, id_col, n).localCheckpoint(eager=False)
     if max_shingle_df is not None:
-        # anti-join against the HOT set, not inner-join against the
-        # keep set: heavy hitters are few by construction (≤ total
-        # occurrences / cap, Zipfian in practice), so AQE turns this
-        # into a broadcast anti-join and the full shingle table never
-        # takes an extra shuffle. The df aggregation itself is cheap:
-        # map-side combine collapses to distinct shingles per partition.
-        hot = (
-            sh.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_shingle_df)
-            .select("_sh")
-        )
-        sh = sh.join(hot, "_sh", "left_anti")
+        sh = drop_hot_shingles(sh, max_shingle_df)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -719,13 +728,7 @@ def containment_pairs(
         eager=False
     )
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_shingle_df)
-            .select("_sh")
-        )
-        sh = sh.join(hot, "_sh", "left_anti")
+        sh = drop_hot_shingles(sh, max_shingle_df)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")

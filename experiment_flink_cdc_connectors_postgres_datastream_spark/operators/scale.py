@@ -88,6 +88,11 @@ def salted_agg(
     A single hot key becomes ``salt`` partial rows instead of one
     monster task; cost is a second (tiny) shuffle over the partials.
     """
+    if "_salt" in df.columns:
+        raise ValueError(
+            "salted_agg: input already has a '_salt' column — it would be "
+            "silently overwritten; rename it first"
+        )
     fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     refn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)))
@@ -130,6 +135,12 @@ def salted_join(
             f"salted_join supports inner/left joins, got {how!r}: a "
             "right/full outer join would duplicate unmatched replicated "
             "small-side rows salt times — swap the sides instead"
+        )
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError(
+            "salted_join: an input already has a '_salt' column — it would "
+            "be silently overwritten and dropped from the output; rename it "
+            "first"
         )
     sb = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     bb = big.withColumn(

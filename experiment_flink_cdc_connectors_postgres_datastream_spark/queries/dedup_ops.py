@@ -243,7 +243,7 @@ def dedup_apply_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.1)
+    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.1, max_shingle_df=1000)
     comp = connected_components(pairs)
     drop = comp.filter(F.col("component") < F.col("_id")).select(
         F.col("_id").alias("doc_id")
@@ -718,29 +718,51 @@ _CURVE_AUG_CTE = f"""
             FROM documents
             WHERE doc_id % {_CURVE_SAMPLE_MOD} = 0
               AND len(regexp_split_to_array(lower(text), '\\s+')) >= {_CURVE_MIN_TOKENS}) t
-      CROSS JOIN (VALUES (1, 0.25), (2, 0.45), (3, 0.70)) v(v, p))
+      CROSS JOIN (VALUES (1, CAST(0.25 AS DOUBLE)), (2, CAST(0.45 AS DOUBLE)),
+                  (3, CAST(0.70 AS DOUBLE))) v(v, p))
 """
+# ^ the CASTs matter: a bare 0.70 literal is DECIMAL(3,2) in DuckDB
+# (exact arithmetic: floor(0.70*90) = 63) while Spark's F.lit(0.70) is
+# a double (floor(0.70D*90) = 62 — the product lands at 62.999…).
+# Both engines must floor the SAME IEEE double or variant texts for
+# exact-multiple token counts differ by one trailing token.
 
 
 def _augmented_docs(docs: DataFrame) -> DataFrame:
     """`documents` ∪ deterministic token-prefix variants (the Spark
     side of `_CURVE_AUG_CTE` — text built from the SAME lowered
     whitespace tokenization the shingler uses, so both engines shingle
-    identical variant strings)."""
+    identical variant strings). ONE scan + tokenization for all three
+    fractions (explode over the (v, p) literals, the oracle's CROSS
+    JOIN shape) — a union of per-fraction branches would re-scan and
+    re-tokenize the corpus once per fraction."""
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    out = docs.select("doc_id", "text")
-    sampled = docs.filter(
-        ((F.col("doc_id") % _CURVE_SAMPLE_MOD) == 0) & (F.size(toks) >= _CURVE_MIN_TOKENS)
+    fracs = F.array(
+        *[
+            F.struct(F.lit(v).alias("v"), F.lit(p).alias("p"))
+            for v, p in _CURVE_FRACS
+        ]
     )
-    for v, p in _CURVE_FRACS:
-        k = F.greatest(F.floor(F.lit(p) * F.size(toks)).cast("int"), F.lit(3))
-        out = out.unionByName(
-            sampled.select(
-                (F.col("doc_id") + F.lit(v * _CURVE_ID_STRIDE)).alias("doc_id"),
-                F.array_join(F.slice(toks, 1, k), " ").alias("text"),
-            )
+    variants = (
+        docs.filter(
+            ((F.col("doc_id") % _CURVE_SAMPLE_MOD) == 0) & (F.size(toks) >= _CURVE_MIN_TOKENS)
         )
-    return out
+        .select("doc_id", toks.alias("_toks"), F.explode(fracs).alias("_f"))
+        .select(
+            (F.col("doc_id") + F.col("_f.v") * F.lit(_CURVE_ID_STRIDE)).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    F.col("_toks"),
+                    1,
+                    F.greatest(
+                        F.floor(F.col("_f.p") * F.size(F.col("_toks"))).cast("int"), F.lit(3)
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(variants)
 
 
 @register(
@@ -826,18 +848,14 @@ def minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import shingle_hashes
 
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import drop_hot_shingles
+
     docs = load_table(spark, sf_dir, "documents")
     aug = _augmented_docs(docs)
     # one materialization feeds the hot-set agg, the anti-join probe,
     # the size agg, and both sides of the intersection join
     sh = shingle_hashes(aug, hash_family="md5").localCheckpoint(eager=False)
-    hot = (
-        sh.groupBy("_sh")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > _CURVE_SHINGLE_DF_CAP)
-        .select("_sh")
-    )
-    shc = sh.join(hot, "_sh", "left_anti")
+    shc = drop_hot_shingles(sh, _CURVE_SHINGLE_DF_CAP)
     sizes = shc.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         shc.alias("a")

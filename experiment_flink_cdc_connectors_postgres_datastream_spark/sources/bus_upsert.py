@@ -149,6 +149,17 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         self.spool_dir = spool_dir
         self.max_files_per_trigger = max_files_per_trigger
         self._planned = 0  # rate-limit watermark (driver-local; see below)
+        # pacing needs a BASELINE before it may cap: on a fresh start
+        # initialOffset() provides it (0), on an uncommitted-replay
+        # restart partitions() seeds it from the checkpointed span —
+        # but on a clean restart from a fully-committed checkpoint the
+        # engine calls latestOffset() FIRST, and capping from the
+        # un-seeded 0 would return an offset BELOW the committed one,
+        # which the engine (offsets compare by equality only) would
+        # record and then re-plan forward across — re-delivering
+        # committed files. Until a baseline exists, latestOffset is
+        # uncapped (one unpaced catch-up batch after a clean restart).
+        self._pacing_active = False
 
     def _names(self) -> list[str]:
         if not os.path.isdir(self.spool_dir):
@@ -156,21 +167,26 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         return sorted(n for n in os.listdir(self.spool_dir) if n.endswith(".jsonl"))
 
     def initialOffset(self) -> dict:
+        # only called on a fresh start (no checkpoint): 0 IS the
+        # committed position, so pacing may cap from here
+        self._pacing_active = True
         return {"n_files": 0}
 
     def latestOffset(self) -> dict:
         """Newest offset to plan. With ``maxFilesPerTrigger`` the
         advance is capped per call — a cold start against a deep spool
-        (or a restart after downtime) becomes several bounded
-        micro-batches instead of one giant catch-up batch, the same
-        backpressure contract as the file source's option of the same
-        name. The watermark is driver-local planning state only: after
-        a restart it re-seeds from the checkpoint via partitions()'s
-        start offset, never from disk."""
+        becomes several bounded micro-batches instead of one giant
+        catch-up batch, the same backpressure contract as the file
+        source's option of the same name. The cap applies only once a
+        baseline is known (see ``_pacing_active``): the one uncapped
+        case is the first trigger after a clean restart, where capping
+        could regress below the committed offset and re-deliver
+        committed files."""
         n = len(self._names())
-        if self.max_files_per_trigger is not None:
+        if self.max_files_per_trigger is not None and self._pacing_active:
             n = min(n, self._planned + self.max_files_per_trigger)
         self._planned = max(self._planned, n)
+        self._pacing_active = True
         return {"n_files": n}
 
     def partitions(self, start: dict, end: dict) -> list[BusSpoolPartition]:
@@ -182,6 +198,7 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         # transiently backwards span (rate-limited latestOffset fired
         # before this seed) is served as an empty batch, not an error
         self._planned = max(self._planned, s, e)
+        self._pacing_active = True
         if e <= s:
             return [BusSpoolPartition(None, -1)]
         if e > len(names):

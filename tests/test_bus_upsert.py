@@ -188,18 +188,72 @@ def test_bus_spool_rate_limit_and_restart_seed(spark, tmp_path):
         )
 
     r = BusUpsertStreamReader(spool, max_files_per_trigger=1)
+    assert r.initialOffset() == {"n_files": 0}  # fresh start: baseline, pacing on
     assert r.latestOffset() == {"n_files": 1}
     assert r.latestOffset() == {"n_files": 2}
     assert r.latestOffset() == {"n_files": 3}
     assert r.latestOffset() == {"n_files": 3}  # caught up
 
-    # restart: fresh reader, checkpoint says 2 files already planned
+    # uncommitted-replay restart: partitions() seeds the watermark
     r2 = BusUpsertStreamReader(spool, max_files_per_trigger=1)
     rows = [row for p in r2.partitions({"n_files": 0}, {"n_files": 2}) for row in r2.read(p)]
     assert [x[0] for x in rows] == ["k0", "k1"]
     assert r2.latestOffset() == {"n_files": 3}  # resumes from the seed, not zero
 
-    # backwards span (rate-limited latestOffset before seeding) is empty
+    # clean restart from a fully-committed checkpoint: the engine
+    # calls latestOffset FIRST — it must NOT cap below the committed
+    # position (that would regress the offset log and re-deliver
+    # committed files), so the un-seeded first call is uncapped
     r3 = BusUpsertStreamReader(spool, max_files_per_trigger=1)
-    assert [row for p in r3.partitions({"n_files": 2}, {"n_files": 1}) for row in r3.read(p)] == []
     assert r3.latestOffset() == {"n_files": 3}
+
+    # backwards span (defensive) is an empty batch, not an error
+    r4 = BusUpsertStreamReader(spool, max_files_per_trigger=1)
+    assert [row for p in r4.partitions({"n_files": 2}, {"n_files": 1}) for row in r4.read(p)] == []
+    assert r4.latestOffset() == {"n_files": 3}
+
+
+def test_bus_spool_rate_limited_committed_restart_no_duplicates(spark, tmp_path):
+    """The review scenario end-to-end: maxFilesPerTrigger=1, process
+    and COMMIT the whole spool, stop cleanly, publish one more file,
+    restart from the same checkpoint — every frame must appear exactly
+    once (a pacing watermark capping below the committed offset would
+    re-deliver the committed files)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        register_bus_source,
+        spool_frames,
+    )
+
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "key string, value string, topic string"
+    register_bus_source(spark)
+    for i in range(2):
+        spool_frames(
+            spark.createDataFrame([(f"k{i}", f"v{i}", "t")], schema).coalesce(1), spool, seq=i
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.format("bus_upsert")
+            .option("path", spool)
+            .option("maxFilesPerTrigger", "1")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert sorted(r["key"] for r in spark.read.parquet(out).collect()) == ["k0", "k1"]
+    spool_frames(spark.createDataFrame([("k2", "v2", "t")], schema).coalesce(1), spool, seq=2)
+    run_once()
+    got = sorted(r["key"] for r in spark.read.parquet(out).collect())
+    assert got == ["k0", "k1", "k2"], f"duplicate or dropped delivery: {got}"

@@ -389,15 +389,20 @@ def test_count_live_by_salted_two_phase_agg(spark):
     a partial aggregate keyed (event_type, _salt), an exchange, and a
     final aggregate keyed event_type alone — a hot group becomes
     `salt` partial rows instead of one monster reducer task."""
+    import re
+
     plan = (
         QUERIES["count_live_by_salted"](spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "_salt" in plan, plan
-    # final aggregate groups by event_type only (salt folded away)
-    assert "keys=[event_type" in plan, plan
+    # partial aggregate keyed (event_type, _salt)...
+    assert re.search(r"keys=\[event_type#\d+, _salt#\d+", plan), plan
+    # ...AND a final aggregate keyed event_type ALONE (salt folded
+    # away) — 'keys=[event_type' alone would also match the partial,
+    # letting a missing final aggregate slip through
+    assert re.search(r"keys=\[event_type#\d+\]", plan), plan
 
 
 def test_salted_join_keys_include_salt(spark):
