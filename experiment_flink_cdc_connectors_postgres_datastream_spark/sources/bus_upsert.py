@@ -26,11 +26,17 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import compact_latest
 
 try:  # Spark 4 Python DataSource API (same guard as postgres_cdc)
-    from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
     _HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - pre-4.0 pyspark
     DataSource = object  # type: ignore[assignment]
+    DataSourceReader = object  # type: ignore[assignment]
     DataSourceStreamReader = object  # type: ignore[assignment]
     InputPartition = object  # type: ignore[assignment]
     _HAS_DATASOURCE_API = False
@@ -234,12 +240,31 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         return
 
 
+class BusSpoolBatchReader(DataSourceReader):
+    """Batch reader over the whole spool: the topic AS A TABLE — the
+    reference registers its upsert bus as a SQL table
+    (`CREATE TABLE … WITH (connector='upsert-pulsar')`, SJCD:156-174)
+    and so do we (`register_bus_table`). Same per-file partitions and
+    frame rows as the streaming reader, just over every published
+    file at plan time."""
+
+    def __init__(self, spool_dir: str):
+        self._stream = BusUpsertStreamReader(spool_dir)
+
+    def partitions(self) -> list[BusSpoolPartition]:
+        end = {"n_files": len(self._stream._names())}
+        return self._stream.partitions({"n_files": 0}, end)
+
+    def read(self, partition: BusSpoolPartition) -> Iterator[tuple]:
+        return self._stream.read(partition)
+
+
 if _HAS_DATASOURCE_API:
 
     class BusUpsertDataSource(DataSource):
-        """`spark.readStream.format("bus_upsert").option("path", spool)`
-        entry point — the S4 `upsert-pulsar` table's source half
-        (SJCD:156-174) through the engine's source API."""
+        """`spark.read[Stream].format("bus_upsert").option("path", spool)`
+        entry point — the S4 `upsert-pulsar` table (SJCD:156-174)
+        through the engine's source API, batch and streaming."""
 
         @classmethod
         def name(cls) -> str:
@@ -247,6 +272,9 @@ if _HAS_DATASOURCE_API:
 
         def schema(self) -> StructType:
             return BUS_FRAME_SCHEMA
+
+        def reader(self, schema: StructType) -> BusSpoolBatchReader:
+            return BusSpoolBatchReader(dict(self.options).get("path", ""))
 
         def streamReader(self, schema: StructType) -> BusUpsertStreamReader:
             opts = dict(self.options)
@@ -259,7 +287,28 @@ if _HAS_DATASOURCE_API:
     def register_bus_source(spark) -> None:
         spark.dataSource.register(BusUpsertDataSource)
 
+    def register_bus_table(spark, name: str, path: str) -> None:
+        """SQL-name registration of the spool — the reference's
+        `executeSql("CREATE TABLE … WITH (connector='upsert-pulsar')")`
+        surface (SJCD:156-174): after this, `spark.table(name)` and
+        plain SQL read the topic's frames.
+
+        Implementation note: catalog `CREATE TABLE … USING bus_upsert
+        OPTIONS (path …)` does NOT forward its options to a Python
+        data source in this Spark version (probed: an empty options
+        dict reaches `reader()`, for both OPTIONS and LOCATION), so
+        the name is bound as a session-scoped TEMP VIEW over the
+        batch read — same queryable surface, no silent empty-path
+        table."""
+        if not all(part.replace("_", "").isalnum() for part in name.split(".")):
+            raise ValueError(f"invalid table identifier: {name!r}")
+        register_bus_source(spark)
+        spark.read.format("bus_upsert").option("path", path).load().createOrReplaceTempView(name)
+
 else:  # pragma: no cover
 
     def register_bus_source(spark) -> None:
+        raise ImportError("bus_upsert source requires the Spark 4 Python DataSource API")
+
+    def register_bus_table(spark, name: str, path: str) -> None:
         raise ImportError("bus_upsert source requires the Spark 4 Python DataSource API")

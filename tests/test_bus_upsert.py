@@ -257,3 +257,42 @@ def test_bus_spool_rate_limited_committed_restart_no_duplicates(spark, tmp_path)
     run_once()
     got = sorted(r["key"] for r in spark.read.parquet(out).collect())
     assert got == ["k0", "k1", "k2"], f"duplicate or dropped delivery: {got}"
+
+
+def test_bus_spool_batch_table_and_ddl(spark, tmp_path):
+    """The topic AS A SQL TABLE: catalog DDL registration
+    (CREATE TABLE ... USING bus_upsert) + batch read of the whole
+    spool — the reference's upsert-pulsar executeSql surface. The
+    same changelog -> upsert_view pipeline then runs over the table."""
+    import uuid as _uuid
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        register_bus_table,
+        spool_frames,
+    )
+
+    spool = str(tmp_path / "spool")
+    schema = "key string, value string, topic string"
+    spool_frames(
+        spark.createDataFrame(
+            [("k1", '{"id": 1, "full_name": "susan"}', "users"),
+             ("k1", '{"id": 1, "full_name": "sue"}', "users"),
+             ("k2", '{"id": 2, "full_name": "anne"}', "users")],
+            schema,
+        ).coalesce(1),
+        spool,
+        seq=0,
+    )
+    tbl = f"bus_tbl_{_uuid.uuid4().hex[:8]}"
+    try:
+        register_bus_table(spark, tbl, spool)
+        frames = spark.table(tbl)
+        assert frames.count() == 3
+        cl = changelog_from_bus(frames, VALUE_SCHEMA)
+        view = {r["key"]: r["full_name"] for r in upsert_view(cl).collect()}
+        assert view == {"k1": "sue", "k2": "anne"}
+        # plain SQL over the registered name works too
+        n = spark.sql(f"SELECT COUNT(1) AS n FROM {tbl} WHERE key = 'k1'").first()["n"]
+        assert n == 2
+    finally:
+        spark.catalog.dropTempView(tbl)
