@@ -232,6 +232,7 @@ def main() -> None:
     # (the pyspark.ml warmup is gone with its last user: IVF/PQ fits
     # now run driver-side in numpy on their bounded samples)
     load_before = os.getloadavg()[0]
+    cpu_before = _cpu_stat()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES + EXTENDED_QUERIES:
         timings[name] = run_one(spark, name, sf_dir)
@@ -272,10 +273,31 @@ def main() -> None:
                 # load context, not as code regressions by default
                 "loadavg_before": round(load_before, 2),
                 "loadavg_after": round(os.getloadavg()[0], 2),
+                # hypervisor CPU steal across the whole run: loadavg
+                # misses bursty steal entirely (round-6 finding: same
+                # commit, idle box, headline 13.4s vs 23.1s), so the
+                # run-wide steal fraction is the honest noise label
+                "steal_pct": _steal_pct(cpu_before, _cpu_stat()),
             }
         )
     )
     spark.stop()
+
+
+def _cpu_stat() -> list[int]:
+    try:
+        with open("/proc/stat") as fh:
+            return [int(x) for x in fh.readline().split()[1:]]
+    except Exception:  # non-linux
+        return []
+
+
+def _steal_pct(before: list[int], after: list[int]) -> float | None:
+    if not before or not after or len(before) < 8:
+        return None
+    d = [b - a for a, b in zip(before, after)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 2) if total > 0 else None
 
 
 if __name__ == "__main__":
