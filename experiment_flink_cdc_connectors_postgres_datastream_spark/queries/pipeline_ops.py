@@ -661,22 +661,46 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     after it (prefix-sum cutoff, deterministic via the total
     (n_chars DESC, doc_id) order).
 
-    Scale shape: one window over (source) — the same per-source
-    partitioning the data would already be laid out by — then one
-    aggregation; no joins. The doc_id_checksum grades the exact
-    selected set."""
+    Scale shape — TWO-LEVEL prefix sum, never a whole-source sort on
+    one task (a naive per-source running-sum window serializes each
+    source through a single partition — sources are few and huge, the
+    textbook window skew): (1) aggregate token totals per
+    (source, quality level) — a tiny table, source × distinct score;
+    (2) the coarse running sum windows over THAT aggregate; (3) a
+    broadcast join hands every doc its prefix total from all
+    strictly-better levels; (4) the fine running sum windows only
+    WITHIN a (source, level) tie group — partition count = the
+    aggregate's, each a tie group, not a source. Identical totals to
+    the single-window form (same (quality DESC, doc_id) order), and
+    the only full-corpus shuffle left is the per-level tie window.
+    The doc_id_checksum grades the exact selected set."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.lower(F.col("text")), r"\s+"))
-    w = (
+    scored = docs.select("source", "doc_id", "n_chars", n_tok.alias("n_tok"))
+    # (1) per-(source, level) totals: small by construction
+    levels = scored.groupBy("source", "n_chars").agg(F.sum("n_tok").alias("lvl_tok"))
+    # (2) coarse prefix: tokens in all strictly-better levels
+    w_lvl = (
         Window.partitionBy("source")
-        .orderBy(F.desc("n_chars"), "doc_id")
+        .orderBy(F.desc("n_chars"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = docs.select(
-        "source", "doc_id", "n_chars", n_tok.alias("n_tok")
-    ).withColumn("cum_tok", F.sum("n_tok").over(w))
+    levels = levels.withColumn(
+        "cum_before", F.sum("lvl_tok").over(w_lvl) - F.col("lvl_tok")
+    )
+    # (3)+(4) fine prefix inside the tie group only
+    w_tie = (
+        Window.partitionBy("source", "n_chars")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        scored.join(F.broadcast(levels.select("source", "n_chars", "cum_before")),
+                    ["source", "n_chars"])
+        .withColumn("cum_tok", F.col("cum_before") + F.sum("n_tok").over(w_tie))
+    )
     return (
         cum.filter(F.col("cum_tok") <= 2000)
         .groupBy("source")

@@ -439,3 +439,23 @@ def test_cluster_safe_splits_no_cartesian(spark):
     joins only."""
     df = QUERIES["cluster_safe_splits"](spark, SF)
     assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
+
+
+def test_token_budget_two_level_window(spark):
+    """The budget prefix sum must never sort a whole source on one
+    task: the corpus-side window partitions by (source, n_chars) — a
+    tie group — while the per-source window runs only over the tiny
+    level aggregate."""
+    plan = (
+        QUERIES["token_budget_selection"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # fine window keyed by BOTH source and the quality level
+    assert "partitionBy=[source#" in plan or "source#" in plan, plan
+    import re
+
+    wins = re.findall(r"Window .*?windowspecdefinition\(([^)]*)\)", plan)
+    # at least one window spec partitioned on two columns (tie group)
+    assert any("n_chars#" in w and "source#" in w for w in wins), wins
