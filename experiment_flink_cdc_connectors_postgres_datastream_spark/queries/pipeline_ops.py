@@ -216,18 +216,39 @@ def hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform per-group sampling: rank by a content
     hash instead of rand() — reproducible across engines and runs
     (md5 exists in both Spark and DuckDB, so the oracle draws the
-    SAME sample), and distributed as an ordinary per-group top-k.
-    The reservoir-sampling alternative is order-dependent; hash-rank
-    sampling is the restartable, audit-friendly form a data pipeline
-    wants."""
+    SAME sample). The reservoir-sampling alternative is
+    order-dependent; hash-rank sampling is the restartable,
+    audit-friendly form a data pipeline wants.
+
+    TWO-PHASE top-k, never a whole-group sort on one task (groups are
+    few and huge — a single per-group rank window serializes each
+    group through one partition): phase 1 takes the top-k within each
+    (group, salt) slice — 32-way parallel, salt from a hash of the
+    row id so it's deterministic — and phase 2 ranks only the
+    surviving salt×k rows per group (tiny). The global top-k per
+    group is always contained in the union of per-slice top-ks, so
+    the result is IDENTICAL to the single-window form (same
+    (md5, event_id) order; the unchanged single-window oracle grades
+    that equivalence)."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("event_type").orderBy(
-        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    order = [F.md5(F.col("event_id").cast("string")), F.col("event_id")]
+    w_slice = Window.partitionBy("event_type", "_salt").orderBy(*order)
+    w_final = Window.partitionBy("event_type").orderBy(*order)
+    survivors = (
+        ev.select(
+            "event_type",
+            "event_id",
+            "user_id",
+            F.pmod(F.xxhash64("event_id"), F.lit(32)).alias("_salt"),
+        )
+        .withColumn("rn", F.row_number().over(w_slice))
+        .filter(F.col("rn") <= 20)
+        .drop("rn", "_salt")
     )
     return (
-        ev.select("event_type", "event_id", "user_id", F.row_number().over(w).alias("rn"))
+        survivors.withColumn("rn", F.row_number().over(w_final))
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )

@@ -459,3 +459,20 @@ def test_token_budget_two_level_window(spark):
     wins = re.findall(r"Window .*?windowspecdefinition\(([^)]*)\)", plan)
     # at least one window spec partitioned on two columns (tie group)
     assert any("n_chars#" in w and "source#" in w for w in wins), wins
+
+
+def test_hash_sample_two_phase_topk(spark):
+    """Per-group hash sampling must run the heavy rank within
+    (event_type, _salt) slices and only the tiny survivor set through
+    the per-group window."""
+    import re
+
+    plan = (
+        QUERIES["hash_sample_per_group"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_salt#" in w and "event_type#" in w for w in wins), wins
+    assert any("_salt" not in w and "event_type#" in w for w in wins), wins
