@@ -51,6 +51,8 @@ _PRIORITY = [
     # exploded_bigrams arrays_zip field naming made explicit (w1/w2)
     "top_bigrams", "bigram_logprob_by_source", "word_pmi_top",
     "doc_perplexity",
+    # two-phase top-k rework (whole-group window sort removed)
+    "hash_sample_per_group",
     # --- (2) new in round 6 ---
     # S4 through the engine's source API: spool-backed bus_upsert
     # readStream, two planned micro-batches, vs the direct pipeline
@@ -80,12 +82,12 @@ _PRIORITY = [
     "quality_score", "lang_id", "doc_fingerprint",
     "text_stats_by_source", "vocab_top_terms", "tfidf_top_terms",
     "similarity_topk", "embedding_stats", "similarity_topk_ivf",
-    "multimodal_meta", "sliding_window", "asof_join", "pivot_counts",
+    "multimodal_meta", "sliding_window", "asof_join",
     # Still outside the window, all last green in round 2 and
     # unchanged since (next rotation's front of the line):
-    # udaf_weighted_mean, json_extract_props, percentile_by_type,
-    # cube_counts, window_rank_family, embedding_norm_stats,
-    # pii_redact, shard_assignment.
+    # pivot_counts, udaf_weighted_mean, json_extract_props,
+    # percentile_by_type, cube_counts, window_rank_family,
+    # embedding_norm_stats, pii_redact, shard_assignment.
 ]
 
 
