@@ -52,7 +52,7 @@ _PRIORITY = [
     "top_bigrams", "bigram_logprob_by_source", "word_pmi_top",
     "doc_perplexity",
     # two-phase top-k rework (whole-group window sort removed)
-    "hash_sample_per_group",
+    "hash_sample_per_group", "changelog_topk_per_group",
     # --- (2) new in round 6 ---
     # S4 through the engine's source API: spool-backed bus_upsert
     # readStream, two planned micro-batches, vs the direct pipeline
@@ -82,12 +82,13 @@ _PRIORITY = [
     "quality_score", "lang_id", "doc_fingerprint",
     "text_stats_by_source", "vocab_top_terms", "tfidf_top_terms",
     "similarity_topk", "embedding_stats", "similarity_topk_ivf",
-    "multimodal_meta", "sliding_window", "asof_join",
+    "multimodal_meta", "sliding_window",
     # Still outside the window, all last green in round 2 and
     # unchanged since (next rotation's front of the line):
-    # pivot_counts, udaf_weighted_mean, json_extract_props,
-    # percentile_by_type, cube_counts, window_rank_family,
-    # embedding_norm_stats, pii_redact, shard_assignment.
+    # asof_join, pivot_counts, udaf_weighted_mean,
+    # json_extract_props, percentile_by_type, cube_counts,
+    # window_rank_family, embedding_norm_stats, pii_redact,
+    # shard_assignment.
 ]
 
 

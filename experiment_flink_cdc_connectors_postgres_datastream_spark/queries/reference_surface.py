@@ -840,21 +840,34 @@ def changelog_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked value follow each key's LATEST row (an update that lowers
     a key's value can demote it out of the top-k — the retraction case
     a naive streaming top-k gets wrong). Physical shape: one max_by
-    compaction shuffle, then a per-group window over LIVE KEYS ONLY
-    (the window input is already one row per key — never the raw
-    changelog)."""
+    compaction shuffle over LIVE KEYS ONLY (the rank input is already
+    one row per key — never the raw changelog), then TWO-PHASE
+    top-k: rank within deterministic (group, salt) slices first, then
+    rank the salt×k survivors per group — groups are few and huge
+    (per-pg-schema in the reference), so a single per-group window
+    would serialize each group through one task. The unchanged
+    single-window oracle grades the equivalence (the global per-group
+    top-k is contained in the union of slice top-ks)."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events").withColumn("op", _op_col())
     live = compact_latest(ev, ["user_id"], ["ts", "event_id"], op_col="op")
-    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("user_id"))
-    return (
+    order = [F.desc("value"), F.asc("user_id")]
+    w_slice = Window.partitionBy("event_type", "_salt").orderBy(*order)
+    w_final = Window.partitionBy("event_type").orderBy(*order)
+    survivors = (
         live.select(
             "event_type",
             "user_id",
             "value",
-            F.row_number().over(w).alias("rank_in_group"),
+            F.pmod(F.xxhash64("user_id"), F.lit(32)).alias("_salt"),
         )
+        .withColumn("rn", F.row_number().over(w_slice))
+        .filter(F.col("rn") <= 3)
+        .drop("rn", "_salt")
+    )
+    return (
+        survivors.withColumn("rank_in_group", F.row_number().over(w_final))
         .filter(F.col("rank_in_group") <= 3)
     )
 

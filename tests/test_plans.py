@@ -476,3 +476,19 @@ def test_hash_sample_two_phase_topk(spark):
     wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("_salt#" in w and "event_type#" in w for w in wins), wins
     assert any("_salt" not in w and "event_type#" in w for w in wins), wins
+
+
+def test_changelog_topk_two_phase(spark):
+    """Changelog top-k ranks within (event_type, _salt) slices before
+    the tiny per-group survivor rank — no whole-group window over all
+    live keys."""
+    import re
+
+    plan = (
+        QUERIES["changelog_topk_per_group"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_salt#" in w for w in wins), wins
