@@ -53,6 +53,7 @@ _PRIORITY = [
     "doc_perplexity",
     # two-phase top-k rework (whole-group window sort removed)
     "hash_sample_per_group", "changelog_topk_per_group",
+    "top_terms_by_source", "zipf_slope_by_source",
     # --- (2) new in round 6 ---
     # S4 through the engine's source API: spool-backed bus_upsert
     # readStream, two planned micro-batches, vs the direct pipeline
@@ -82,13 +83,12 @@ _PRIORITY = [
     "quality_score", "lang_id", "doc_fingerprint",
     "text_stats_by_source", "vocab_top_terms", "tfidf_top_terms",
     "similarity_topk", "embedding_stats", "similarity_topk_ivf",
-    "multimodal_meta", "sliding_window",
     # Still outside the window, all last green in round 2 and
     # unchanged since (next rotation's front of the line):
-    # asof_join, pivot_counts, udaf_weighted_mean,
-    # json_extract_props, percentile_by_type, cube_counts,
-    # window_rank_family, embedding_norm_stats, pii_redact,
-    # shard_assignment.
+    # multimodal_meta, sliding_window, asof_join, pivot_counts,
+    # udaf_weighted_mean, json_extract_props, percentile_by_type,
+    # cube_counts, window_rank_family, embedding_norm_stats,
+    # pii_redact, shard_assignment.
 ]
 
 

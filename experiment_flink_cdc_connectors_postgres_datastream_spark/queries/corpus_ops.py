@@ -690,17 +690,27 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on both engines rather than relying on regr_slope
     internals.
 
-    Scale shape: one term-count aggregation, a per-source rank window
-    over the (term-cardinality-sized) count table capped at 200 rows
-    per source, then a tiny per-source sum — no joins."""
+    Scale shape: one term-count aggregation, a TWO-PHASE per-source
+    rank (slice rank within (source, term-hash salt), then the tiny
+    survivor rank — the count table is vocabulary-sized per source, a
+    single per-source window would sort it on one task) capped at 200
+    rows per source, then a tiny per-source sum — no joins."""
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     t2 = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("term")
     ).filter(F.col("term") != "")
     cnt = t2.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("term"))
+    order = [F.desc("c"), F.asc("term")]
+    w_slice = Window.partitionBy("source", "_salt").orderBy(*order)
+    w = Window.partitionBy("source").orderBy(*order)
+    survivors = (
+        cnt.withColumn("_salt", F.pmod(F.xxhash64("term"), F.lit(32)))
+        .withColumn("rn", F.row_number().over(w_slice))
+        .filter(F.col("rn") <= 200)
+        .drop("rn", "_salt")
+    )
     top = (
-        cnt.select("source", "c", F.row_number().over(w).alias("rnk"))
+        survivors.select("source", "c", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 200)
         .select(
             "source",
