@@ -12,7 +12,7 @@ salting covers aggregations and pre-AQE plans).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 
 def spread_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -148,6 +148,46 @@ def salted_join(
         F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)).cast("int"),
     )
     return bb.join(sb, [*on, "_salt"], how).drop("_salt")
+
+
+def two_phase_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    k: int,
+    salt_col: Column,
+    rank_alias: str = "rn",
+    n_salt: int = 32,
+) -> DataFrame:
+    """Per-group top-k without a whole-group window sort: rank within
+    (group, salt) slices first — ``n_salt``-way parallel — then rank
+    only the surviving ``n_salt × k`` rows per group. The global
+    per-group top-k is always contained in the union of per-slice
+    top-ks, so the result is IDENTICAL to the single-window form
+    provided ``order`` is a total order (use a unique tiebreaker).
+
+    ``salt_col`` must be deterministic per row (hash of a row id, so
+    replays land identically) — its VALUE is irrelevant to the result,
+    it only spreads the slice work. Use when groups are few and huge
+    (the per-pg-schema / per-source shape): a single per-group rank
+    window serializes each group through one task.
+
+    Output: the input columns plus ``rank_alias`` (1-based, ≤ k)."""
+    from pyspark.sql.window import Window
+
+    if "_salt" in df.columns:
+        raise ValueError("two_phase_topk: input already has a '_salt' column")
+    w_slice = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
+    w_final = Window.partitionBy(*group_cols).orderBy(*order)
+    survivors = (
+        df.withColumn("_salt", F.pmod(salt_col, F.lit(n_salt)))
+        .withColumn("_rn", F.row_number().over(w_slice))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    return survivors.withColumn(rank_alias, F.row_number().over(w_final)).filter(
+        F.col(rank_alias) <= k
+    )
 
 
 def write_partitioned(

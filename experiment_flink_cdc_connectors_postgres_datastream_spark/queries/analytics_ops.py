@@ -279,21 +279,16 @@ def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import two_phase_topk
+
     counts = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    order = [F.desc("cnt"), F.asc("term")]
-    w_slice = Window.partitionBy("source", "_salt").orderBy(*order)
-    w_final = Window.partitionBy("source").orderBy(*order)
-    survivors = (
-        counts.withColumn("_salt", F.pmod(F.xxhash64("term"), F.lit(32)))
-        .withColumn("rn", F.row_number().over(w_slice))
-        .filter(F.col("rn") <= 3)
-        .drop("rn", "_salt")
-    )
-    return (
-        survivors.select("source", "term", "cnt", F.row_number().over(w_final).alias("rn"))
-        .filter(F.col("rn") <= 3)
-        .drop("rn")
-    )
+    return two_phase_topk(
+        counts,
+        ["source"],
+        [F.desc("cnt"), F.asc("term")],
+        k=3,
+        salt_col=F.xxhash64("term"),
+    ).drop("rn")
 
 
 @register(

@@ -699,19 +699,19 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("term")
     ).filter(F.col("term") != "")
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import two_phase_topk
+
     cnt = t2.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
-    order = [F.desc("c"), F.asc("term")]
-    w_slice = Window.partitionBy("source", "_salt").orderBy(*order)
-    w = Window.partitionBy("source").orderBy(*order)
-    survivors = (
-        cnt.withColumn("_salt", F.pmod(F.xxhash64("term"), F.lit(32)))
-        .withColumn("rn", F.row_number().over(w_slice))
-        .filter(F.col("rn") <= 200)
-        .drop("rn", "_salt")
-    )
     top = (
-        survivors.select("source", "c", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= 200)
+        two_phase_topk(
+            cnt,
+            ["source"],
+            [F.desc("c"), F.asc("term")],
+            k=200,
+            salt_col=F.xxhash64("term"),
+            rank_alias="rnk",
+        )
+        .select("source", "c", "rnk")
         .select(
             "source",
             F.log(F.col("rnk").cast("double")).alias("x"),

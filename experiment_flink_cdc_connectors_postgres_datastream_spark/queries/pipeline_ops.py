@@ -230,28 +230,16 @@ def hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is IDENTICAL to the single-window form (same
     (md5, event_id) order; the unchanged single-window oracle grades
     that equivalence)."""
-    ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import two_phase_topk
 
-    order = [F.md5(F.col("event_id").cast("string")), F.col("event_id")]
-    w_slice = Window.partitionBy("event_type", "_salt").orderBy(*order)
-    w_final = Window.partitionBy("event_type").orderBy(*order)
-    survivors = (
-        ev.select(
-            "event_type",
-            "event_id",
-            "user_id",
-            F.pmod(F.xxhash64("event_id"), F.lit(32)).alias("_salt"),
-        )
-        .withColumn("rn", F.row_number().over(w_slice))
-        .filter(F.col("rn") <= 20)
-        .drop("rn", "_salt")
-    )
-    return (
-        survivors.withColumn("rn", F.row_number().over(w_final))
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    return two_phase_topk(
+        ev.select("event_type", "event_id", "user_id"),
+        ["event_type"],
+        [F.md5(F.col("event_id").cast("string")), F.col("event_id")],
+        k=20,
+        salt_col=F.xxhash64("event_id"),
+    ).drop("rn")
 
 
 @register(

@@ -848,27 +848,17 @@ def changelog_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     would serialize each group through one task. The unchanged
     single-window oracle grades the equivalence (the global per-group
     top-k is contained in the union of slice top-ks)."""
-    from pyspark.sql.window import Window
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import two_phase_topk
 
     ev = load_table(spark, sf_dir, "events").withColumn("op", _op_col())
     live = compact_latest(ev, ["user_id"], ["ts", "event_id"], op_col="op")
-    order = [F.desc("value"), F.asc("user_id")]
-    w_slice = Window.partitionBy("event_type", "_salt").orderBy(*order)
-    w_final = Window.partitionBy("event_type").orderBy(*order)
-    survivors = (
-        live.select(
-            "event_type",
-            "user_id",
-            "value",
-            F.pmod(F.xxhash64("user_id"), F.lit(32)).alias("_salt"),
-        )
-        .withColumn("rn", F.row_number().over(w_slice))
-        .filter(F.col("rn") <= 3)
-        .drop("rn", "_salt")
-    )
-    return (
-        survivors.withColumn("rank_in_group", F.row_number().over(w_final))
-        .filter(F.col("rank_in_group") <= 3)
+    return two_phase_topk(
+        live.select("event_type", "user_id", "value"),
+        ["event_type"],
+        [F.desc("value"), F.asc("user_id")],
+        k=3,
+        salt_col=F.xxhash64("user_id"),
+        rank_alias="rank_in_group",
     )
 
 

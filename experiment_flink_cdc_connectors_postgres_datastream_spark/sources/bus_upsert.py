@@ -249,11 +249,20 @@ class BusSpoolBatchReader(DataSourceReader):
     file at plan time."""
 
     def __init__(self, spool_dir: str):
+        # reuse the stream reader's listing + row decode, but plan
+        # from ONE directory listing: listing twice would race a
+        # concurrent retention delete into the streaming reader's
+        # "checkpoint expects N files" error — the wrong diagnosis
+        # for a batch scan, which has no checkpoint
         self._stream = BusUpsertStreamReader(spool_dir)
 
     def partitions(self) -> list[BusSpoolPartition]:
-        end = {"n_files": len(self._stream._names())}
-        return self._stream.partitions({"n_files": 0}, end)
+        names = self._stream._names()
+        out = [
+            BusSpoolPartition(os.path.join(self._stream.spool_dir, n), i)
+            for i, n in enumerate(names)
+        ]
+        return out or [BusSpoolPartition(None, -1)]
 
     def read(self, partition: BusSpoolPartition) -> Iterator[tuple]:
         return self._stream.read(partition)
@@ -299,8 +308,15 @@ if _HAS_DATASOURCE_API:
         dict reaches `reader()`, for both OPTIONS and LOCATION), so
         the name is bound as a session-scoped TEMP VIEW over the
         batch read — same queryable surface, no silent empty-path
-        table."""
-        if not all(part.replace("_", "").isalnum() for part in name.split(".")):
+        table. Temp views take single-part names only, so qualified
+        names are rejected here (not by a later AnalysisException
+        after session state already changed)."""
+        if "." in name:
+            raise ValueError(
+                f"invalid table identifier: {name!r} — the bus table binds as "
+                "a temp view, which takes a single-part name"
+            )
+        if not name.replace("_", "").isalnum():
             raise ValueError(f"invalid table identifier: {name!r}")
         register_bus_source(spark)
         spark.read.format("bus_upsert").option("path", path).load().createOrReplaceTempView(name)

@@ -259,11 +259,13 @@ def test_bus_spool_rate_limited_committed_restart_no_duplicates(spark, tmp_path)
     assert got == ["k0", "k1", "k2"], f"duplicate or dropped delivery: {got}"
 
 
-def test_bus_spool_batch_table_and_ddl(spark, tmp_path):
-    """The topic AS A SQL TABLE: catalog DDL registration
-    (CREATE TABLE ... USING bus_upsert) + batch read of the whole
-    spool — the reference's upsert-pulsar executeSql surface. The
-    same changelog -> upsert_view pipeline then runs over the table."""
+def test_bus_spool_batch_sql_name_registration(spark, tmp_path):
+    """The topic under a SQL NAME: register_bus_table binds a temp
+    view over the batch read (NOT catalog DDL — that path cannot
+    forward options to Python data sources in this Spark version, see
+    the register_bus_table docstring) — the reference's upsert-pulsar
+    executeSql surface re-expressed. The same changelog ->
+    upsert_view pipeline then runs over the named table."""
     import uuid as _uuid
 
     from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
