@@ -73,6 +73,8 @@ _PRIORITY = [
     # FULL OUTER stream-stream join (both-sides watermark-driven
     # null emission; completes the inner/left/full graded family)
     "stream_stream_full_outer_streamed",
+    # the bus topic as a SQL table: batch half of the source API
+    "bus_table_compact",
     # --- (3) stalest: latest grade is round 1 ---
     "revenue_by_nation", "top_k_orders", "agg_stats", "rollup_counts",
     "set_ops", "window_lag_delta", "customers_with_orders", "tpch_q22",
@@ -82,13 +84,14 @@ _PRIORITY = [
     "grouped_count_alias", "tpch_q1", "tpch_q12", "token_count",
     "quality_score", "lang_id", "doc_fingerprint",
     "text_stats_by_source", "vocab_top_terms", "tfidf_top_terms",
-    "similarity_topk", "embedding_stats", "similarity_topk_ivf",
+    "similarity_topk", "embedding_stats",
     # Still outside the window, all last green in round 2 and
     # unchanged since (next rotation's front of the line):
-    # multimodal_meta, sliding_window, asof_join, pivot_counts,
-    # udaf_weighted_mean, json_extract_props, percentile_by_type,
-    # cube_counts, window_rank_family, embedding_norm_stats,
-    # pii_redact, shard_assignment.
+    # similarity_topk_ivf (rows-only), multimodal_meta,
+    # sliding_window, asof_join, pivot_counts, udaf_weighted_mean,
+    # json_extract_props, percentile_by_type, cube_counts,
+    # window_rank_family, embedding_norm_stats, pii_redact,
+    # shard_assignment.
 ]
 
 

@@ -1224,3 +1224,65 @@ def cdc_scd2_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, event_id long, event_type string, value double, "
         "valid_from_us long, valid_to_us long, is_current boolean",
     )
+
+
+@register(
+    "bus_table_compact",
+    f"""
+    WITH src AS ({_FLAT_CDC_SQL}),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pgschema, id ORDER BY ts_ms DESC, lsn DESC) AS rn
+        FROM src) WHERE rn = 1)
+    SELECT pgschema, COUNT(1) AS user_count
+    FROM latest WHERE op <> 'd'
+    GROUP BY pgschema
+    """,
+)
+def bus_table_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bus topic AS A SQL TABLE, graded: wire frames spooled (K2),
+    the spool registered under a SQL name (`register_bus_table` — the
+    reference's `executeSql` upsert-pulsar table, SJCD:156-174), read
+    back through the BATCH half of the `bus_upsert` DataSource
+    (`spark.table(name)` → one input partition per spool file), then
+    parsed → compacted → counted. Hash-matching the direct pipeline's
+    oracle proves the batch-read table surface delivers every frame
+    exactly once — the streamed twin (`bus_roundtrip_streamed`)
+    grades the same spool through readStream; together the two halves
+    of the source API are both on the value-hashed path."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        changelog_from_bus,
+        register_bus_table,
+        spool_frames,
+    )
+
+    value_schema = _users_value_schema()
+    wire = to_keyed_json(
+        _flat_users(spark, sf_dir),
+        key_col="key",
+        topic="users",
+        value_cols=[f.name for f in value_schema.fields],
+    )
+    work = tempfile.mkdtemp(prefix="bus_table_")
+    name = f"bus_topic_{uuid.uuid4().hex[:8]}"
+    try:
+        spool = os.path.join(work, "spool")
+        spool_frames(wire.coalesce(4), spool, seq=0)
+        register_bus_table(spark, name, spool)
+        back = changelog_from_bus(spark.table(name), value_schema)
+        counts = count_live_by(
+            back, ["schema"], ["key"], ["ts_ms", "lsn"], op_col="op", count_alias="user_count"
+        )
+        pdf = counts.select(F.col("schema").alias("pgschema"), "user_count").toPandas()
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, "pgschema string, user_count long")
