@@ -74,11 +74,26 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def _default_salt(df: DataFrame, salt: int) -> Column:
+    """Deterministic per-row salt: a hash of EVERY column. Task retries
+    recompute the identical salt for every row, so the salted shuffle
+    stays a deterministic stage (the SPARK-23207 class of partial-stage
+    -retry duplication/loss that position-derived salts —
+    spark_partition_id + monotonically_increasing_id — are exposed to;
+    same rule two_phase_topk's ``salt_col`` contract documents).
+
+    Caveat: byte-identical rows share a salt, so a hot key whose rows
+    are all IDENTICAL still lands in one bucket — pass an explicit
+    ``salt_col`` over a unique row id for that shape."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+
+
 def salted_agg(
     df: DataFrame,
     group_cols: list[str],
     aggs: dict[str, tuple[str, str]],
     salt: int = 16,
+    salt_col: Column | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation: groupBy(key, salt) partial →
     groupBy(key) final. ``aggs``: out_col → (in_col, fn) with fn in
@@ -87,6 +102,9 @@ def salted_agg(
 
     A single hot key becomes ``salt`` partial rows instead of one
     monster task; cost is a second (tiny) shuffle over the partials.
+    The salt is deterministic per row (see ``_default_salt``) so the
+    shuffle survives task retries exactly-once; ``salt_col`` overrides
+    it (mod ``salt`` is applied here) when rows are not unique.
     """
     if "_salt" in df.columns:
         raise ValueError(
@@ -95,7 +113,8 @@ def salted_agg(
         )
     fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     refn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)))
+    spread = F.pmod(salt_col, F.lit(salt)) if salt_col is not None else _default_salt(df, salt)
+    salted = df.withColumn("_salt", spread)
     partial = salted.groupBy(*group_cols, "_salt").agg(
         *[fns[fn](F.col(src)).alias(out) for out, (src, fn) in aggs.items()]
     )
@@ -110,6 +129,7 @@ def salted_join(
     on: list[str],
     salt: int = 16,
     how: str = "inner",
+    salt_col: Column | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: the big side gets a row-local salt in
     [0, salt), the small side is replicated ``salt`` times, and the
@@ -123,9 +143,12 @@ def salted_join(
     downstream that needs the spread to persist). For a genuinely tiny
     dimension, ``broadcast()`` beats this — no shuffle at all.
 
-    The salt comes from partition-local row position (same recipe as
-    ``salted_agg``), so it varies WITHIN every join key — salting by
-    any function of the key alone would spread nothing.
+    The salt is a deterministic hash of ALL the big side's columns
+    (same recipe as ``salted_agg`` — retry-stable, see
+    ``_default_salt``), so it varies WITHIN every join key as long as
+    rows differ somewhere outside the key — salting by any function of
+    the key alone would spread nothing. For byte-identical duplicate
+    rows, pass ``salt_col`` over a unique row id.
 
     Inner/left joins only: a right/full outer join would emit every
     unmatched SMALL-side row once per replica (``salt`` copies) —
@@ -143,10 +166,8 @@ def salted_join(
             "first"
         )
     sb = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
-    bb = big.withColumn(
-        "_salt",
-        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)).cast("int"),
-    )
+    spread = F.pmod(salt_col, F.lit(salt)) if salt_col is not None else _default_salt(big, salt)
+    bb = big.withColumn("_salt", spread.cast("int"))
     return bb.join(sb, [*on, "_salt"], how).drop("_salt")
 
 

@@ -718,8 +718,7 @@ _CURVE_AUG_CTE = f"""
             FROM documents
             WHERE doc_id % {_CURVE_SAMPLE_MOD} = 0
               AND len(regexp_split_to_array(lower(text), '\\s+')) >= {_CURVE_MIN_TOKENS}) t
-      CROSS JOIN (VALUES (1, CAST(0.25 AS DOUBLE)), (2, CAST(0.45 AS DOUBLE)),
-                  (3, CAST(0.70 AS DOUBLE))) v(v, p))
+      CROSS JOIN (VALUES {", ".join(f"({v}, CAST({p} AS DOUBLE))" for v, p in _CURVE_FRACS)}) v(v, p))
 """
 # ^ the CASTs matter: a bare 0.70 literal is DECIMAL(3,2) in DuckDB
 # (exact arithmetic: floor(0.70*90) = 63) while Spark's F.lit(0.70) is

@@ -554,7 +554,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rated AS (
       SELECT doc_id, source,
-             100 + (CAST(substr(source, 4) AS INT) * 50) % 900 AS rate_permille,
+             100 + (COALESCE(TRY_CAST(substr(source, 4) AS INT), LENGTH(source)) * 50) % 900 AS rate_permille,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 15)) AS BIGINT) % 1000 AS bucket
       FROM documents)
     SELECT source,
@@ -584,9 +584,13 @@ def mixture_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
 
     docs = load_table(spark, sf_dir, "documents")
-    rate = (F.lit(100) + (F.substring(F.col("source"), 4, 10).cast("int") * 50) % 900).alias(
-        "rate_permille"
+    # TRY_CAST/coalesce on BOTH engines: a source name without a
+    # numeric suffix falls back to a length-derived rate instead of
+    # Spark-NULL-vs-DuckDB-error divergence (ADVICE r6)
+    suffix = F.coalesce(
+        F.substring(F.col("source"), 4, 10).cast("int"), F.length("source")
     )
+    rate = (F.lit(100) + (suffix * 50) % 900).alias("rate_permille")
     bucket = F.pmod(
         md5_long(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source"))), F.lit(1000)
     )

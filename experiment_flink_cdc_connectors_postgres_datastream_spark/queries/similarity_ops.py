@@ -662,7 +662,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT x.pos,
              LEAST(127, GREATEST(-127,
-               CAST(floor(x.v * 127.0 / s.maxabs) AS BIGINT))) AS qv
+               CAST(floor(x.v * 127.0 / GREATEST(s.maxabs, 1e-30)) AS BIGINT))) AS qv
       FROM x JOIN stats s ON s.pos = x.pos)
     SELECT q.pos,
            CAST(floor(s.maxabs * 1000000.0) AS BIGINT) AS maxabs_q,
@@ -702,7 +702,10 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(127).cast("long"),
             F.greatest(
                 F.lit(-127).cast("long"),
-                F.floor(F.col("v") * F.lit(127.0) / F.col("maxabs")),
+                # greatest(maxabs, tiny) on BOTH engines: an all-zero
+                # dimension must quantize to 0, not 0/0 = NaN
+                # (engine-divergent downstream, ADVICE r6)
+                F.floor(F.col("v") * F.lit(127.0) / F.greatest(F.col("maxabs"), F.lit(1e-30))),
             ),
         ).alias("qv"),
     )
