@@ -114,7 +114,14 @@ def spool_frames(frames: DataFrame, spool_dir: str, seq: int) -> None:
     K2 side): a distributed JSON write into a hidden temp dir, then
     per-part atomic renames to ``frames-{seq}-{part}.jsonl``. Readers
     only ever see complete, immutable files, and names sort in publish
-    order — the two properties offset replay depends on."""
+    order — the two properties offset replay depends on.
+
+    CONTRACT: one sequential producer per spool, with strictly
+    increasing ``seq`` (the broker analogue: one ordered topic
+    partition). Concurrent producers or an out-of-order ``seq`` can
+    land a name below files a reader already planned; the reader's
+    name-range + count cross-check turns that into a loud error on
+    the affected span rather than silent misdelivery."""
     os.makedirs(spool_dir, exist_ok=True)
     tmp = os.path.join(spool_dir, f".tmp-{seq}-{uuid.uuid4().hex[:8]}")
     cols = [
@@ -139,13 +146,19 @@ class BusSpoolPartition(InputPartition):
 
 
 class BusUpsertStreamReader(DataSourceStreamReader):
-    """Spool reader: offsets are published-file counts; each
+    """Spool reader: an offset is the highest planned file NAME plus
+    the file count up to it (``{"last": name, "n": count}``); each
     micro-batch turns every new file into one input partition read
     executor-side (the driver touches names only, never frame bytes —
     at scale the spool lives on the shared store and reads distribute
-    like any file source). Replay of a checkpointed span re-serves the
-    same files: spool files are immutable and names monotone, so a
-    (start, end) count pair identifies the identical frame set."""
+    like any file source). Replay of a checkpointed span selects files
+    BY NAME RANGE (start.last, end.last] and cross-checks the count:
+    spool files are immutable and names monotone (publishers are a
+    single sequential producer — ``spool_frames``'s contract), so a
+    span always identifies the identical frame set, and any retention
+    deletion or rogue publish inside a checkpointed range turns into a
+    loud count-mismatch error instead of silently shifting which files
+    positions resolve to (the round-6 positional-offset hazard)."""
 
     def __init__(self, spool_dir: str, max_files_per_trigger: int | None = None):
         if not spool_dir:
@@ -176,7 +189,7 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         # only called on a fresh start (no checkpoint): 0 IS the
         # committed position, so pacing may cap from here
         self._pacing_active = True
-        return {"n_files": 0}
+        return {"last": "", "n": 0}
 
     def latestOffset(self) -> dict:
         """Newest offset to plan. With ``maxFilesPerTrigger`` the
@@ -188,33 +201,38 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         case is the first trigger after a clean restart, where capping
         could regress below the committed offset and re-deliver
         committed files."""
-        n = len(self._names())
+        names = self._names()
+        n = len(names)
         if self.max_files_per_trigger is not None and self._pacing_active:
             n = min(n, self._planned + self.max_files_per_trigger)
         self._planned = max(self._planned, n)
         self._pacing_active = True
-        return {"n_files": n}
+        return {"last": names[n - 1] if n else "", "n": n}
 
     def partitions(self, start: dict, end: dict) -> list[BusSpoolPartition]:
-        names = self._names()
-        s, e = start.get("n_files", 0), end.get("n_files", 0)
+        s_last, e_last = start.get("last", ""), end.get("last", "")
+        s_n, e_n = start.get("n", 0), end.get("n", 0)
         # restart seeding: the checkpointed span tells a fresh reader
         # how far planning had progressed, so the rate-limit watermark
         # resumes from there instead of re-pacing from zero — and a
         # transiently backwards span (rate-limited latestOffset fired
         # before this seed) is served as an empty batch, not an error
-        self._planned = max(self._planned, s, e)
+        self._planned = max(self._planned, s_n, e_n)
         self._pacing_active = True
-        if e <= s:
+        if e_n <= s_n or e_last <= s_last:
             return [BusSpoolPartition(None, -1)]
-        if e > len(names):
+        span = [n for n in self._names() if s_last < n <= e_last]
+        if len(span) != e_n - s_n:
             raise RuntimeError(
-                f"bus_upsert: checkpoint expects {e} spool files under "
-                f"{self.spool_dir!r} but only {len(names)} exist — the spool "
-                "was truncated; refusing to serve a partial replay."
+                f"bus_upsert: checkpointed span ({s_last!r}, {e_last!r}] "
+                f"expects {e_n - s_n} spool files under {self.spool_dir!r} "
+                f"but {len(span)} match by name — the spool was truncated "
+                "or a non-sequential publish landed inside a committed "
+                "range; refusing to serve a divergent replay."
             )
         out = [
-            BusSpoolPartition(os.path.join(self.spool_dir, names[i]), i) for i in range(s, e)
+            BusSpoolPartition(os.path.join(self.spool_dir, name), s_n + i)
+            for i, name in enumerate(span)
         ]
         return out or [BusSpoolPartition(None, -1)]
 

@@ -13,13 +13,36 @@ managed Postgres offerings universally ship — decoded by
 (``wal_level=logical``, docker-compose.yaml:10; ``REPLICA IDENTITY
 FULL`` for before-images, setup_source_db1.sql:11,17).
 
-Offsets: ``{"phase": "snapshot"}`` → ``{"phase": "wal", "lsn": N}``;
-the snapshot and the slot tail hand off without loss because the slot
-is created *before* the snapshot reads (changes during the snapshot
-are replayed from the slot; last-write-wins compaction downstream
-dedupes). LSN offsets live in the streaming checkpoint, giving
+Offsets: ``{"phase": "snapshot", "table": i, "key": [...]}`` (keyset
+position: tables before ``i`` fully planned, table ``i`` planned
+through primary key ``key`` inclusive) → ``{"phase": "wal", "lsn":
+N}``; the snapshot and the slot tail hand off without loss because
+the slot is created *before* the snapshot reads (changes during the
+snapshot are replayed from the slot; last-write-wins compaction
+downstream dedupes). Offsets live in the streaming checkpoint, giving
 exactly-once source progress like the reference's checkpointed
 Debezium engine (StreamingJob.java:36-39).
+
+Snapshot scale shape: the driver plans keyset-paginated primary-key
+spans (one index-only boundary query per chunk,
+``snapshot_chunk_size`` rows each, up to
+``snapshot_chunks_per_trigger`` chunks per micro-batch — the pacing
+contract of the bus source's ``maxFilesPerTrigger``); each chunk's
+ROWS are read executor-side in ``read()`` over a per-task connection,
+so driver memory is bounded by chunk METADATA, never by table volume
+(the 100-TB axis — the reference's Debezium-embedded snapshot,
+SJCD:64-78, is a single-threaded read; this one fans out).  Because
+the offset embeds the actual key bounds, replay of a checkpointed
+span re-reads exactly the same key range regardless of concurrent
+writes (new rows in a replayed range also sit in the WAL tail, and
+op='r' rows lose last-write-wins compaction against them).  Tables
+whose primary key is missing or non-chunkable (types outside
+int/text) fall back to one atomic chunk, still executor-read.  A
+mid-snapshot engine restart is duplicate-free: a batch's START offset
+is always committed (the engine keeps at most one uncommitted batch),
+so ``partitions()`` raises a committed floor and every snapshot span
+clamps to it — a restarted reader that re-plans from the top serves
+only what the floor admits.
 
 Failure semantics: polling uses ``pg_logical_slot_peek_changes``
 (non-destructive) and the slot is advanced only in ``commit()`` —
@@ -103,11 +126,38 @@ class PostgresCDCConfig:
     plugin_name: str = "wal2json"
     publication_names: str = "experiment_flink_cdc_connectors_postgres_datastream_spark_pub"
     poll_batch_size: int = 1000
+    #: rows per snapshot chunk (one keyset span = one executor task)
+    snapshot_chunk_size: int = 10_000
+    #: chunks planned per micro-batch — snapshot backpressure, the
+    #: analogue of the bus source's maxFilesPerTrigger
+    snapshot_chunks_per_trigger: int = 8
+    #: tiny source-side table recording per-slot snapshot progress
+    #: (one row: slot_name → keyset position). Needed because a real
+    #: slot's confirmed_flush_lsn is nonzero from CREATION, so slot
+    #: state alone cannot distinguish "snapshot interrupted" from
+    #: "snapshot long done" across a restart, and the Python
+    #: DataSource API offers no committed-offset readback. Written on
+    #: snapshot-batch commits, cleared once the WAL phase first
+    #: advances the slot. If the role cannot write it, the source
+    #: degrades (with a loud warning) to presuming a pre-existing
+    #: slot's snapshot completed — the pre-round-7 behavior.
+    progress_table: str = "public._spark_cdc_snapshot_progress"
 
     @classmethod
     def from_options(cls, options: dict[str, str]) -> "PostgresCDCConfig":
+        # Spark may or may not lower-case DataSource option keys
+        # depending on entry path; normalize so snapshotChunkSize and
+        # snapshot_chunk_size both land
+        options = {k.lower(): v for k, v in options.items()}
+
         def split(v: str) -> list[str]:
             return [s.strip() for s in v.split(",") if s.strip()]
+
+        def opt(*names: str, default: str) -> str:
+            for n in names:
+                if n in options:
+                    return options[n]
+            return default
 
         return cls(
             hostname=options.get("hostname", "localhost"),
@@ -121,6 +171,21 @@ class PostgresCDCConfig:
             plugin_name=options.get("plugin_name", "wal2json"),
             publication_names=options.get("publication_names", cls.publication_names),
             poll_batch_size=int(options.get("poll_batch_size", "1000")),
+            snapshot_chunk_size=int(
+                opt("snapshot_chunk_size", "snapshotchunksize", default="10000")
+            ),
+            snapshot_chunks_per_trigger=int(
+                opt(
+                    "snapshot_chunks_per_trigger",
+                    "snapshotchunkspertrigger",
+                    default="8",
+                )
+            ),
+            progress_table=opt(
+                "progress_table",
+                "progresstable",
+                default="public._spark_cdc_snapshot_progress",
+            ),
         )
 
 
@@ -268,12 +333,156 @@ class PostgresReplicationClient:
             tables = [(s, t) for s, t in tables if t in c.table_list]
         return tables
 
-    def snapshot_rows(self, schema: str, table: str) -> Iterator[dict[str, Any]]:  # pragma: no cover
+    #: PK column types safe to keyset-chunk on: totally ordered in SQL
+    #: AND their Python/JSON round trip (offset dicts) preserves both
+    #: value and order. Anything else (dates, uuids, numerics…) falls
+    #: back to one atomic chunk for that table.
+    CHUNKABLE_TYPES = frozenset(
+        {"smallint", "integer", "bigint", "text", "character varying", "character"}
+    )
+
+    def primary_key(self, schema: str, table: str) -> list[str]:  # pragma: no cover - needs server
+        """The table's PK columns in key order, or [] when there is no
+        PK or any key column's type is outside CHUNKABLE_TYPES (the
+        whole-table fallback)."""
         with self._connect() as conn, conn.cursor() as cur:
-            cur.execute(f'SELECT * FROM "{schema}"."{table}"')
-            cols = [d[0] for d in cur.description]
+            cur.execute(
+                "SELECT kcu.column_name, c.data_type "
+                "FROM information_schema.table_constraints tc "
+                "JOIN information_schema.key_column_usage kcu "
+                "  ON kcu.constraint_name = tc.constraint_name "
+                " AND kcu.constraint_schema = tc.constraint_schema "
+                "JOIN information_schema.columns c "
+                "  ON c.table_schema = tc.table_schema "
+                " AND c.table_name = tc.table_name "
+                " AND c.column_name = kcu.column_name "
+                "WHERE tc.constraint_type = 'PRIMARY KEY' "
+                "  AND tc.table_schema = %s AND tc.table_name = %s "
+                "ORDER BY kcu.ordinal_position",
+                (schema, table),
+            )
+            rows = cur.fetchall()
+        if not rows or any(dt not in self.CHUNKABLE_TYPES for _, dt in rows):
+            return []
+        return [name for name, _ in rows]
+
+    def chunk_bound(
+        self,
+        schema: str,
+        table: str,
+        pk_cols: list[str],
+        lower: list | None,
+        chunk_size: int,
+    ) -> list | None:  # pragma: no cover - needs server
+        """Keyset-pagination boundary: the last PK of the next
+        ``chunk_size``-row chunk after ``lower`` (row-constructor
+        comparison, one index-only scan), or None when fewer rows
+        remain (the chunk extends to the end of the table)."""
+        cols = ", ".join(f'"{c}"' for c in pk_cols)
+        params: list = []
+        where = ""
+        if lower is not None:
+            ph = ", ".join(["%s"] * len(pk_cols))
+            where = f" WHERE ({cols}) > ({ph})"
+            params.extend(lower)
+        params.append(chunk_size - 1)
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(
+                f'SELECT {cols} FROM "{schema}"."{table}"{where} '
+                f"ORDER BY {cols} LIMIT 1 OFFSET %s",
+                tuple(params),
+            )
+            row = cur.fetchone()
+        return list(row) if row is not None else None
+
+    def _progress_tbl(self) -> str:
+        t = self.config.progress_table
+        if not all(p.replace("_", "").replace('"', "").isalnum() for p in t.split(".") if p):
+            raise ValueError(f"invalid progress_table identifier: {t!r}")
+        return t
+
+    def save_snapshot_progress(self, pos_json: str) -> None:  # pragma: no cover - needs server
+        """Upsert this slot's snapshot keyset position. Failure (e.g. a
+        read-only role) degrades loudly, not fatally: without the row a
+        MID-SNAPSHOT restart presumes the snapshot finished (see
+        PostgresCDCConfig.progress_table)."""
+        try:
+            with self._connect() as conn, conn.cursor() as cur:
+                cur.execute(
+                    f"CREATE TABLE IF NOT EXISTS {self._progress_tbl()} "
+                    "(slot_name text PRIMARY KEY, pos text)"
+                )
+                cur.execute(
+                    f"INSERT INTO {self._progress_tbl()} VALUES (%s, %s) "
+                    "ON CONFLICT (slot_name) DO UPDATE SET pos = EXCLUDED.pos",
+                    (self.config.slot_name, pos_json),
+                )
+        except Exception as e:
+            import logging  # noqa: PLC0415
+
+            logging.getLogger(__name__).warning(
+                "postgres_cdc: cannot persist snapshot progress to %s (%s); "
+                "a restart during the snapshot would SKIP its remainder — "
+                "grant CREATE/INSERT on the progress table for exact resume",
+                self.config.progress_table,
+                e,
+            )
+
+    def load_snapshot_progress(self) -> tuple | None:  # pragma: no cover - needs server
+        """This slot's recorded snapshot position (table_idx, key), or
+        None when absent/unreadable."""
+        try:
+            with self._connect() as conn, conn.cursor() as cur:
+                cur.execute(
+                    f"SELECT pos FROM {self._progress_tbl()} WHERE slot_name = %s",
+                    (self.config.slot_name,),
+                )
+                row = cur.fetchone()
+            if row is None:
+                return None
+            ti, key = json.loads(row[0])
+            return (ti, key)
+        except Exception:
+            return None
+
+    def clear_snapshot_progress(self) -> None:  # pragma: no cover - needs server
+        try:
+            with self._connect() as conn, conn.cursor() as cur:
+                cur.execute(
+                    f"DELETE FROM {self._progress_tbl()} WHERE slot_name = %s",
+                    (self.config.slot_name,),
+                )
+        except Exception:
+            pass
+
+    def snapshot_range(
+        self,
+        schema: str,
+        table: str,
+        pk_cols: list[str],
+        lower: list | None,
+        upper: list | None,
+    ) -> Iterator[dict[str, Any]]:  # pragma: no cover - needs server
+        """All rows with PK in (lower, upper] — the executor-side chunk
+        read (one connection per task). With no pk_cols / bounds this
+        is the whole-table fallback."""
+        conds: list[str] = []
+        params: list = []
+        if pk_cols:
+            cols = ", ".join(f'"{c}"' for c in pk_cols)
+            ph = ", ".join(["%s"] * len(pk_cols))
+            if lower is not None:
+                conds.append(f"({cols}) > ({ph})")
+                params.extend(lower)
+            if upper is not None:
+                conds.append(f"({cols}) <= ({ph})")
+                params.extend(upper)
+        where = f" WHERE {' AND '.join(conds)}" if conds else ""
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(f'SELECT * FROM "{schema}"."{table}"{where}', tuple(params))
+            cols_out = [d[0] for d in cur.description]
             for row in cur:
-                yield dict(zip(cols, row))
+                yield dict(zip(cols_out, row))
 
     def peek_changes(self, limit: int) -> list[dict[str, Any]]:  # pragma: no cover - needs server
         """Read up to ``limit`` changes from the slot WITHOUT consuming
@@ -328,18 +537,53 @@ class PostgresReplicationClient:
         return out
 
 
+def _key_lt(a: list, b: list) -> bool:
+    """PK-tuple order (element-wise, same types within one table)."""
+    return list(a) < list(b)
+
+
+def _pos_lt(a: tuple, b: tuple) -> bool:
+    """Snapshot-position order. A position is ([schema, table] | None,
+    key | None): table None = nothing planned yet (global minimum);
+    within a table, key None = table FULLY planned (its maximum).
+    Name-based (not index-based) so a table created or dropped
+    mid-snapshot never shifts the meaning of a checkpointed offset."""
+    if a[0] is None:
+        return b[0] is not None
+    if b[0] is None:
+        return False
+    ta, tb = tuple(a[0]), tuple(b[0])
+    if ta != tb:
+        return ta < tb
+    if a[1] is None:
+        return False
+    if b[1] is None:
+        return True
+    return _key_lt(a[1], b[1])
+
+
+def _pos_max(a: tuple, b: tuple) -> tuple:
+    return b if _pos_lt(a, b) else a
+
+
 class PostgresCDCPartition(InputPartition):
-    def __init__(self, rows: list[tuple]):
-        self.rows = rows
+    """Either a driver-buffered WAL row batch (``rows``) or a snapshot
+    key-range chunk (``chunk`` = (schema, table, pk_cols, lower,
+    upper)) whose rows are read EXECUTOR-side in ``read()``."""
+
+    def __init__(self, rows: list[tuple] | None = None, chunk: tuple | None = None):
+        self.rows = rows or []
+        self.chunk = chunk
 
 
 class PostgresCDCStreamReader(DataSourceStreamReader):
-    """Streaming reader: snapshot phase then WAL tail, LSN offsets.
+    """Streaming reader: chunked snapshot phase then WAL tail.
 
-    The planning happens on the driver (``latestOffset`` polls and
-    buffers); partitions ship the buffered rows to executors. Suits
-    CDC volumes (a changelog tail is driver-bounded by nature —
-    Debezium does the same single-threaded read in the reference)."""
+    WAL planning happens on the driver (``latestOffset`` polls and
+    buffers) — a changelog tail is driver-bounded by nature (Debezium
+    does the same single-threaded read in the reference). The SNAPSHOT
+    is the table-volume-proportional phase, so it is planned as keyset
+    spans and read executor-side (see module docstring)."""
 
     def __init__(self, config: PostgresCDCConfig, client: PostgresReplicationClient | None = None):
         self.config = config
@@ -347,9 +591,112 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
         self._pending: dict[tuple[int, int], list[tuple]] = {}
         self._snapshot_done = False
         self._last_lsn = 0  # planned (not necessarily committed) watermark
+        self._tables: list[tuple[str, str]] | None = None  # sorted at snapshot start
+        self._pks: dict[tuple[str, str], list[str]] = {}
+        self._snap_pos: tuple | None = None  # planned-through ([schema,table], key)
+        #: cached chunk plans keyed by (pos_key(start), pos_key(end))
+        self._snap_chunks: dict[tuple, list[tuple]] = {}
+        #: committed snapshot floor: spans clamp to it, making
+        #: re-planned (restart) positions duplicate-free
+        self._snap_floor: tuple = (None, None)
+        self._progress_cleared = False
 
     def initialOffset(self) -> dict:
-        return {"phase": "snapshot", "lsn": 0}
+        return {"phase": "snapshot", "table": None, "key": None}
+
+    # -- snapshot planning ------------------------------------------------
+
+    @staticmethod
+    def _pos_of(offset: dict) -> tuple:
+        return (offset.get("table"), offset.get("key"))
+
+    @staticmethod
+    def _pos_key(pos: tuple) -> str:
+        return json.dumps([pos[0], pos[1]])
+
+    def _progress_pair(self) -> tuple[str, str]:
+        """(schema, table) of the progress table — excluded from
+        capture (it is bookkeeping, not source data)."""
+        parts = [p.replace('"', "") for p in self.config.progress_table.split(".")]
+        return (parts[0], parts[1]) if len(parts) == 2 else ("", parts[0])
+
+    def _ensure_tables(self) -> list[tuple[str, str]]:
+        if self._tables is None:
+            skip = self._progress_pair()
+            self._tables = sorted(
+                tuple(t) for t in self.client.list_tables() if tuple(t) != skip
+            )
+        return self._tables
+
+    def _pk(self, schema: str, table: str) -> list[str]:
+        k = (schema, table)
+        if k not in self._pks:
+            self._pks[k] = list(self.client.primary_key(schema, table))
+        return self._pks[k]
+
+    def _chunks_between(
+        self, start: tuple, end: tuple | None, max_chunks: int | None = None
+    ) -> tuple[list[tuple], tuple]:
+        """Keyset-chunk the snapshot key space from ``start`` forward:
+        bounded by ``end`` (replay of a checkpointed span — the bounds
+        are literal, so the same span always covers the same key
+        range) or by ``max_chunks`` (planning — pacing). Returns
+        (chunks, reached_position); each chunk is one boundary query
+        (index-only, ``snapshot_chunk_size`` rows)."""
+        import bisect  # noqa: PLC0415
+
+        tables = self._ensure_tables()
+        # locate the start cursor (index, in-table key) by NAME — a
+        # table created/dropped between incarnations cannot shift the
+        # meaning of a checkpointed position
+        if start[0] is None:
+            ti, key = 0, None
+        else:
+            st = tuple(start[0])
+            i = bisect.bisect_left(tables, st)
+            if i < len(tables) and tables[i] == st:
+                ti, key = (i + 1, None) if start[1] is None else (i, list(start[1]))
+            else:
+                ti, key = i, None  # start table vanished: resume at its successor
+        e_t = tuple(end[0]) if end is not None and end[0] is not None else None
+        pos = (list(start[0]), start[1]) if start[0] is not None else (None, None)
+        chunks: list[tuple] = []
+        while ti < len(tables):
+            t = tables[ti]
+            if end is not None and (e_t is None or t > e_t):
+                break
+            if max_chunks is not None and len(chunks) >= max_chunks:
+                break
+            schema, table = t
+            pk = self._pk(schema, table)
+            # end (T, None) means T fully planned → no in-table clamp
+            limit_key = end[1] if end is not None and t == e_t else None
+            if not pk:
+                # no chunkable PK: the table is one atomic chunk
+                chunks.append((schema, table, [], None, None))
+                pos = (list(t), None)
+                ti, key = ti + 1, None
+                continue
+            if limit_key is not None and key is not None and not _key_lt(key, limit_key):
+                pos = (list(t), limit_key)  # span already exhausted here
+                break
+            bound = self.client.chunk_bound(
+                schema, table, pk, key, self.config.snapshot_chunk_size
+            )
+            if limit_key is not None and (bound is None or not _key_lt(bound, limit_key)):
+                # final chunk of the span, clamped to its literal end key
+                chunks.append((schema, table, pk, key, limit_key))
+                pos = (list(t), limit_key)
+                break
+            if bound is None:
+                chunks.append((schema, table, pk, key, None))  # rest of table
+                pos = (list(t), None)
+                ti, key = ti + 1, None
+            else:
+                chunks.append((schema, table, pk, key, bound))
+                pos = (list(t), bound)
+                key = bound
+        return chunks, pos
 
     def _changes_to_rows(self, changes: list[dict[str, Any]], floor_lsn: int) -> list[tuple]:
         """Translate peeked wal2json records into (envelope, lsn, ts)
@@ -386,40 +733,56 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
             prev_max = max_lsn
             limit *= 2
 
-    def _snapshot_rows(self) -> list[tuple]:
-        rows: list[tuple] = []
-        for schema, table in self.client.list_tables():
-            for row in self.client.snapshot_rows(schema, table):
-                rows.append(
-                    (snapshot_row_to_envelope(schema, table, row, self.config.database), 0, 0)
-                )
-        return rows
-
     def latestOffset(self) -> dict:
         if not self._snapshot_done:
-            # Slot first: no gap between snapshot and tail. A
-            # pre-existing slot *usually* means a previous incarnation
-            # snapshotted — but only a slot that has been ADVANCED
-            # proves a batch ever committed (advance happens strictly
-            # after checkpoint, and only for post-snapshot batches).
-            # confirmed_lsn==0 therefore means the previous incarnation
-            # died before any WAL batch committed: its snapshot may
-            # never have reached Spark's offset log, and seeding the
-            # watermark here would plan the first span as (0, max_lsn+1)
-            # — which partitions() serves with WAL rows only, silently
-            # dropping every snapshot row. Treat it as a fresh start and
-            # re-run the snapshot; if the snapshot batch *did* commit,
-            # Spark never asks for span (0,1) again and the extra read
-            # is discarded (op='r' rows are idempotent under downstream
-            # last-write-wins compaction in any case).
-            created = self.client.ensure_slot()
-            if created or self.client.slot_confirmed_lsn() == 0:
-                self._pending[(0, 1)] = self._snapshot_rows()
-                self._snapshot_done = True
-                self._last_lsn = 1
-                return {"phase": "wal", "lsn": 1}
-            self._snapshot_done = True
-            self._last_lsn = self.client.slot_confirmed_lsn() + 1
+            if self._snap_pos is None:
+                # Slot first: no gap between snapshot and tail
+                # (changes during the snapshot replay from the slot;
+                # downstream compaction dedupes). Restart triage for a
+                # PRE-EXISTING slot: the durable progress row is the
+                # authority (a real slot's confirmed_flush_lsn is
+                # nonzero from CREATION, so slot state alone cannot
+                # tell "snapshot interrupted" from "snapshot done") —
+                # present ⇒ resume the snapshot exactly at its keyset
+                # position; absent with an advanced slot ⇒ the WAL
+                # phase cleared it: snapshot long done. Absent with a
+                # never-advanced slot (unit fakes / progress-less
+                # degraded mode after a mid-snapshot crash) ⇒ re-plan
+                # from the top; the committed floor seeded by
+                # partitions() keeps that duplicate-free (one
+                # backwards offset served as an empty batch, then
+                # planning resumes at the floor).
+                created = self.client.ensure_slot()
+                state = None
+                if created:
+                    # a stale progress row can outlive a dropped slot
+                    self.client.clear_snapshot_progress()
+                else:
+                    state = self.client.load_snapshot_progress()
+                if state is None and not created and self.client.slot_confirmed_lsn() > 0:
+                    self._snapshot_done = True
+                    self._last_lsn = max(
+                        self._last_lsn, self.client.slot_confirmed_lsn() + 1
+                    )
+                else:
+                    self._snap_pos = tuple(state) if state is not None else (None, None)
+            if not self._snapshot_done:
+                start = _pos_max(self._snap_pos, self._snap_floor)
+                chunks, new_pos = self._chunks_between(
+                    start, None, self.config.snapshot_chunks_per_trigger
+                )
+                if chunks:
+                    self._snap_chunks[(self._pos_key(start), self._pos_key(new_pos))] = chunks
+                self._snap_pos = _pos_max(self._snap_pos, new_pos)
+                tables = self._ensure_tables()
+                if not tables or (
+                    new_pos[0] is not None
+                    and tuple(new_pos[0]) == tables[-1]
+                    and new_pos[1] is None
+                ):
+                    self._snapshot_done = True
+                    self._last_lsn = max(self._last_lsn, 1)
+                return {"phase": "snapshot", "table": new_pos[0], "key": new_pos[1]}
         # Grow the peek window past already-planned-but-uncommitted
         # changes (they stay in the slot until commit advances it) —
         # a fixed-size peek would re-see only the oldest uncommitted
@@ -433,51 +796,108 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
         return {"phase": "wal", "lsn": self._last_lsn}
 
     def partitions(self, start: dict, end: dict) -> list[PostgresCDCPartition]:
-        span = (start.get("lsn", 0), end.get("lsn", 0))
-        # A wal-phase start means the snapshot batch is behind us —
-        # keep internal state consistent on a restarted reader so the
-        # next latestOffset() continues instead of re-snapshotting.
-        if span[1] >= 1:
+        s_phase = start.get("phase", "wal")
+        e_phase = end.get("phase", "wal")
+        parts: list[PostgresCDCPartition] = []
+        if e_phase == "wal" and end.get("lsn", 0) >= 1:
+            # A wal-phase end means the snapshot is behind us — keep a
+            # restarted reader's state consistent so the next
+            # latestOffset() continues instead of re-snapshotting.
             self._snapshot_done = True
-            self._last_lsn = max(self._last_lsn, span[1])
-        rows = self._pending.get(span)
-        if rows is None and span == (0, 1):
-            # Snapshot batch replay after restart: re-read the tables.
-            # op='r' envelopes are idempotent under downstream
-            # last-write-wins compaction.
-            rows = self._snapshot_rows()
-        if rows is None:
-            # Restart replay of a planned-but-uncommitted wal batch:
-            # the slot was not advanced past it, so re-peek and filter
-            # to the requested range. Peek windows grow until they
-            # cover the span's end — with several uncommitted spans in
-            # flight at crash time (commit lag, multi-batch triggers),
-            # later spans lie beyond the first poll_batch_size changes
-            # and a single fixed-size peek would falsely conclude the
-            # slot cannot serve them.
-            changes = self._peek_covering(span[1])
-            rows = [
-                r
-                for r in self._changes_to_rows(changes, span[0])
-                if span[0] <= r[1] < span[1]
-            ]
-            if not rows and span[1] > span[0] > 0:
-                raise RuntimeError(
-                    f"postgres_cdc: cannot serve checkpointed offset range "
-                    f"[{span[0]}, {span[1]}) from slot "
-                    f"{self.config.slot_name!r}: the slot has no changes in "
-                    "range (was it advanced or recreated externally?). "
-                    "Refusing to return an empty batch for a non-empty span."
+            self._last_lsn = max(self._last_lsn, end.get("lsn", 0))
+        if s_phase == "snapshot":
+            s_pos = self._pos_of(start)
+            # Engine invariant: at most one batch is ever uncommitted,
+            # so a batch's START offset is always committed — raise
+            # the floor; snapshot spans clamp to it (duplicate-free
+            # restarts without any server-side progress store).
+            self._snap_floor = _pos_max(self._snap_floor, s_pos)
+            if e_phase == "snapshot":
+                e_pos = self._pos_of(end)
+                # seed a restarted reader's planning watermark from the
+                # checkpointed span (and serve a transiently backwards
+                # span — re-planning below the floor — as empty)
+                seeded = _pos_max(s_pos, e_pos)
+                self._snap_pos = (
+                    seeded if self._snap_pos is None else _pos_max(self._snap_pos, seeded)
                 )
-        return [PostgresCDCPartition(rows or [])]
+                eff = _pos_max(s_pos, self._snap_floor)
+                if _pos_lt(eff, e_pos):
+                    cache_key = (self._pos_key(eff), self._pos_key(e_pos))
+                    chunks = self._snap_chunks.get(cache_key)
+                    if chunks is None:
+                        # replay on a fresh reader: the span's literal
+                        # key bounds make this deterministic
+                        chunks, _ = self._chunks_between(eff, e_pos)
+                    parts.extend(PostgresCDCPartition(chunk=c) for c in chunks)
+        if e_phase == "wal":
+            # the snapshot→wal transition batch starts the tail at the
+            # wal floor (lsn 1); snapshot residue cannot exist in such
+            # a span (latestOffset never jumps mid-snapshot → wal)
+            span = (
+                start.get("lsn", 0) if s_phase == "wal" else 1,
+                end.get("lsn", 0),
+            )
+            if span[1] > span[0]:
+                rows = self._pending.get(span)
+                if rows is None:
+                    # Restart replay of a planned-but-uncommitted wal
+                    # batch: the slot was not advanced past it, so
+                    # re-peek and filter to the requested range. Peek
+                    # windows grow until they cover the span's end —
+                    # with several uncommitted spans in flight at crash
+                    # time, later spans lie beyond the first
+                    # poll_batch_size changes and a single fixed-size
+                    # peek would falsely conclude the slot cannot serve
+                    # them.
+                    changes = self._peek_covering(span[1])
+                    rows = [
+                        r
+                        for r in self._changes_to_rows(changes, span[0])
+                        if span[0] <= r[1] < span[1]
+                    ]
+                    if not rows and span[1] > span[0] > 0:
+                        raise RuntimeError(
+                            f"postgres_cdc: cannot serve checkpointed offset range "
+                            f"[{span[0]}, {span[1]}) from slot "
+                            f"{self.config.slot_name!r}: the slot has no changes in "
+                            "range (was it advanced or recreated externally?). "
+                            "Refusing to return an empty batch for a non-empty span."
+                        )
+                if rows:
+                    parts.append(PostgresCDCPartition(rows=rows))
+        return parts or [PostgresCDCPartition()]
 
     def read(self, partition: PostgresCDCPartition) -> Iterator[tuple]:
+        if partition.chunk is not None:
+            # EXECUTOR-side snapshot chunk read: per-task connection,
+            # rows never transit the driver
+            schema, table, pk_cols, lower, upper = partition.chunk
+            for row in self.client.snapshot_range(schema, table, pk_cols, lower, upper):
+                yield (
+                    snapshot_row_to_envelope(schema, table, row, self.config.database),
+                    0,
+                    0,
+                )
+            return
         yield from partition.rows
 
     def commit(self, end: dict) -> None:
         """Called after Spark durably commits ``end`` to the offset
-        log: only now is it safe to drop driver buffers and advance
-        the replication slot past the batch."""
+        log: only now is it safe to drop driver buffers, raise the
+        snapshot floor, and advance the replication slot."""
+        if end.get("phase") == "snapshot":
+            pos = self._pos_of(end)
+            self._snap_floor = _pos_max(self._snap_floor, pos)
+            for k in [
+                k
+                for k in self._snap_chunks
+                if not _pos_lt(self._snap_floor, tuple(json.loads(k[1])))
+            ]:
+                del self._snap_chunks[k]
+            # durable keyset position: a restarted reader resumes here
+            self.client.save_snapshot_progress(json.dumps(list(pos)))
+            return
         end_lsn = end.get("lsn", 0)
         for k in [k for k in self._pending if k[1] <= end_lsn]:
             del self._pending[k]
@@ -485,6 +905,11 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
             # end_lsn is max committed change lsn + 1; advance the slot
             # to the last committed change itself.
             self.client.advance_slot(end_lsn - 1)
+            if not self._progress_cleared:
+                # the WAL phase owns restart detection from here on
+                # (slot advanced ⇒ snapshot done); drop the progress row
+                self.client.clear_snapshot_progress()
+                self._progress_cleared = True
 
 
 if _HAS_DATASOURCE_API:

@@ -4,6 +4,7 @@ metadata columns, batch and streaming."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -103,7 +104,7 @@ def test_bus_spool_source_replay_and_truncation_guard(spark, tmp_path):
 
     # (b) replay of the first span returns exactly file 0's frames
     reader = BusUpsertStreamReader(spool)
-    parts = reader.partitions({"n_files": 0}, {"n_files": 1})
+    parts = reader.partitions({"last": "", "n": 0}, {"last": "frames-00000000-0000.jsonl", "n": 1})
     replay = [row for p in parts for row in reader.read(p)]
     assert {(r[0], r[1]) for r in replay} == {("k1", '{"a":1}'), ("k2", '{"a":2}')}
 
@@ -114,7 +115,7 @@ def test_bus_spool_source_replay_and_truncation_guard(spark, tmp_path):
         if n.startswith("frames-00000001"):
             _os.remove(_os.path.join(spool, n))
     with _pytest.raises(RuntimeError, match="truncated"):
-        reader.partitions({"n_files": 0}, {"n_files": 2})
+        reader.partitions({"last": "", "n": 0}, {"last": "frames-00000001-0000.jsonl", "n": 2})
 
 
 def test_bus_spool_source_restart_from_checkpoint(spark, tmp_path):
@@ -188,29 +189,33 @@ def test_bus_spool_rate_limit_and_restart_seed(spark, tmp_path):
         )
 
     r = BusUpsertStreamReader(spool, max_files_per_trigger=1)
-    assert r.initialOffset() == {"n_files": 0}  # fresh start: baseline, pacing on
-    assert r.latestOffset() == {"n_files": 1}
-    assert r.latestOffset() == {"n_files": 2}
-    assert r.latestOffset() == {"n_files": 3}
-    assert r.latestOffset() == {"n_files": 3}  # caught up
+    assert r.initialOffset() == {"last": "", "n": 0}  # fresh start: baseline, pacing on
+    assert r.latestOffset() == {"last": "frames-00000000-0000.jsonl", "n": 1}
+    assert r.latestOffset() == {"last": "frames-00000001-0000.jsonl", "n": 2}
+    assert r.latestOffset() == {"last": "frames-00000002-0000.jsonl", "n": 3}
+    assert r.latestOffset() == {"last": "frames-00000002-0000.jsonl", "n": 3}  # caught up
 
     # uncommitted-replay restart: partitions() seeds the watermark
     r2 = BusUpsertStreamReader(spool, max_files_per_trigger=1)
-    rows = [row for p in r2.partitions({"n_files": 0}, {"n_files": 2}) for row in r2.read(p)]
+    rows = [row for p in r2.partitions({"last": "", "n": 0}, {"last": "frames-00000001-0000.jsonl", "n": 2}) for row in r2.read(p)]
     assert [x[0] for x in rows] == ["k0", "k1"]
-    assert r2.latestOffset() == {"n_files": 3}  # resumes from the seed, not zero
+    assert r2.latestOffset() == {"last": "frames-00000002-0000.jsonl", "n": 3}  # resumes from the seed, not zero
 
     # clean restart from a fully-committed checkpoint: the engine
     # calls latestOffset FIRST — it must NOT cap below the committed
     # position (that would regress the offset log and re-deliver
     # committed files), so the un-seeded first call is uncapped
     r3 = BusUpsertStreamReader(spool, max_files_per_trigger=1)
-    assert r3.latestOffset() == {"n_files": 3}
+    assert r3.latestOffset() == {"last": "frames-00000002-0000.jsonl", "n": 3}
 
     # backwards span (defensive) is an empty batch, not an error
     r4 = BusUpsertStreamReader(spool, max_files_per_trigger=1)
-    assert [row for p in r4.partitions({"n_files": 2}, {"n_files": 1}) for row in r4.read(p)] == []
-    assert r4.latestOffset() == {"n_files": 3}
+    assert [
+        row
+        for p in r4.partitions({"last": "frames-00000001-0000.jsonl", "n": 2}, {"last": "frames-00000000-0000.jsonl", "n": 1})
+        for row in r4.read(p)
+    ] == []
+    assert r4.latestOffset() == {"last": "frames-00000002-0000.jsonl", "n": 3}
 
 
 def test_bus_spool_rate_limited_committed_restart_no_duplicates(spark, tmp_path):
@@ -298,3 +303,40 @@ def test_bus_spool_batch_sql_name_registration(spark, tmp_path):
         assert n == 2
     finally:
         spark.catalog.dropTempView(tbl)
+
+
+def test_bus_spool_name_offsets_catch_retention_and_rogue_publish(spark, tmp_path):
+    """Round-7 offset hardening: offsets are file NAMES + counts, so
+    (a) deleting a committed PREFIX file makes its replay a loud
+    count-mismatch error (positional offsets would silently serve the
+    WRONG files), while spans before the deletion still replay
+    correctly by name; (b) a rogue lower-seq publish landing inside a
+    committed range is likewise loud."""
+    import pytest as _pytest
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        BusUpsertStreamReader,
+        spool_frames,
+    )
+
+    spool = str(tmp_path / "spool")
+    schema = "key string, value string, topic string"
+    for i in (0, 2, 3):  # seq 1 deliberately absent for (b)
+        spool_frames(
+            spark.createDataFrame([(f"k{i}", f"v{i}", "t")], schema).coalesce(1), spool, seq=i
+        )
+    f = [f"frames-0000000{i}-0000.jsonl" for i in range(4)]
+    r = BusUpsertStreamReader(spool)
+
+    # (a) retention deletes the middle committed file
+    os.remove(os.path.join(spool, f[2]))
+    with _pytest.raises(RuntimeError, match="truncated or a non-sequential"):
+        r.partitions({"last": f[0], "n": 1}, {"last": f[2], "n": 2})
+    # the span BEFORE the deletion still replays exactly, by name
+    rows = [row for p in r.partitions({"last": "", "n": 0}, {"last": f[0], "n": 1}) for row in r.read(p)]
+    assert [x[0] for x in rows] == ["k0"]
+
+    # (b) a rogue producer publishes seq 1 into an already-planned range
+    spool_frames(spark.createDataFrame([("rogue", "vx", "t")], schema).coalesce(1), spool, seq=1)
+    with _pytest.raises(RuntimeError, match="truncated or a non-sequential"):
+        r.partitions({"last": "", "n": 0}, {"last": f[3], "n": 2})

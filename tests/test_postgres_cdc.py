@@ -68,6 +68,21 @@ class FakeClient:
             [],
         ]
 
+        self.pks = {("schema1", "users"): ["id"]}
+        self.progress = None  # the durable snapshot-progress row
+
+    def save_snapshot_progress(self, pos_json):
+        self.progress = pos_json
+
+    def load_snapshot_progress(self):
+        if self.progress is None:
+            return None
+        ti, key = json.loads(self.progress)
+        return (ti, key)
+
+    def clear_snapshot_progress(self):
+        self.progress = None
+
     def ensure_slot(self):
         created = not self.slot_created
         self.slot_created = True
@@ -76,8 +91,24 @@ class FakeClient:
     def list_tables(self):
         return sorted(self.snapshot)
 
-    def snapshot_rows(self, schema, table):
-        yield from self.snapshot[(schema, table)]
+    def primary_key(self, schema, table):
+        return self.pks.get((schema, table), [])
+
+    def chunk_bound(self, schema, table, pk_cols, lower, chunk_size):
+        keys = sorted(tuple(r[c] for c in pk_cols) for r in self.snapshot[(schema, table)])
+        if lower is not None:
+            keys = [k for k in keys if k > tuple(lower)]
+        return list(keys[chunk_size - 1]) if len(keys) >= chunk_size else None
+
+    def snapshot_range(self, schema, table, pk_cols, lower, upper):
+        for r in self.snapshot[(schema, table)]:
+            if pk_cols:
+                k = tuple(r[c] for c in pk_cols)
+                if lower is not None and k <= tuple(lower):
+                    continue
+                if upper is not None and k > tuple(upper):
+                    continue
+            yield r
 
     def peek_changes(self, limit):
         if self.change_queue:  # new WAL arrives between polls
@@ -127,7 +158,8 @@ def test_snapshot_then_wal_handoff(reader):
 
 def test_offsets_advance_and_commit_clears_buffers(reader):
     _drain(reader)
-    assert reader._pending == {} or all(k == (0, 1) for k in reader._pending)
+    assert reader._pending == {}
+    assert reader._snap_chunks == {}  # committed chunk plans pruned too
 
 
 def test_wal2json_translation_skips_non_row_actions():
@@ -179,14 +211,16 @@ def test_restart_replays_uncommitted_batch_from_slot():
     re-peeking — not silently return empty (the round-1 data-loss bug)."""
     client = FakeClient()
     r1 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
-    r1.latestOffset()              # snapshot planned
-    r1.commit({"phase": "wal", "lsn": 1})
+    snap = r1.latestOffset()       # snapshot planned (single batch here)
+    assert snap["phase"] == "snapshot"
+    r1.commit(snap)
     end = r1.latestOffset()        # wal batch with lsn=10 planned, NOT committed
     assert end == {"phase": "wal", "lsn": 11}
-    # crash: new reader, same server state (slot exists, confirmed=0)
+    # crash: new reader, same server state (slot exists, confirmed=0);
+    # the engine replays (committed snapshot offset → planned wal end)
     r2 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
-    [part] = r2.partitions({"phase": "wal", "lsn": 1}, {"phase": "wal", "lsn": 11})
-    envs = [json.loads(v) for v, _, _ in part.rows]
+    rows = [r for p in r2.partitions(snap, end) for r in r2.read(p)]
+    envs = [json.loads(v) for v, _, _ in rows]
     assert [e["op"] for e in envs] == ["c"]
     assert envs[0]["after"]["full_name"] == "anne smith"
 
@@ -200,7 +234,7 @@ def test_restart_skips_snapshot_and_resumes_from_confirmed_lsn():
     r2 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
     off = r2.latestOffset()
     assert r2._snapshot_done and off["phase"] == "wal"
-    assert (0, 1) not in r2._pending          # no re-snapshot planned
+    assert r2._snap_chunks == {}              # no re-snapshot planned
     assert off["lsn"] == client.confirmed_lsn + 1
 
 
@@ -227,8 +261,7 @@ def test_replay_of_span_beyond_peek_window():
     window instead of raising/stalling."""
     client = FakeClient()
     r1 = PostgresCDCStreamReader(PostgresCDCConfig(poll_batch_size=1), client=client)
-    r1.latestOffset()
-    r1.commit({"phase": "wal", "lsn": 1})
+    r1.commit(r1.latestOffset())   # snapshot batch committed
     assert r1.latestOffset() == {"phase": "wal", "lsn": 11}   # span (1,11) planned
     assert r1.latestOffset() == {"phase": "wal", "lsn": 21}   # span (11,21) planned
     # crash with both spans uncommitted; a fresh reader must serve the
@@ -253,8 +286,7 @@ def test_unserveable_wal_range_raises_instead_of_empty():
 def test_slot_advances_only_on_commit():
     client = FakeClient()
     r = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
-    r.latestOffset()
-    r.commit({"phase": "wal", "lsn": 1})
+    r.commit(r.latestOffset())     # snapshot batch
     r.latestOffset()               # plans wal span (1, 11)
     assert client.confirmed_lsn == 0          # peek is non-destructive
     r.commit({"phase": "wal", "lsn": 11})
@@ -297,3 +329,162 @@ def test_config_from_options_parses_lists():
     assert cfg.schema_list == ["schema1", "schema2"]
     assert cfg.table_list == ["users"]
     assert cfg.port == 5434
+
+
+# -- chunked snapshot (round 7: keyset spans, executor-side reads) ------
+
+
+def _bulk_client(n_rows=9):
+    """FakeClient whose users table has n_rows rows and no queued WAL."""
+    c = FakeClient()
+    c.snapshot = {
+        ("schema1", "users"): [
+            {"id": i, "full_name": f"user {i}"} for i in range(1, n_rows + 1)
+        ]
+    }
+    c.change_queue = [[]]
+    return c
+
+
+def _chunked_cfg(chunk=2, per_trigger=1):
+    return PostgresCDCConfig(
+        snapshot_chunk_size=chunk, snapshot_chunks_per_trigger=per_trigger
+    )
+
+
+def _drive(reader, start, n_batches=None):
+    """Engine-style loop returning (per-batch id lists, offsets)."""
+    batches, offsets, cur = [], [start], start
+    while n_batches is None or len(batches) < n_batches:
+        end = reader.latestOffset()
+        if end == cur:
+            break
+        rows = [r for p in reader.partitions(cur, end) for r in reader.read(p)]
+        batches.append([json.loads(v)["after"]["id"] for v, _, _ in rows if json.loads(v)["op"] == "r"])
+        reader.commit(end)
+        offsets.append(end)
+        cur = end
+    return batches, offsets
+
+
+def test_snapshot_paced_over_multiple_batches():
+    """9 rows at chunk_size=2, 1 chunk/trigger: the snapshot arrives
+    over 5 paced micro-batches with keyset offsets, exactly once."""
+    r = PostgresCDCStreamReader(_chunked_cfg(), client=_bulk_client(9))
+    batches, offsets = _drive(r, r.initialOffset())
+    snap_batches = [b for b in batches if b]
+    assert snap_batches == [[1, 2], [3, 4], [5, 6], [7, 8], [9]]
+    # offsets carry the literal key bounds through the snapshot phase
+    assert offsets[1] == {"phase": "snapshot", "table": ["schema1", "users"], "key": [2]}
+    assert offsets[2] == {"phase": "snapshot", "table": ["schema1", "users"], "key": [4]}
+    assert offsets[5] == {"phase": "snapshot", "table": ["schema1", "users"], "key": None}
+
+
+def test_snapshot_rows_never_buffer_on_driver():
+    """The scale contract: snapshot partitions carry key-range chunk
+    METADATA only; no snapshot row ever sits in a driver buffer."""
+    client = _bulk_client(9)
+    r = PostgresCDCStreamReader(_chunked_cfg(chunk=3, per_trigger=2), client=client)
+    start = r.initialOffset()
+    end = r.latestOffset()
+    parts = r.partitions(start, end)
+    assert all(p.chunk is not None and p.rows == [] for p in parts)
+    assert len(parts) == 2  # per_trigger chunks, one task each
+    assert r._pending == {}  # _pending is wal-only
+    ids = [json.loads(v)["after"]["id"] for p in parts for v, _, _ in r.read(p)]
+    assert ids == [1, 2, 3, 4, 5, 6]
+
+
+def test_mid_snapshot_uncommitted_replay_on_fresh_reader():
+    """Crash between planning and commit mid-snapshot: a FRESH reader
+    must re-serve the checkpointed span from its literal key bounds."""
+    client = _bulk_client(9)
+    r1 = PostgresCDCStreamReader(_chunked_cfg(), client=client)
+    o0 = r1.initialOffset()
+    o1 = r1.latestOffset()
+    r1.commit(o1)
+    o2 = r1.latestOffset()         # planned, NOT committed — crash
+    assert o1 == {"phase": "snapshot", "table": ["schema1", "users"], "key": [2]}
+    assert o2 == {"phase": "snapshot", "table": ["schema1", "users"], "key": [4]}
+    r2 = PostgresCDCStreamReader(_chunked_cfg(), client=client)
+    ids = [
+        json.loads(v)["after"]["id"]
+        for p in r2.partitions(o1, o2)
+        for v, _, _ in r2.read(p)
+    ]
+    assert ids == [3, 4]
+    # and the seeded reader continues from the replayed position
+    batches, _ = _drive(r2, o2)
+    assert [b for b in batches if b] == [[5, 6], [7, 8], [9]]
+
+
+def test_clean_restart_resumes_exactly_from_progress_row():
+    """Engine restart from a fully-committed mid-snapshot checkpoint
+    WITH the durable progress row: the fresh reader resumes at the
+    recorded keyset position — no re-planning, no backwards offsets,
+    remaining rows exactly once."""
+    client = _bulk_client(9)
+    r1 = PostgresCDCStreamReader(_chunked_cfg(chunk=2, per_trigger=2), client=client)
+    batches, offsets = _drive(r1, r1.initialOffset(), n_batches=2)
+    assert [b for b in batches if b] == [[1, 2, 3, 4], [5, 6, 7, 8]]
+    committed = offsets[-1]
+    assert client.progress == json.dumps([["schema1", "users"], [8]])
+    r2 = PostgresCDCStreamReader(_chunked_cfg(chunk=2, per_trigger=2), client=client)
+    lat = r2.latestOffset()
+    assert lat == {"phase": "snapshot", "table": ["schema1", "users"], "key": None}  # resumed, not replanned
+    rows = [r for p in r2.partitions(committed, lat) for r in r2.read(p)]
+    assert [json.loads(v)["after"]["id"] for v, _, _ in rows] == [9]
+    r2.commit(lat)
+
+
+def test_progress_row_cleared_once_wal_phase_advances():
+    client = FakeClient()
+    _drain(PostgresCDCStreamReader(PostgresCDCConfig(), client=client))
+    assert client.progress is None  # wal commit cleared it
+    assert client.confirmed_lsn > 0
+
+
+def test_clean_restart_mid_snapshot_is_duplicate_free_without_progress():
+    """The DEGRADED mode (role cannot write the progress row): the
+    fresh reader re-plans from the top, the engine records one
+    backwards offset served as an EMPTY batch (committed-floor clamp),
+    and the remaining rows arrive exactly once — no duplicates, no
+    loss."""
+    client = _bulk_client(9)
+    client.save_snapshot_progress = lambda pos_json: None   # writes fail silently
+    client.load_snapshot_progress = lambda: None
+    r1 = PostgresCDCStreamReader(_chunked_cfg(chunk=2, per_trigger=2), client=client)
+    batches, offsets = _drive(r1, r1.initialOffset(), n_batches=2)
+    assert [b for b in batches if b] == [[1, 2, 3, 4], [5, 6, 7, 8]]
+    committed = offsets[-1]        # {"snapshot", table 0, key [8]}
+    # crash + clean restart: engine calls latestOffset() FIRST
+    r2 = PostgresCDCStreamReader(_chunked_cfg(chunk=2, per_trigger=2), client=client)
+    lat = r2.latestOffset()        # re-planned from the top: below committed
+    rows = [r for p in r2.partitions(committed, lat) for r in r2.read(p)]
+    assert rows == []              # backwards span → empty, floor raised
+    r2.commit(lat)
+    batches2, _ = _drive(r2, lat)
+    assert [i for b in batches2 for i in b] == [9]  # ONLY the tail, exactly once
+
+
+def test_table_without_chunkable_pk_is_one_atomic_chunk():
+    client = _bulk_client(5)
+    client.snapshot[("schema1", "prefs")] = [{"k": "a", "v": 1}, {"k": "b", "v": 2}]
+    # no pk registered for prefs → whole-table fallback chunk
+    r = PostgresCDCStreamReader(_chunked_cfg(chunk=2, per_trigger=10), client=client)
+    end = r.latestOffset()
+    parts = r.partitions(r.initialOffset(), end)
+    chunks = [p.chunk for p in parts]
+    assert ("schema1", "prefs", [], None, None) in chunks
+    assert end == {"phase": "snapshot", "table": ["schema1", "users"], "key": None}
+    envs = [json.loads(v) for p in parts for v, _, _ in r.read(p)]
+    assert len(envs) == 7          # 5 users + 2 prefs, exactly once
+    assert {e["source"]["table"] for e in envs} == {"users", "prefs"}
+
+
+def test_snapshot_chunk_options_parse():
+    cfg = PostgresCDCConfig.from_options(
+        {"snapshotChunkSize": "500", "snapshot_chunks_per_trigger": "3"}
+    )
+    assert cfg.snapshot_chunk_size == 500
+    assert cfg.snapshot_chunks_per_trigger == 3

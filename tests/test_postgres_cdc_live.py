@@ -891,3 +891,259 @@ def test_schema_drift_add_column_live(scratch):
     assert envs[0]["after"]["email"] == "new@d"
     assert envs[0]["before"]["email"] == "p@d"
     reader.commit(end3)
+
+
+def test_chunked_snapshot_multibatch_and_restart_live(scratch):
+    """Round-7 scale fix, LIVE: a table bigger than one snapshot chunk
+    arrives over MULTIPLE paced micro-batches — keyset boundaries
+    planned with real index-only SQL (`chunk_bound`), rows read by
+    real range queries (`snapshot_range`) — with exactly-once rows
+    across (a) an uncommitted-span replay and (b) a clean engine-style
+    restart mid-snapshot (committed-floor clamp), then a tailed
+    mutation after the handoff."""
+    cur = scratch["cur"]
+    values = ", ".join(f"({i}, 'bulk {i}')" for i in range(3, 24))
+    cur.execute(f'INSERT INTO "{scratch["schema"]}".users VALUES {values}')  # ids 1..23
+    _setup_plugin(scratch, "pgoutput")
+    cfg = _config(scratch, plugin="pgoutput")
+    cfg.snapshot_chunk_size = 5
+    cfg.snapshot_chunks_per_trigger = 1
+    # keep the progress row inside the scratch schema (dropped on exit)
+    cfg.progress_table = f'"{scratch["schema"]}"._progress'
+
+    def ids_of(reader, start, end):
+        return sorted(
+            json.loads(v)["after"]["id"]
+            for p in reader.partitions(start, end)
+            for v, _l, _t in reader.read(p)
+        )
+
+    r1 = PostgresCDCStreamReader(cfg)
+    # the real PK catalog query must find the integer key
+    assert r1.client.primary_key(scratch["schema"], "users") == ["id"]
+    o0 = r1.initialOffset()
+    o1 = r1.latestOffset()
+    assert o1 == {"phase": "snapshot", "table": [scratch["schema"], "users"], "key": [5]}
+    assert ids_of(r1, o0, o1) == [1, 2, 3, 4, 5]
+    r1.commit(o1)
+    o2 = r1.latestOffset()         # planned, NOT committed — crash here
+    assert o2 == {"phase": "snapshot", "table": [scratch["schema"], "users"], "key": [10]}
+
+    # (a) uncommitted replay on a fresh reader: literal key bounds
+    r2 = PostgresCDCStreamReader(cfg)
+    assert ids_of(r2, o1, o2) == [6, 7, 8, 9, 10]
+    r2.commit(o2)
+
+    # (b) clean restart: the progress row (written to the REAL source
+    # DB on each snapshot commit) lets a third reader resume exactly
+    # at the committed keyset position — no re-plan, no re-delivery
+    r3 = PostgresCDCStreamReader(cfg)
+    lat = r3.latestOffset()
+    assert lat == {"phase": "snapshot", "table": [scratch["schema"], "users"], "key": [15]}  # next chunk after [10]
+    assert ids_of(r3, o2, lat) == [11, 12, 13, 14, 15]
+    r3.commit(lat)
+    seen, curoff = [11, 12, 13, 14, 15], lat
+    while True:
+        end = r3.latestOffset()
+        if end == curoff:
+            break
+        seen.extend(
+            json.loads(v)["after"]["id"]
+            for p in r3.partitions(curoff, end)
+            for v, _l, _t in r3.read(p)
+            if json.loads(v)["op"] == "r"
+        )
+        r3.commit(end)
+        curoff = end
+    assert sorted(seen) == list(range(11, 24))  # ONLY the un-committed tail
+
+    # snapshot→wal handoff still live after the chunked phase
+    cur.execute(f'INSERT INTO "{scratch["schema"]}".users VALUES (99, \'tail row\')')
+    envs, end2 = _drain(r3, curoff)
+    assert [(e["op"], e["after"]["id"]) for e in envs] == [("c", 99)]
+    r3.commit(end2)
+
+
+def test_engine_paced_chunked_snapshot_live(scratch, spark):
+    """The chunked snapshot through Spark's OWN micro-batch engine:
+    with snapshotChunkSize=4 / one chunk per trigger, a 10-row table
+    must reach the sink over several engine-planned micro-batches
+    (recentProgress shows the pacing), every row exactly once, rows
+    read executor-side."""
+    import tempfile
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import register
+
+    cur = scratch["cur"]
+    values = ", ".join(f"({i}, 'eng {i}')" for i in range(3, 11))
+    cur.execute(f'INSERT INTO "{scratch["schema"]}".users VALUES {values}')  # ids 1..10
+    _setup_plugin(scratch, "pgoutput")
+    register(spark)
+    p = _dsn_params()
+    tbl = f"cdc_chunked_mem_{uuid.uuid4().hex[:6]}"
+    ckpt = tempfile.mkdtemp(prefix="cdc_chunked_ckpt_")
+    q = (
+        spark.readStream.format("postgres_cdc")
+        .option("hostname", p.get("host", "localhost"))
+        .option("port", p.get("port", "5432"))
+        .option("database", p.get("dbname", "postgres"))
+        .option("username", p.get("user", "postgres"))
+        .option("password", p.get("password", ""))
+        .option("schema_list", scratch["schema"])
+        .option("slot_name", scratch["slot"])
+        .option("plugin_name", "pgoutput")
+        .option("publication_names", scratch["pub"])
+        .option("snapshotChunkSize", "4")
+        .option("snapshot_chunks_per_trigger", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        envs = [json.loads(r["value"]) for r in spark.table(tbl).collect()]
+        assert sorted(e["after"]["id"] for e in envs) == list(range(1, 11))
+        assert {e["op"] for e in envs} == {"r"}
+        fed = [pr for pr in q.recentProgress if pr["numInputRows"] > 0]
+        assert len(fed) >= 3, [pr["numInputRows"] for pr in q.recentProgress]
+        assert max(pr["numInputRows"] for pr in fed) <= 4  # paced, never a bulk batch
+    finally:
+        q.stop()
+
+
+def test_two_stage_topologies_concurrent_live(scratch, spark):
+    """The reference's ACTUAL deployment shape — two separate,
+    SIMULTANEOUSLY RUNNING streaming jobs bridged by the bus
+    (SJCD:145-146 'should be a different Flink job'): stage 1 tails
+    Postgres CDC and publishes keyed-JSON wire frames to the bus spool
+    (K2) in foreachBatch; stage 2 — a second streaming query started
+    while stage 1 runs — consumes the topic through
+    `readStream.format("bus_upsert")` (S4), maintains the compacted
+    per-schema live count (A3/A1), and refresh-upserts into a real
+    Postgres sink table (K3). Asserts the README golden sink state
+    (README.md:106-114) for the README DML (README.md:54-58), then a
+    tailed insert propagating through BOTH running queries."""
+    import os
+    import tempfile
+
+    from pyspark.sql.functions import col
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.envelope import parse_cdc, project_flat, with_key
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.bus import to_keyed_json
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.jdbc_upsert import JdbcUpsertSink
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        changelog_from_bus,
+        register_bus_source,
+        spool_frames,
+    )
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import register
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import run_compacted_aggregate
+
+    cur = scratch["cur"]
+    run = scratch["schema"]
+    s1, s2 = f"{run}_src1", f"{run}_src2"
+    for s in (s1, s2):
+        cur.execute(f'CREATE SCHEMA "{s}"')
+        cur.execute(f'CREATE TABLE "{s}".users (id BIGSERIAL PRIMARY KEY, full_name VARCHAR)')
+        cur.execute(f'ALTER TABLE "{s}".users REPLICA IDENTITY FULL')
+    try:
+        cur.execute(
+            f'CREATE PUBLICATION "{scratch["pub"]}" FOR TABLE "{s1}".users, "{s2}".users'
+        )
+    except Exception as e:
+        pytest.skip(f"cannot create publication: {e}")
+
+    # the reference README's exact DML: 3 inserts, then 2 updates
+    cur.execute(f'INSERT INTO "{s1}".users (full_name) VALUES (\'susan smith\')')
+    cur.execute(f'INSERT INTO "{s1}".users (full_name) VALUES (\'anne smith\')')
+    cur.execute(f'INSERT INTO "{s2}".users (full_name) VALUES (\'bob smith\')')
+    cur.execute(f'UPDATE "{s1}".users SET full_name = \'sue smith\' WHERE id = 1')
+    cur.execute(f'UPDATE "{s2}".users SET full_name = \'bobby smith\' WHERE id = 1')
+
+    register(spark)
+    register_bus_source(spark)
+    p = _dsn_params()
+    work = tempfile.mkdtemp(prefix="cdc_two_jobs_")
+    spool = os.path.join(work, "spool")
+    row_schema = StructType(
+        [StructField("id", LongType()), StructField("full_name", StringType())]
+    )
+
+    # ---- stage 1: CDC → wire frames → bus publish (its own query)
+    stream = (
+        spark.readStream.format("postgres_cdc")
+        .option("hostname", p.get("host", "localhost"))
+        .option("port", p.get("port", "5432"))
+        .option("database", p.get("dbname", "postgres"))
+        .option("username", p.get("user", "postgres"))
+        .option("password", p.get("password", ""))
+        .option("schema_list", f"{s1},{s2}")
+        .option("slot_name", scratch["slot"])
+        .option("plugin_name", "pgoutput")
+        .option("publication_names", scratch["pub"])
+        .load()
+    )
+    flat = with_key(
+        project_flat(parse_cdc(stream.select("value"), row_schema), "users", ["id", "full_name"]),
+        "schema",
+        "id",
+    )
+    value_cols = ["op", "schema", "table", "ts_ms", "lsn", "id", "full_name"]
+    wire = to_keyed_json(flat, key_col="key", topic="users", value_cols=value_cols)
+    q1 = (
+        wire.writeStream.foreachBatch(lambda bdf, bid: spool_frames(bdf, spool, seq=bid))
+        .option("checkpointLocation", os.path.join(work, "ckpt1"))
+        .queryName("stage1_cdc_to_bus")
+        .start()
+    )
+
+    # ---- stage 2: bus → compacted count → JDBC upsert (second query,
+    # started while stage 1 is live)
+    value_schema = StructType(
+        [
+            StructField("op", StringType()),
+            StructField("schema", StringType()),
+            StructField("table", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("lsn", LongType()),
+            StructField("id", LongType()),
+            StructField("full_name", StringType()),
+        ]
+    )
+    os.makedirs(spool, exist_ok=True)
+    frames = spark.readStream.format("bus_upsert").option("path", spool).load()
+    back = changelog_from_bus(frames, value_schema)
+    tbl = _sink_table(scratch)
+    sink = JdbcUpsertSink(DSN, tbl, key_cols=["pgschema"], refresh=True)
+    q2 = run_compacted_aggregate(
+        back,
+        state_dir=os.path.join(work, "state"),
+        key_cols=["key"],
+        seq_cols=["ts_ms", "lsn"],
+        group_cols=["schema"],
+        op_col="op",
+        sink=lambda df, bid: sink(df.withColumnRenamed("schema", "pgschema"), bid),
+        checkpoint_dir=os.path.join(work, "ckpt2"),
+        query_name="stage2_bus_to_jdbc",
+    )
+    try:
+        assert q1.isActive and q2.isActive          # truly concurrent
+        q1.processAllAvailable()                    # CDC → spool
+        q2.processAllAvailable()                    # spool → sink
+        assert sink.read_rows() == sorted([(s1, 2), (s2, 1)])  # README golden
+
+        # a tailed insert flows through BOTH running queries
+        cur.execute(f'INSERT INTO "{s2}".users (full_name) VALUES (\'carol w\')')
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        assert q1.isActive and q2.isActive
+        assert sink.read_rows() == sorted([(s1, 2), (s2, 2)])
+    finally:
+        q1.stop()
+        q2.stop()
+        for s in (s1, s2):
+            cur.execute(f'DROP SCHEMA "{s}" CASCADE')
