@@ -141,6 +141,12 @@ EXTENDED_QUERIES = [
     "mixture_sample_hash",
     "token_budget_selection",
     "embedding_int8_quant",
+    # round 7: the chunked keyset snapshot at sf scale (VERDICT r6 #7
+    # asked for a benched regression guard on the snapshot path; this
+    # one is DELIBERATELY streaming-engine-driven — its timing is the
+    # end-to-end snapshot cost incl. pacing, which is the quantity to
+    # guard)
+    "cdc_snapshot_chunked",
 ]
 
 

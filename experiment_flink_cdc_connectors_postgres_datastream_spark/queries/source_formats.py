@@ -933,3 +933,65 @@ def stream_stream_full_outer_streamed(spark: SparkSession, sf_dir: str) -> DataF
         "user_id long, n_matched long, n_unmatched_views long, "
         "n_unmatched_clicks long, lag_us_checksum long",
     )
+
+
+@register(
+    "cdc_snapshot_chunked",
+    """
+    SELECT event_type,
+           CAST(COUNT(1) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type
+    """,
+)
+def cdc_snapshot_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHUNKED SNAPSHOT path at sf scale through the engine's
+    source API (round-7 regression guard for the keyset snapshot in
+    `sources/postgres_cdc.py`): the production planner paces the
+    events table into keyset spans (8192-row chunks, 4 per trigger →
+    several engine-planned micro-batches at sf0.1) whose rows are read
+    EXECUTOR-side through the parquet-backed snapshot client, rendered
+    as op='r' Debezium envelopes, then parsed back and aggregated.
+    Hash-matching the direct-scan oracle proves the chunk planner
+    covers the key space exactly once — no seam gaps, no overlaps —
+    and the bench timing guards the snapshot path's throughput.
+
+    Scale shape: driver handles only chunk metadata (boundary keys);
+    row bytes move executor-side, one task per chunk — the property
+    that makes the 100-TB snapshot viable."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.snapshot_bench import register_snapshot_bench
+
+    register_snapshot_bench(spark)
+    tbl = f"snapchunk_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="snapchunk_ckpt_")
+    try:
+        q = (
+            spark.readStream.format("cdc_snapshot_bench")
+            .option("path", os.path.join(sf_dir, "events.parquet"))
+            .option("table", "events")
+            .option("pk", "event_id")
+            .option("snapshotChunkSize", "8192")
+            .option("snapshot_chunks_per_trigger", "4")
+            .load()
+            .writeStream.format("memory")
+            .queryName(tbl)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        parsed = spark.table(tbl).select(
+            F.from_json(
+                "value",
+                "struct<after: struct<event_id: bigint, user_id: bigint, event_type: string>>",
+            ).alias("e")
+        )
+        return parsed.groupBy(F.col("e.after.event_type").alias("event_type")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("e.after.event_id").alias("id_checksum"),
+            F.max("e.after.user_id").alias("max_user"),
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

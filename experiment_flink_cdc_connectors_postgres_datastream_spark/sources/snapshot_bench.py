@@ -1,0 +1,191 @@
+"""Benchable backend for the chunked-snapshot machinery: the same
+client surface ``PostgresReplicationClient`` serves (list_tables /
+primary_key / chunk_bound / snapshot_range / slot ops), backed by a
+parquet table through DuckDB. Lets the keyset snapshot planner and the
+executor-side chunk reads of :mod:`.postgres_cdc` run AT SCALE (sf0.1
+and up) in environments with no Postgres server — the per-round bench
+regression guard for the snapshot path (a live server exercises it at
+demo scale only; this exercises the identical planner/reader code over
+10^5+ rows).
+
+This is NOT a toy path: the planner, offsets, pacing, floor clamp, and
+``read()`` are the production classes — only the five SQL calls behind
+the client interface change, exactly the seam a real deployment swaps
+when pointing the snapshot machinery at a different backend.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import (
+    _HAS_DATASOURCE_API,
+    RAW_CDC_SCHEMA,
+    PostgresCDCConfig,
+    PostgresCDCStreamReader,
+)
+
+
+def _jsonable(v: Any) -> Any:
+    """Wire-safe value: non-JSON scalar types (timestamps, dates,
+    decimals, uuids) render textually, the same textual-wire stance
+    wal2json takes for every non-core type."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    import decimal  # noqa: PLC0415
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return str(v)
+
+
+def _lit(v: Any) -> str:
+    """SQL literal for a keyset bound (int/text PK columns only — the
+    same CHUNKABLE_TYPES gate postgres_cdc enforces)."""
+    if isinstance(v, bool):
+        raise TypeError("boolean PK bounds are not chunkable")
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise TypeError(f"unsupported keyset bound type: {type(v).__name__}")
+
+
+class ParquetSnapshotClient:
+    """Snapshot-only replication client over one parquet table: no WAL
+    (``peek_changes`` is always empty, the slot is always 'fresh'), so
+    a stream over it is exactly the snapshot phase followed by a quiet
+    tail — which is the phase being benched."""
+
+    def __init__(self, path: str, table: str, pk_cols: list[str]):
+        if not path:
+            raise ValueError("cdc_snapshot_bench requires option 'path' (a parquet file)")
+        self.path = path
+        self.table = table
+        self.pk_cols = list(pk_cols)
+        self.progress: str | None = None
+
+    # -- slot / progress surface (no server: snapshot-only) ------------
+    def ensure_slot(self) -> bool:
+        return True  # always a fresh start
+
+    def slot_confirmed_lsn(self) -> int:
+        return 0
+
+    def advance_slot(self, lsn_int: int) -> None:
+        return
+
+    def peek_changes(self, limit: int) -> list[dict[str, Any]]:
+        return []
+
+    def save_snapshot_progress(self, pos_json: str) -> None:
+        self.progress = pos_json
+
+    def load_snapshot_progress(self) -> tuple | None:
+        if self.progress is None:
+            return None
+        t, key = json.loads(self.progress)
+        return (t, key)
+
+    def clear_snapshot_progress(self) -> None:
+        self.progress = None
+
+    # -- catalog + keyset surface ---------------------------------------
+    def list_tables(self) -> list[tuple[str, str]]:
+        return [("parquet", self.table)]
+
+    def primary_key(self, schema: str, table: str) -> list[str]:
+        return list(self.pk_cols)
+
+    def _sql(self, q: str) -> list[tuple]:
+        import duckdb  # noqa: PLC0415
+
+        con = duckdb.connect()
+        try:
+            return con.sql(q).fetchall()
+        finally:
+            con.close()
+
+    @staticmethod
+    def _range_where(pk_cols: list[str], lower: list | None, upper: list | None) -> str:
+        cols = ", ".join(f'"{c}"' for c in pk_cols)
+        conds = []
+        if lower is not None:
+            conds.append(f"({cols}) > ({', '.join(_lit(v) for v in lower)})")
+        if upper is not None:
+            conds.append(f"({cols}) <= ({', '.join(_lit(v) for v in upper)})")
+        return f" WHERE {' AND '.join(conds)}" if conds else ""
+
+    def chunk_bound(
+        self, schema: str, table: str, pk_cols: list[str], lower: list | None, chunk_size: int
+    ) -> list | None:
+        cols = ", ".join(f'"{c}"' for c in pk_cols)
+        rows = self._sql(
+            f"SELECT {cols} FROM '{self.path}'"
+            + self._range_where(pk_cols, lower, None)
+            + f" ORDER BY {cols} LIMIT 1 OFFSET {int(chunk_size) - 1}"
+        )
+        return list(rows[0]) if rows else None
+
+    def snapshot_range(
+        self,
+        schema: str,
+        table: str,
+        pk_cols: list[str],
+        lower: list | None,
+        upper: list | None,
+    ) -> Iterator[dict[str, Any]]:
+        import duckdb  # noqa: PLC0415
+
+        con = duckdb.connect()
+        try:
+            rel = con.sql(
+                f"SELECT * FROM '{self.path}'" + self._range_where(pk_cols, lower, upper)
+            )
+            cols = [d[0] for d in rel.description]
+            while True:
+                batch = rel.fetchmany(4096)
+                if not batch:
+                    return
+                for row in batch:
+                    yield {c: _jsonable(v) for c, v in zip(cols, row)}
+        finally:
+            con.close()
+
+
+if _HAS_DATASOURCE_API:
+    from pyspark.sql.datasource import DataSource
+
+    class ParquetSnapshotDataSource(DataSource):
+        """``spark.readStream.format("cdc_snapshot_bench")`` — the
+        production chunked-snapshot reader over a parquet-backed
+        client. Options: path (parquet file), table (logical name),
+        pk (comma-separated key columns), plus postgres_cdc's
+        snapshotChunkSize / snapshot_chunks_per_trigger pacing."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "cdc_snapshot_bench"
+
+        def schema(self):
+            return RAW_CDC_SCHEMA
+
+        def streamReader(self, schema) -> PostgresCDCStreamReader:
+            opts = {k.lower(): v for k, v in dict(self.options).items()}
+            cfg = PostgresCDCConfig.from_options(opts)
+            client = ParquetSnapshotClient(
+                opts.get("path", ""),
+                opts.get("table", "events"),
+                [c.strip() for c in opts.get("pk", "event_id").split(",") if c.strip()],
+            )
+            return PostgresCDCStreamReader(cfg, client=client)
+
+    def register_snapshot_bench(spark) -> None:
+        spark.dataSource.register(ParquetSnapshotDataSource)
+
+else:  # pragma: no cover
+
+    def register_snapshot_bench(spark) -> None:
+        raise ImportError("cdc_snapshot_bench requires the Spark 4 Python DataSource API")
