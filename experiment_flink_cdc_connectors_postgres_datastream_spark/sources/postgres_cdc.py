@@ -604,6 +604,19 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"phase": "snapshot", "table": None, "key": None}
 
+    def __getstate__(self) -> dict:
+        """Executor pickle hygiene: ``read()`` needs only the client +
+        config (snapshot chunks) or the rows already inside the
+        partition (wal batches) — the driver's planning state
+        (buffered wal spans, cached chunk plans) must not ship with
+        every task. Pickling happens per micro-batch, so at high
+        change rates the buffers would otherwise ride along N-tasks
+        deep."""
+        state = dict(self.__dict__)
+        state["_pending"] = {}
+        state["_snap_chunks"] = {}
+        return state
+
     # -- snapshot planning ------------------------------------------------
 
     @staticmethod

@@ -488,3 +488,22 @@ def test_snapshot_chunk_options_parse():
     )
     assert cfg.snapshot_chunk_size == 500
     assert cfg.snapshot_chunks_per_trigger == 3
+
+
+def test_reader_pickle_excludes_driver_buffers():
+    """Executor pickle hygiene: the per-task reader copy must not
+    carry the driver's buffered wal spans or cached chunk plans —
+    read() uses only client+config (snapshot) or partition rows
+    (wal)."""
+    import pickle
+
+    client = _bulk_client(9)
+    r = PostgresCDCStreamReader(_chunked_cfg(chunk=3, per_trigger=2), client=client)
+    end = r.latestOffset()
+    parts = r.partitions(r.initialOffset(), end)
+    assert r._snap_chunks            # driver keeps its plan cache...
+    clone = pickle.loads(pickle.dumps(r))
+    assert clone._snap_chunks == {} and clone._pending == {}
+    # ...and the clone still serves an executor-side chunk read
+    ids = [json.loads(v)["after"]["id"] for p in parts for v, _, _ in clone.read(p)]
+    assert ids == [1, 2, 3, 4, 5, 6]
