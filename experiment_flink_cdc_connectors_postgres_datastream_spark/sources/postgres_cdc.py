@@ -13,10 +13,13 @@ managed Postgres offerings universally ship — decoded by
 (``wal_level=logical``, docker-compose.yaml:10; ``REPLICA IDENTITY
 FULL`` for before-images, setup_source_db1.sql:11,17).
 
-Offsets: ``{"phase": "snapshot", "table": i, "key": [...]}`` (keyset
-position: tables before ``i`` fully planned, table ``i`` planned
-through primary key ``key`` inclusive) → ``{"phase": "wal", "lsn":
-N}``; the snapshot and the slot tail hand off without loss because
+Offsets: ``{"phase": "snapshot", "table": [schema, name], "key":
+[...]}`` (keyset position: tables sorting before ``[schema, name]``
+fully planned, that table planned through primary key ``key``
+inclusive, ``key: null`` = fully planned; NAME-based so a table
+created or dropped mid-snapshot never shifts a checkpointed
+position's meaning) → ``{"phase": "wal", "lsn": N}``; the snapshot
+and the slot tail hand off without loss because
 the slot is created *before* the snapshot reads (changes during the
 snapshot are replayed from the slot; last-write-wins compaction
 downstream dedupes). Offsets live in the streaming checkpoint, giving
@@ -50,14 +53,18 @@ i.e. only after Spark has durably checkpointed the batch's end
 offset. Until then every planned-but-uncommitted change remains in
 the slot, so ``partitions()`` can re-serve any checkpointed span by
 re-peeking after a driver restart (with a doubling window, so spans
-beyond the first ``poll_batch_size`` changes are still reachable); a
-fresh reader detects a restart by the slot existing AND having been
-advanced at least once (confirmed_lsn > 0 proves a batch committed)
-and seeds its LSN watermark from the confirmed position instead of
-re-running the snapshot — a never-advanced slot is treated as a fresh
-start, because its snapshot may not have reached the offset log. A
-wal-phase span that cannot be recovered from the slot raises rather
-than silently returning an empty batch.
+beyond the first ``poll_batch_size`` changes are still reachable).
+Restart triage for a fresh reader on a pre-existing slot: the durable
+progress row (``PostgresCDCConfig.progress_table``) is the authority
+— present ⇒ resume the snapshot exactly at its recorded keyset
+position; absent with an advanced slot ⇒ snapshot long done (the WAL
+phase clears the row at its first advance), resume the tail from the
+confirmed position; absent with a never-advanced slot ⇒ re-plan from
+the top under the committed-floor clamp. (A real slot's
+confirmed_flush_lsn is nonzero from CREATION, which is why slot state
+alone cannot detect an interrupted snapshot — the row exists for
+exactly that case.) A wal-phase span that cannot be recovered from
+the slot raises rather than silently returning an empty batch.
 
 psycopg2 is not in this container: all DB access goes through an
 injectable connector factory so the offset/translation logic is fully
