@@ -403,6 +403,9 @@ def test_count_live_by_salted_two_phase_agg(spark):
     # away) — 'keys=[event_type' alone would also match the partial,
     # letting a missing final aggregate slip through
     assert re.search(r"keys=\[event_type#\d+\]", plan), plan
+    # the salt is a DETERMINISTIC row hash (retry-stable shuffle,
+    # round 7) — a regression to positional salts would drop this
+    assert "xxhash64" in plan, plan
 
 
 def test_salted_join_keys_include_salt(spark):
@@ -419,6 +422,7 @@ def test_salted_join_keys_include_salt(spark):
     assert "SortMergeJoin" in plan, plan
     assert "_salt" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+    assert "xxhash64" in plan, plan  # deterministic (retry-stable) salt
 
 
 def test_mixture_sample_hash_zero_prejoin_shuffles(spark):
