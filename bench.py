@@ -147,6 +147,11 @@ EXTENDED_QUERIES = [
     # end-to-end snapshot cost incl. pacing, which is the quantity to
     # guard)
     "cdc_snapshot_chunked",
+    # round 7 additions: weighted priority sampling, DSIR importance
+    # weights, containment decontamination
+    "priority_sample_per_source",
+    "dsir_importance_weights",
+    "decontaminate_fuzzy",
 ]
 
 

@@ -957,3 +957,131 @@ def cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("doc_id_checksum"),
         )
     )
+
+
+@register(
+    "decontaminate_fuzzy",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+    corpus_sh_all AS (
+      SELECT DISTINCT doc_id AS train_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM toks)),
+    hot AS (
+      SELECT shingle FROM corpus_sh_all GROUP BY shingle HAVING COUNT(1) > 1000),
+    corpus_sh AS (
+      SELECT * FROM corpus_sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    eval_toks AS (
+      SELECT doc_id AS eval_id,
+             list_slice(toks, 1, (len(toks) * 6) // 10) AS toks
+      FROM toks WHERE doc_id % 37 = 0 AND len(toks) >= 12),
+    eval_sh AS (
+      SELECT DISTINCT eval_id, shingle FROM (
+        SELECT eval_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM eval_toks)
+      WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    esz AS (SELECT eval_id, COUNT(1) AS n_ev FROM eval_sh GROUP BY eval_id),
+    inter AS (
+      SELECT train_id, eval_id, COUNT(1) AS n_inter
+      FROM corpus_sh JOIN eval_sh USING (shingle)
+      GROUP BY train_id, eval_id),
+    c AS (
+      SELECT train_id, eval_id,
+             ROUND(CAST(n_inter AS DOUBLE) / CAST(esz.n_ev AS DOUBLE), 4) AS containment
+      FROM inter JOIN esz USING (eval_id))
+    SELECT train_id AS doc_id,
+           CAST(COUNT(1) AS BIGINT) AS n_eval_matches,
+           MAX(containment) AS max_containment,
+           CAST(MIN(eval_id) AS BIGINT) AS min_eval_id
+    FROM c WHERE containment >= 0.6
+    GROUP BY train_id
+    """,
+)
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY eval-set decontamination: the removal list of training
+    documents that CONTAIN an eval item — for each (train doc, eval
+    item) pair, the fraction of the eval item's distinct 3-gram
+    shingles present in the training doc (asymmetric containment, the
+    right metric when a short benchmark item is quoted inside a long
+    document, where symmetric Jaccard dilutes away); flag at >= 0.6.
+    The eval set is derived deterministically: the 60%-token prefix
+    of every ``doc_id % 37 = 0`` document with >= 12 tokens (a
+    benchmark item excerpting a crawled page — the same
+    prefix-variant construction as `minhash_recall_curve`), so the
+    check provably fires: each item's origin doc and that doc's
+    near-dups are contaminated by construction. Prefix length is
+    integer arithmetic (``(n * 6) div 10``) on both engines — no
+    float on the derivation path. Complements `contamination_check`
+    (exact overlap scored per EVAL doc) with the per-TRAIN-doc
+    removal list.
+
+    Scale shape: the corpus side reduces to 8-byte shingle hashes
+    with the family-wide df > 1000 hot-shingle cap (hot set computed
+    on the corpus universe, dropped from BOTH sides); the candidate
+    join is corpus shingles against the TINY eval shingle table —
+    AQE broadcasts the eval side, so the corpus is never shuffled by
+    anything but its own (doc, shingle) reduction, and per-train-doc
+    work is proportional to shingles shared with eval items, never
+    corpus pairs."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import (
+        drop_hot_shingles,
+        shingle_hashes,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # lazy localCheckpoint: the corpus shingle table feeds the hot-set
+    # aggregation AND the candidate join — without it both replay the
+    # tokenize+shingle lineage (the `ngram_jaccard_pairs` pattern)
+    corpus_sh = (
+        shingle_hashes(docs, n=3)
+        .withColumnRenamed("_id", "train_id")
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        corpus_sh.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 1000)
+        .select("_sh")
+    )
+    corpus_sh = corpus_sh.join(hot, "_sh", "left_anti")
+    toks = tokens(F.lower(F.col("text")))
+    n_keep = F.expr("(size(split(lower(text), '\\\\s+')) * 6) div 10")
+    eval_docs = (
+        docs.filter((F.col("doc_id") % 37 == 0) & (F.size(toks) >= 12))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.array_join(F.slice(toks, F.lit(1), n_keep), " ").alias("text"),
+        )
+    )
+    eval_sh = (
+        shingle_hashes(eval_docs, id_col="eval_id", n=3)
+        .withColumnRenamed("_id", "eval_id")
+        .join(hot, "_sh", "left_anti")
+    )
+    esz = eval_sh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    inter = (
+        corpus_sh.join(eval_sh, "_sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c = inter.join(F.broadcast(esz), "eval_id").select(
+        "train_id", "eval_id",
+        F.round(F.col("n_inter").cast("double") / F.col("n_ev").cast("double"), 4).alias(
+            "containment"
+        ),
+    )
+    return (
+        c.filter(F.col("containment") >= 0.6)
+        .groupBy(F.col("train_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("containment").alias("max_containment"),
+            F.min("eval_id").alias("min_eval_id"),
+        )
+    )

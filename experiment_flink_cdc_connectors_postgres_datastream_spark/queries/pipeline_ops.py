@@ -723,3 +723,218 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("doc_id_checksum"),
         )
     )
+
+
+@register(
+    "priority_sample_per_source",
+    """
+    WITH pr AS (
+      SELECT source, doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) /
+               (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':prio'), 1, 15)) AS BIGINT) + 1
+                     AS DOUBLE) / 1152921504606846976.0) AS priority
+      FROM documents),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn
+      FROM pr),
+    t AS (
+      SELECT *, COALESCE(MAX(CASE WHEN rn = 9 THEN priority END)
+                         OVER (PARTITION BY source), 0.0) AS tau
+      FROM r WHERE rn <= 9),
+    tot AS (SELECT source, SUM(n_chars) AS exact_weight FROM documents GROUP BY source)
+    SELECT t.source,
+           CAST(COUNT(1) AS BIGINT) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS sample_id_checksum,
+           CAST(MIN(tot.exact_weight) AS BIGINT) AS exact_weight,
+           ROUND(SUM(GREATEST(CAST(n_chars AS DOUBLE), tau)), 3) AS est_weight
+    FROM t JOIN tot ON tot.source = t.source
+    WHERE rn <= 8
+    GROUP BY t.source
+    """,
+)
+def priority_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by PRIORITY SAMPLING
+    (Duffield, Lund & Thorup 2007): each document draws priority
+    ``w / u`` with weight ``w = n_chars`` (the stand-in for a model
+    quality score) and ``u`` uniform on (0,1]; the per-source sample
+    is the top-k priorities (k=8), and the (k+1)-th priority is the
+    threshold tau that makes ``sum(max(w, tau))`` over the sample an
+    unbiased estimator of the source's TOTAL weight — the estimator
+    and the exact total are emitted side by side, so the driver hash
+    grades both the exact sampled SET and the estimator arithmetic.
+
+    Determinism across engines with no libm dependency: ``u = (h+1) /
+    2^60`` from the md5-prefix hash (exact power-of-two division) and
+    ``w / u`` are single correctly-rounded IEEE ops, so priorities
+    are bit-identical in Spark and DuckDB — unlike an Efraimidis-
+    Spirakis ``u^(1/w)`` key, no transcendental function sits on the
+    grading path. A rerun, a task retry, or a corpus append never
+    changes an existing document's priority (reproducible sampling,
+    same property as `mixture_sample_hash`).
+
+    Scale shape: the rank runs through `two_phase_topk` ((source,
+    salt)-slice rank, then the <= salt*k survivors per source) — no
+    whole-source window sort on one task; everything after the rank
+    touches <= 9 rows per source. Sources with <= k documents degrade
+    cleanly: tau = 0 and the estimator equals the exact total."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import two_phase_topk
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":prio")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    pr = docs.select(
+        "source", "doc_id", "n_chars",
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    topk = two_phase_topk(
+        pr,
+        ["source"],
+        [F.desc("priority"), F.col("doc_id")],
+        k=9,
+        salt_col=F.xxhash64("doc_id"),
+    )
+    tau = F.coalesce(
+        F.max(F.when(F.col("rn") == 9, F.col("priority"))).over(
+            Window.partitionBy("source")
+        ),
+        F.lit(0.0),
+    )
+    sampled = topk.withColumn("tau", tau).filter(F.col("rn") <= 8)
+    totals = docs.groupBy("source").agg(F.sum("n_chars").alias("exact_weight"))
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sample_id_checksum"),
+            F.round(
+                F.sum(F.greatest(F.col("n_chars").cast("double"), F.col("tau"))), 3
+            ).alias("est_weight"),
+        )
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source", "n_sampled", "sample_id_checksum",
+            F.col("exact_weight").cast("long").alias("exact_weight"),
+            "est_weight",
+        )
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(toks) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM toks),
+    f AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 1024 AS b
+      FROM g),
+    db AS (SELECT doc_id, b, COUNT(1) AS c FROM f GROUP BY doc_id, b),
+    tgt AS (
+      SELECT b, SUM(c) AS ct FROM db
+      JOIN documents d ON d.doc_id = db.doc_id AND d.lang = 'en'
+      GROUP BY b),
+    raw AS (SELECT b, SUM(c) AS cr FROM db GROUP BY b),
+    lr AS (
+      SELECT raw.b,
+             CAST(FLOOR((LN(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE))
+                         - LN(CAST(tt.v + 1024 AS DOUBLE))
+                         - LN(CAST(raw.cr + 1 AS DOUBLE))
+                         + LN(CAST(tr.v + 1024 AS DOUBLE))) * 1000000.0) AS BIGINT) AS micro
+      FROM raw
+      LEFT JOIN tgt ON tgt.b = raw.b,
+      (SELECT SUM(ct) AS v FROM tgt) tt,
+      (SELECT SUM(cr) AS v FROM raw) tr)
+    SELECT d.doc_id, d.source, d.lang,
+           CAST(SUM(db.c) AS BIGINT) AS n_grams,
+           CAST(SUM(db.c * lr.micro) AS BIGINT) AS log_w_micro
+    FROM db JOIN lr ON lr.b = db.b JOIN documents d ON d.doc_id = db.doc_id
+    GROUP BY d.doc_id, d.source, d.lang
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): per-document importance log-weights under hashed n-gram
+    (unigram + bigram) bag-of-words language models of a TARGET
+    domain (here ``lang = 'en'``, the stand-in for a curated
+    high-quality slice) versus the RAW corpus. Each gram hashes into
+    B=1024 buckets; bucket b scores ``log p_target(b) - log
+    p_raw(b)`` with Laplace smoothing (+1 count, +B total), and a
+    document's log-weight is the sum over its gram OCCURRENCES —
+    the resampling key a DSIR curation pass feeds into top-k /
+    Gumbel sampling.
+
+    Cross-engine determinism: each bucket's log-ratio is quantized to
+    integer MICRO-units (floor(x * 1e6) -> BIGINT) before the per-doc
+    sum, so the corpus-wide aggregation is exact integer arithmetic —
+    order-independent across partitions and engines (the
+    `label_centroids` / `embedding_int8_quant` trick); the only
+    float ops are four LN calls per distinct bucket evaluated in an
+    identical expression tree on both engines.
+
+    Scale shape: one corpus-size shuffle builds the (doc, bucket)
+    occurrence table; both distribution tables aggregate map-side to
+    <= 1024 rows and broadcast back (with their scalar totals) for the
+    per-doc weight sum — no corpus-size join keyed on anything but
+    hashes, no windows. The bucket count (not vocabulary size) bounds
+    every model table, which is the point of hashed DSIR at 100 TB."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni = shingle_hashes(docs, n=1, distinct=False, hash_family="md5")
+    bi = shingle_hashes(docs, n=2, distinct=False, hash_family="md5")
+    feats = uni.union(bi).select("_id", F.pmod(F.col("_sh"), F.lit(1024)).alias("b"))
+    # (doc, bucket) occurrence counts: the one corpus-size shuffle.
+    # Lazy localCheckpoint: db feeds the target model, the raw model
+    # AND the final weight sum — without it each consumer replays the
+    # tokenize+shingle+shuffle lineage from the parquet scan (the
+    # `ngram_jaccard_pairs` reuse pattern)
+    db = (
+        feats.groupBy("_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    meta = docs.select("doc_id", "source", "lang")
+    tgt = (
+        db.join(meta.filter(F.col("lang") == "en").select(F.col("doc_id").alias("_id")), "_id")
+        .groupBy("b").agg(F.sum("c").alias("ct"))
+    )
+    raw = db.groupBy("b").agg(F.sum("c").alias("cr"))
+    # scalar totals as 1-row broadcast crossJoins (tiny aggregates)
+    tt = tgt.agg(F.sum("ct").alias("tt"))
+    tr = raw.agg(F.sum("cr").alias("tr"))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double"))
+                    - F.log((F.col("tt") + F.lit(1024)).cast("double"))
+                    - F.log((F.col("cr") + F.lit(1)).cast("double"))
+                    + F.log((F.col("tr") + F.lit(1024)).cast("double"))
+                )
+                * F.lit(1000000.0)
+            ).cast("long").alias("micro"),
+        )
+    )
+    return (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("micro")).alias("log_w_micro"),
+        )
+        .join(meta, F.col("_id") == F.col("doc_id"))
+        .select("doc_id", "source", "lang", "n_grams", "log_w_micro")
+    )

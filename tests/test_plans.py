@@ -496,3 +496,53 @@ def test_changelog_topk_two_phase(spark):
     )
     wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("_salt#" in w for w in wins), wins
+
+
+def test_priority_sample_two_phase_topk_with_group_limit(spark):
+    """Priority sampling must rank within (source, _salt) slices
+    before the tiny survivor rank (no whole-source window), keep the
+    WindowGroupLimit top-k pushdown on both phases, and broadcast the
+    per-source totals join."""
+    import re
+
+    plan = (
+        QUERIES["priority_sample_per_source"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_salt#" in w and "source#" in w for w in wins), wins
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_models_broadcast_back(spark):
+    """DSIR: the <=1024-row bucket log-ratio model must broadcast to
+    the per-doc weight sum (never a corpus-side shuffle join on the
+    model), the scalar totals must be broadcast crossJoins, and the
+    reused (doc, bucket) table must come from a localCheckpoint, not
+    a lineage replay per consumer."""
+    df = QUERIES["dsir_importance_weights"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # every consumer reads the checkpointed (doc, bucket) table —
+    # the tokenize+shingle lineage ran once at materialization and
+    # never replays inside the main plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("posexplode") == 0, plan
+
+
+def test_decontaminate_fuzzy_eval_side_broadcast(spark):
+    """Fuzzy decontamination: the eval shingle table and the hot-set
+    anti-join must both broadcast against the corpus side — the
+    corpus is shuffled only by its own per-doc shingle window."""
+    df = QUERIES["decontaminate_fuzzy"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+
+    assert re.search(r"LeftAnti, BuildRight", plan), plan
+    assert "CartesianProduct" not in plan, plan
