@@ -48,9 +48,10 @@ _PRIORITY = [
     # --- (2) new in round 7 ---
     # the chunked keyset snapshot at sf scale through the source API
     "cdc_snapshot_chunked",
-    # weighted sampling / DSIR curation / fuzzy decontamination
+    # weighted sampling / DSIR curation / fuzzy decontamination /
+    # incremental (crawl-snapshot) MinHash dedup through the engine
     "priority_sample_per_source", "dsir_importance_weights",
-    "decontaminate_fuzzy",
+    "decontaminate_fuzzy", "dedup_minhash_streamed",
     # --- (3) stalest: the 13 remaining round-2 rows (VERDICT r6 #6) ---
     "similarity_topk_ivf", "multimodal_meta", "sliding_window",
     "asof_join", "pivot_counts", "udaf_weighted_mean",
@@ -69,13 +70,14 @@ _PRIORITY = [
     "train_val_test_split", "embedding_quantize_error",
     "type_token_ratio", "jsonl_roundtrip", "csv_roundtrip",
     "orc_roundtrip", "tumbling_window_streamed",
-    "session_window_streamed", "dedup_streamed",
+    "session_window_streamed",
     # Still outside the window, all last green in round 3 and
     # unchanged since (next rotation's front of the line):
-    # stream_stream_join_streamed, schema_merge_roundtrip,
-    # stream_static_join_streamed, funnel_conversion,
-    # retention_cohorts, mixture_sample, multi_resolution_rollup,
-    # word_entropy, zscore_outliers, curation_pipeline.
+    # dedup_streamed, stream_stream_join_streamed,
+    # schema_merge_roundtrip, stream_static_join_streamed,
+    # funnel_conversion, retention_cohorts, mixture_sample,
+    # multi_resolution_rollup, word_entropy, zscore_outliers,
+    # curation_pipeline.
 ]
 
 
