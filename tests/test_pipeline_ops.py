@@ -314,3 +314,74 @@ def test_scd2_partitions_each_keys_timeline(spark, rows):
         for a, b in zip(rs, rs[1:]):
             assert a["valid_to"] == b["valid_from"], (k, a, b)
             assert a["valid_from"] <= a["valid_to"]
+
+
+def test_priority_sample_invariants(spark):
+    """Priority-sampling laws on the sf0.001 fixture: per source the
+    sample has min(8, n_docs) members drawn from that source, reruns
+    are identical (hash-derived priorities), and for a source whose
+    docs ALL fit in the sample the estimator equals the exact total
+    (tau = 0 degenerates max(w, tau) to w)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["source"]: r for r in QUERIES["priority_sample_per_source"](spark, sf).collect()}
+    sizes = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(sizes)
+    for src, r in rows.items():
+        assert r["n_sampled"] == min(8, sizes[src]), (src, r)
+        # estimator never undershoots the sampled mass; exact when
+        # the whole source fits
+        if sizes[src] <= 8:
+            assert r["est_weight"] == float(r["exact_weight"]), r
+    again = {r["source"]: r for r in QUERIES["priority_sample_per_source"](spark, sf).collect()}
+    assert {s: r["sample_id_checksum"] for s, r in rows.items()} == {
+        s: r["sample_id_checksum"] for s, r in again.items()
+    }
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """DSIR sanity: documents IN the target slice (lang='en') must
+    score a higher mean importance log-weight than documents outside
+    it — the direction the resampler depends on."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES
+
+    out = QUERIES["dsir_importance_weights"](spark, "/root/testdata/sf0.001")
+    means = {
+        r["is_en"]: r["m"]
+        for r in out.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg(F.col("log_w_micro")).alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+
+
+def test_decontaminate_fuzzy_finds_every_origin_doc(spark):
+    """Containment law: every eval item is a token prefix of its
+    origin document, so the origin doc must appear in the removal
+    list with max_containment = 1.0 (each prefix trigram is a
+    trigram of the full text; the hot-shingle cap drops the same
+    shingles from both sides)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    flagged = {
+        r["doc_id"]: r for r in QUERIES["decontaminate_fuzzy"](spark, sf).collect()
+    }
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    eval_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .filter((F.col("doc_id") % 37 == 0) & (F.size(toks) >= 12))
+        .collect()
+    ]
+    assert eval_ids, "fixture must contain eval-slice docs"
+    for eid in eval_ids:
+        assert eid in flagged, (eid, sorted(flagged))
+        assert flagged[eid]["max_containment"] == 1.0, flagged[eid]
