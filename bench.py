@@ -152,6 +152,8 @@ EXTENDED_QUERIES = [
     "priority_sample_per_source",
     "dsir_importance_weights",
     "decontaminate_fuzzy",
+    "hard_negatives_topk",
+    "repeat_factor_sampling",
 ]
 
 

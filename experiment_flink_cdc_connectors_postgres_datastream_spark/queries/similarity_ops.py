@@ -718,3 +718,143 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_saturated",
         "q_checksum",
     )
+
+
+@register(
+    "hard_negatives_topk",
+    """
+    WITH pairs AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS vec_id, c.label AS label,
+             SUM(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE)) AS dp,
+             SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS qn,
+             SUM(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE)) AS cn
+      FROM (SELECT vec_id, label, unnest(embedding) AS qe,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id % 100 = 0) q
+      JOIN (SELECT vec_id, label, unnest(embedding) AS ce,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings) c ON q.i = c.i AND q.label <> c.label
+      GROUP BY q.vec_id, q.label, c.vec_id, c.label),
+    scored AS (
+      SELECT qid, qlabel, vec_id, label,
+             ROUND(dp / (sqrt(qn) * sqrt(cn)), 6) AS sim
+      FROM pairs),
+    ranked AS (
+      SELECT qid, qlabel, vec_id, label, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT qid, qlabel, vec_id, label, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive / metric training: for
+    each anchor (``vec_id % 100 = 0``) the 5 most cosine-similar
+    vectors with a DIFFERENT label — the near-miss negatives a
+    triplet/InfoNCE batch builder pairs with each anchor (random
+    negatives are trivially easy; the hard ones sit at the decision
+    boundary). Same broadcast-anchors-over-corpus shape as
+    `similarity_topk`; the label-difference predicate replaces the
+    self-exclusion (same label => never a negative, so self is
+    excluded for free).
+
+    Scale shape: anchors broadcast, similarities evaluate in the
+    corpus scan's map stage, and the per-anchor top-5 is a window
+    over an anchor-count-bounded slice. A production run swaps the
+    anchor filter for the training batch's anchor table; the ANN
+    variants (`similarity_topk_lsh`/`_ivf`) are the scale path when
+    the anchor set itself is corpus-sized."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import cosine
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("_qvec"),
+        )
+    )
+    scored = (
+        spread_scan(emb)
+        .join(anchors, F.col("qlabel") != F.col("label"))
+        .select(
+            "qid", "qlabel", "vec_id", "label",
+            F.round(cosine(F.col("_qvec"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.select(
+        "qid", "qlabel", "vec_id", "label", "sim", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 5)
+
+
+@register(
+    "repeat_factor_sampling",
+    """
+    WITH freq AS (
+      SELECT label, COUNT(1) AS n_vecs,
+             CAST(COUNT(1) AS DOUBLE)
+               / (SELECT COUNT(1) FROM embeddings) AS f
+      FROM embeddings GROUP BY label),
+    rf AS (
+      SELECT label, n_vecs,
+             GREATEST(1.0, sqrt(0.2 / f)) AS r
+      FROM freq),
+    per_vec AS (
+      SELECT e.vec_id, e.label, rf.n_vecs, rf.r,
+             CAST(FLOOR(rf.r) AS BIGINT)
+             + CASE WHEN CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':rf'), 1, 15)) AS BIGINT) % 1000
+                         < CAST(FLOOR((rf.r - FLOOR(rf.r)) * 1000.0) AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_repeats
+      FROM embeddings e JOIN rf ON rf.label = e.label)
+    SELECT label,
+           CAST(MIN(n_vecs) AS BIGINT) AS n_vecs,
+           ROUND(MIN(r), 4) AS repeat_factor,
+           CAST(SUM(n_repeats) AS BIGINT) AS n_after,
+           CAST(SUM(vec_id * n_repeats) AS BIGINT) AS repeat_checksum
+    FROM per_vec GROUP BY label
+    """,
+)
+def repeat_factor_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-BALANCED REPEAT-FACTOR SAMPLING (Gupta et al. 2019, the
+    LVIS oversampling rule): a class with frequency f below the
+    threshold t = 0.2 is repeated r = max(1, sqrt(t / f)) times per
+    epoch, so rare classes surface often enough to learn without
+    exploding the epoch. Per ITEM the fractional part of r is
+    resolved by deterministic stochastic rounding — repeat
+    floor(r) + 1 iff the item's md5-hash bucket falls under
+    floor(frac(r) * 1000) — so the expanded epoch is reproducible
+    across runs and engines (integer compares; sqrt and division are
+    single correctly-rounded IEEE ops). ``repeat_checksum`` grades
+    the exact per-item repeat assignment, not just totals.
+
+    Scale shape: one tiny label-frequency aggregate broadcast back
+    over the corpus (AQE picks the broadcast: the dim is
+    label-cardinality rows), then one readout aggregation — the
+    expansion itself stays virtual (a repeat COUNT per item; the
+    trainer's loader materializes repeats, the engine never
+    explodes the corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
+
+    total = emb.count()
+    freq = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    rf = freq.select(
+        "label", "n_vecs",
+        F.greatest(F.lit(1.0), F.sqrt(F.lit(0.2) / (F.col("n_vecs").cast("double") / F.lit(float(total))))).alias("r"),
+    )
+    frac_k = F.floor((F.col("r") - F.floor(F.col("r"))) * F.lit(1000.0)).cast("long")
+    bucket = F.pmod(
+        md5_long(F.concat(F.col("vec_id").cast("string"), F.lit(":rf"))), F.lit(1000)
+    )
+    per_vec = emb.select("vec_id", "label").join(F.broadcast(rf), "label").select(
+        "vec_id", "label", "n_vecs", "r",
+        (F.floor("r").cast("long") + (bucket < frac_k).cast("long")).alias("n_repeats"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.min("n_vecs").cast("long").alias("n_vecs"),
+        F.round(F.min("r"), 4).alias("repeat_factor"),
+        F.sum("n_repeats").alias("n_after"),
+        F.sum(F.col("vec_id") * F.col("n_repeats")).alias("repeat_checksum"),
+    )

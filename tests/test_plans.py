@@ -546,3 +546,24 @@ def test_decontaminate_fuzzy_eval_side_broadcast(spark):
 
     assert re.search(r"LeftAnti, BuildRight", plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hard_negatives_broadcasts_anchors(spark):
+    """Hard-negative mining is the brute-force broadcast family: the
+    anchor set broadcasts (BroadcastNestedLoopJoin — the label
+    predicate is deliberately non-equi) and no unbroadcast cartesian
+    survives."""
+    df = QUERIES["hard_negatives_topk"](spark, SF)
+    assert_plan(df, requires=["BroadcastNestedLoopJoin"], forbids=["CartesianProduct"])
+
+
+def test_repeat_factor_dim_broadcasts(spark):
+    """Repeat-factor sampling: the label-cardinality factor table
+    must broadcast back over the corpus — never a corpus shuffle
+    keyed on label."""
+    df = QUERIES["repeat_factor_sampling"](spark, SF)
+    assert_plan(
+        df,
+        requires=["BroadcastHashJoin"],
+        forbids=["CartesianProduct", "SortMergeJoin"],
+    )
