@@ -154,6 +154,7 @@ EXTENDED_QUERIES = [
     "decontaminate_fuzzy",
     "hard_negatives_topk",
     "repeat_factor_sampling",
+    "decontaminate_spans",
 ]
 
 

@@ -52,7 +52,8 @@ _PRIORITY = [
     # incremental (crawl-snapshot) MinHash dedup through the engine /
     # hard-negative mining / repeat-factor class balancing
     "priority_sample_per_source", "dsir_importance_weights",
-    "decontaminate_fuzzy", "dedup_minhash_streamed",
+    "decontaminate_fuzzy", "decontaminate_spans",
+    "dedup_minhash_streamed",
     "hard_negatives_topk", "repeat_factor_sampling",
     # --- (3) stalest: the 13 remaining round-2 rows (VERDICT r6 #6) ---
     "similarity_topk_ivf", "multimodal_meta", "sliding_window",
@@ -71,10 +72,9 @@ _PRIORITY = [
     "interval_join_counts", "salted_agg_demo", "contamination_check",
     "train_val_test_split", "embedding_quantize_error",
     "type_token_ratio", "jsonl_roundtrip", "csv_roundtrip",
-    "orc_roundtrip",
     # Still outside the window, all last green in round 3 and
     # unchanged since (next rotation's front of the line):
-    # tumbling_window_streamed, session_window_streamed,
+    # orc_roundtrip, tumbling_window_streamed, session_window_streamed,
     # dedup_streamed, stream_stream_join_streamed,
     # schema_merge_roundtrip, stream_static_join_streamed,
     # funnel_conversion, retention_cohorts, mixture_sample,

@@ -1196,3 +1196,112 @@ def dedup_minhash_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(pdf, "id_a long, id_b long, est_jaccard double")
+
+
+@register(
+    "decontaminate_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+    et AS (
+      SELECT doc_id, list_slice(toks, 1, (len(toks) * 6) // 10) AS toks
+      FROM t WHERE doc_id % 37 = 0 AND len(toks) >= 12),
+    eg AS (
+      SELECT DISTINCT toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]
+                    || ' ' || toks[pos+3] || ' ' || toks[pos+4] AS gram
+      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 4)) AS pos
+            FROM et WHERE len(toks) >= 5)),
+    g AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS pos
+      FROM t WHERE len(toks) >= 5),
+    g2 AS (
+      SELECT doc_id, pos,
+             toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]
+                       || ' ' || toks[pos+3] || ' ' || toks[pos+4] AS gram
+      FROM g),
+    hits AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN eg USING (gram)),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + unnest([0, 1, 2, 3, 4]) AS cpos
+      FROM hits),
+    cnt AS (SELECT doc_id, COUNT(1) AS covered FROM cov GROUP BY doc_id),
+    sz AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(c.covered AS BIGINT) AS covered_tokens,
+           ROUND(CAST(c.covered AS DOUBLE) / s.n_tokens, 4) AS covered_frac
+    FROM sz s JOIN cnt c ON c.doc_id = s.doc_id
+    """,
+)
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination — the strip plan: for each training
+    document, the count and fraction of its tokens covered by some
+    5-gram that also appears in an eval item — the ExactSubstr
+    approach (Lee et al. arXiv:2107.06499, and the GPT-3 appendix-C
+    decontamination): production pipelines REMOVE the contaminated
+    span and keep the rest of the document, so the deliverable is
+    per-doc covered-token statistics, not a drop list. Eval items are
+    the same deterministic 60%-token prefixes as
+    `decontaminate_fuzzy` (training side is the whole corpus, the
+    realistic case where the eval's source page IS in the crawl), so
+    the readout provably fires: an origin doc's coverage sits near
+    the 60% prefix share, near-dups lower, unrelated docs absent.
+    Completes the decontamination family: `contamination_check`
+    (exact overlap per eval doc), `decontaminate_fuzzy` (removal list
+    by containment), and this (token-precise strip statistics).
+    Counts are hash-family-independent, so the production xxhash64
+    grams are graded directly against the string-gram oracle.
+
+    Scale shape: positioned 5-grams reduce to 8-byte hashes; the eval
+    gram set is DISTINCT and tiny (eval corpora are small by nature),
+    so the match is a LEFT SEMI join — output bounded by matching
+    train positions, a position matches at most once, NO pair fan-out
+    even for stopword-run grams (unlike the dedup pair joins, no df
+    cap is needed here). Coverage = 5 offsets per hit -> distinct
+    positions, bounded by 5x hits."""
+    from pyspark.sql.window import Window
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def positioned_grams(df: DataFrame) -> DataFrame:
+        tok = df.select(
+            F.col("doc_id"),
+            F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "_tok"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        leads = [F.lead("_tok", j).over(w) for j in range(1, 5)]
+        return (
+            tok.select(
+                "doc_id", "pos",
+                F.xxhash64(F.col("_tok"), *leads).alias("gh"),
+                leads[-1].isNotNull().alias("_full"),
+            )
+            .filter(F.col("_full"))
+            .drop("_full")
+        )
+
+    toks = tokens(F.lower(F.col("text")))
+    n_keep = F.expr("(size(split(lower(text), '\\\\s+')) * 6) div 10")
+    eval_docs = docs.filter((F.col("doc_id") % 37 == 0) & (F.size(toks) >= 12)).select(
+        "doc_id", F.array_join(F.slice(toks, F.lit(1), n_keep), " ").alias("text")
+    )
+    ev = positioned_grams(eval_docs).select("gh").distinct()
+    hits = positioned_grams(docs).join(ev, "gh", "leftsemi")
+    cov = (
+        hits.select(
+            "doc_id", F.explode(F.array(*[F.col("pos") + F.lit(i) for i in range(5)])).alias("cpos")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    sz = docs.select("doc_id", F.size(toks).alias("n_tokens"))
+    return sz.join(cov, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "covered_tokens",
+        F.round(F.col("covered_tokens").cast("double") / F.col("n_tokens"), 4).alias(
+            "covered_frac"
+        ),
+    )

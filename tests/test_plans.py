@@ -567,3 +567,12 @@ def test_repeat_factor_dim_broadcasts(spark):
         requires=["BroadcastHashJoin"],
         forbids=["CartesianProduct", "SortMergeJoin"],
     )
+
+
+def test_decontaminate_spans_semi_join_no_fanout(spark):
+    """Span decontamination matches positions against the DISTINCT
+    eval gram set via a LEFT SEMI join — a position matches at most
+    once, so no pair fan-out exists anywhere in the plan."""
+    df = QUERIES["decontaminate_spans"](spark, SF)
+    plan = assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
+    assert "LeftSemi" in plan, plan
