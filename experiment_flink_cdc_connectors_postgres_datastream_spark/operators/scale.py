@@ -84,8 +84,23 @@ def _default_salt(df: DataFrame, salt: int) -> Column:
 
     Caveat: byte-identical rows share a salt, so a hot key whose rows
     are all IDENTICAL still lands in one bucket — pass an explicit
-    ``salt_col`` over a unique row id for that shape."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    ``salt_col`` over a unique row id for that shape.
+
+    Column names are backtick-quoted (a literal dot in a name must not
+    parse as struct-field access) and map-typed columns are skipped
+    (xxhash64 rejects MapType — maps have no canonical entry order);
+    a frame whose every column is a map needs an explicit salt_col."""
+    cols = [
+        F.col("`" + c.replace("`", "``") + "`")
+        for c, t in df.dtypes
+        if not t.startswith("map<")
+    ]
+    if not cols:
+        raise ValueError(
+            "salted_agg/salted_join: no hashable (non-map) columns to derive "
+            "a deterministic salt from — pass salt_col explicitly"
+        )
+    return F.pmod(F.xxhash64(*cols), F.lit(salt))
 
 
 def salted_agg(

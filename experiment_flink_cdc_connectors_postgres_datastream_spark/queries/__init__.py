@@ -61,7 +61,9 @@ _PRIORITY = [
     "json_extract_props", "percentile_by_type", "cube_counts",
     "window_rank_family", "embedding_norm_stats", "pii_redact",
     "shard_assignment",
-    # --- (4) oldest round-3 rows, registration order (29 of 36) ---
+    # --- (4) oldest round-3 rows, registration order (22 of 36; the
+    # round-7 additions displaced the rest — the displaced rows lead
+    # the next-round rotation, named in the comment at the end) ---
     # (salted_agg_demo is also a round-7 regrade: it consumes the
     # reworked deterministic salt)
     "project_filter", "cdc_two_table_join", "customers_without_orders",

@@ -1030,8 +1030,9 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything but its own (doc, shingle) reduction, and per-train-doc
     work is proportional to shingles shared with eval items, never
     corpus pairs."""
+    # the hot-set filter is inline (not drop_hot_shingles): the SAME
+    # hot set must also filter the eval side
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import (
-        drop_hot_shingles,
         shingle_hashes,
         tokens,
     )

@@ -988,10 +988,23 @@ def cdc_snapshot_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "struct<after: struct<event_id: bigint, user_id: bigint, event_type: string>>",
             ).alias("e")
         )
-        return parsed.groupBy(F.col("e.after.event_type").alias("event_type")).agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("e.after.event_id").alias("id_checksum"),
-            F.max("e.after.user_id").alias("max_user"),
+        # materialize INSIDE the cleanup block and drop the memory
+        # sink table (the sibling streamed queries' pattern): a lazy
+        # return over the uuid-named memory table would pin the full
+        # sf-scale envelope set in driver memory per invocation with
+        # no handle left to drop it
+        pdf = (
+            parsed.groupBy(F.col("e.after.event_type").alias("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("e.after.event_id").alias("id_checksum"),
+                F.max("e.after.user_id").alias("max_user"),
+            )
+            .toPandas()
+        )
+        return spark.createDataFrame(
+            pdf, "event_type string, n_rows long, id_checksum long, max_user long"
         )
     finally:
+        spark.catalog.dropTempView(tbl)
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -167,13 +167,22 @@ class BusUpsertStreamReader(DataSourceStreamReader):
             raise ValueError("maxFilesPerTrigger must be >= 1")
         self.spool_dir = spool_dir
         self.max_files_per_trigger = max_files_per_trigger
-        self._planned = 0  # rate-limit watermark (driver-local; see below)
+        # planning watermark is the last planned file NAME (names are
+        # monotone — spool_frames's producer contract); the cumulative
+        # planned-file COUNT rides along as cross-check metadata only.
+        # Planning by name (not by listing size) keeps the advance
+        # correct even when retention deletes committed prefix files
+        # while new files land in the same interval — a count-of-
+        # listing watermark reads that as "nothing new" and silently
+        # skips the new files.
+        self._last_name = ""
+        self._count = 0
         # pacing needs a BASELINE before it may cap: on a fresh start
-        # initialOffset() provides it (0), on an uncommitted-replay
+        # initialOffset() provides it (""), on an uncommitted-replay
         # restart partitions() seeds it from the checkpointed span —
         # but on a clean restart from a fully-committed checkpoint the
         # engine calls latestOffset() FIRST, and capping from the
-        # un-seeded 0 would return an offset BELOW the committed one,
+        # un-seeded "" would return an offset BELOW the committed one,
         # which the engine (offsets compare by equality only) would
         # record and then re-plan forward across — re-delivering
         # committed files. Until a baseline exists, latestOffset is
@@ -186,28 +195,32 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         return sorted(n for n in os.listdir(self.spool_dir) if n.endswith(".jsonl"))
 
     def initialOffset(self) -> dict:
-        # only called on a fresh start (no checkpoint): 0 IS the
+        # only called on a fresh start (no checkpoint): "" IS the
         # committed position, so pacing may cap from here
         self._pacing_active = True
         return {"last": "", "n": 0}
 
     def latestOffset(self) -> dict:
-        """Newest offset to plan. With ``maxFilesPerTrigger`` the
-        advance is capped per call — a cold start against a deep spool
-        becomes several bounded micro-batches instead of one giant
-        catch-up batch, the same backpressure contract as the file
-        source's option of the same name. The cap applies only once a
-        baseline is known (see ``_pacing_active``): the one uncapped
-        case is the first trigger after a clean restart, where capping
-        could regress below the committed offset and re-deliver
-        committed files."""
-        names = self._names()
-        n = len(names)
+        """Newest offset to plan: the files whose NAMES sort above the
+        planning watermark (never "the listing grew" — under retention
+        deletion of committed prefix files the listing can shrink while
+        new files land, and a count-based advance would silently skip
+        them). With ``maxFilesPerTrigger`` the advance is capped per
+        call — a cold start against a deep spool becomes several
+        bounded micro-batches instead of one giant catch-up batch, the
+        same backpressure contract as the file source's option of the
+        same name. The cap applies only once a baseline is known (see
+        ``_pacing_active``): the one uncapped case is the first trigger
+        after a clean restart, where capping could regress below the
+        committed offset and re-deliver committed files."""
+        new = [nm for nm in self._names() if nm > self._last_name]
         if self.max_files_per_trigger is not None and self._pacing_active:
-            n = min(n, self._planned + self.max_files_per_trigger)
-        self._planned = max(self._planned, n)
+            new = new[: self.max_files_per_trigger]
+        if new:
+            self._last_name = new[-1]
+            self._count += len(new)
         self._pacing_active = True
-        return {"last": names[n - 1] if n else "", "n": n}
+        return {"last": self._last_name, "n": self._count}
 
     def partitions(self, start: dict, end: dict) -> list[BusSpoolPartition]:
         s_last, e_last = start.get("last", ""), end.get("last", "")
@@ -217,12 +230,18 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         # resumes from there instead of re-pacing from zero — and a
         # transiently backwards span (rate-limited latestOffset fired
         # before this seed) is served as an empty batch, not an error
-        self._planned = max(self._planned, s_n, e_n)
+        hi_last, hi_n = (s_last, s_n) if s_last >= e_last else (e_last, e_n)
+        if hi_last > self._last_name:
+            self._last_name, self._count = hi_last, hi_n
         self._pacing_active = True
-        if e_n <= s_n or e_last <= s_last:
+        # direction is decided BY NAME: names are monotone, counts are
+        # only a cross-check (a fresh reader's first latestOffset after
+        # retention deletion undercounts — the span is still exactly
+        # right by name, so serve it rather than silently skipping)
+        if e_last <= s_last:
             return [BusSpoolPartition(None, -1)]
         span = [n for n in self._names() if s_last < n <= e_last]
-        if len(span) != e_n - s_n:
+        if e_n > s_n and len(span) != e_n - s_n:
             raise RuntimeError(
                 f"bus_upsert: checkpointed span ({s_last!r}, {e_last!r}] "
                 f"expects {e_n - s_n} spool files under {self.spool_dir!r} "
@@ -230,11 +249,16 @@ class BusUpsertStreamReader(DataSourceStreamReader):
                 "or a non-sequential publish landed inside a committed "
                 "range; refusing to serve a divergent replay."
             )
-        out = [
+        if not span:
+            raise RuntimeError(
+                f"bus_upsert: span ({s_last!r}, {e_last!r}] matches no "
+                f"spool files under {self.spool_dir!r} — the spool was "
+                "truncated beyond the committed range."
+            )
+        return [
             BusSpoolPartition(os.path.join(self.spool_dir, name), s_n + i)
             for i, name in enumerate(span)
         ]
-        return out or [BusSpoolPartition(None, -1)]
 
     def read(self, partition: BusSpoolPartition) -> Iterator[tuple]:
         if partition.path is None:

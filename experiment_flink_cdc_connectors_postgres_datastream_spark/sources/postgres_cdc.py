@@ -775,8 +775,19 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
                 created = self.client.ensure_slot()
                 state = None
                 if created:
-                    # a stale progress row can outlive a dropped slot
-                    self.client.clear_snapshot_progress()
+                    # Seed the progress row AT CREATION (the upsert
+                    # also replaces any stale row from a dropped
+                    # slot): a real slot's confirmed_flush_lsn is
+                    # nonzero from creation, so without this row a
+                    # crash between slot creation and the FIRST
+                    # snapshot-batch commit would make the restart
+                    # triage below read "slot advanced, no progress
+                    # row" as "snapshot long done" and silently skip
+                    # the whole snapshot. With the seed, that restart
+                    # finds pos [null, null] and re-plans from the
+                    # top; a write failure degrades with the loud
+                    # save_snapshot_progress warning.
+                    self.client.save_snapshot_progress(json.dumps([None, None]))
                 else:
                     state = self.client.load_snapshot_progress()
                 if state is None and not created and self.client.slot_confirmed_lsn() > 0:

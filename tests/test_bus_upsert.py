@@ -340,3 +340,44 @@ def test_bus_spool_name_offsets_catch_retention_and_rogue_publish(spark, tmp_pat
     spool_frames(spark.createDataFrame([("rogue", "vx", "t")], schema).coalesce(1), spool, seq=1)
     with _pytest.raises(RuntimeError, match="truncated or a non-sequential"):
         r.partitions({"last": "", "n": 0}, {"last": f[3], "n": 2})
+
+
+def test_bus_spool_retention_plus_publish_not_skipped(spark, tmp_path):
+    """Retention deletion of COMMITTED prefix files while new files
+    land in the same planning interval: a count-of-listing watermark
+    reads the shrunken listing as 'nothing new' and silently skips the
+    new files; the name-based watermark must deliver them. The fresh
+    reader's first latestOffset after the deletion undercounts n (it
+    cannot know the historical total), so partitions() must serve the
+    forward-by-name span rather than misreading e_n <= s_n as
+    backwards."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        BusUpsertStreamReader,
+        spool_frames,
+    )
+
+    spool = str(tmp_path / "spool_ret")
+    schema = "key string, value string, topic string"
+    for i in range(3):
+        spool_frames(
+            spark.createDataFrame([(f"k{i}", f"v{i}", "t")], schema).coalesce(1), spool, seq=i
+        )
+    f = [f"frames-0000000{i}-0000.jsonl" for i in range(5)]
+    committed = {"last": f[2], "n": 3}  # f0..f2 planned and committed
+
+    # retention drops the committed prefix; two new files arrive
+    os.remove(os.path.join(spool, f[0]))
+    os.remove(os.path.join(spool, f[1]))
+    for i in (3, 4):
+        spool_frames(
+            spark.createDataFrame([(f"k{i}", f"v{i}", "t")], schema).coalesce(1), spool, seq=i
+        )
+
+    # clean restart: latestOffset fires first on a fresh reader
+    r = BusUpsertStreamReader(spool)
+    latest = r.latestOffset()
+    assert latest["last"] == f[4]  # the advance is by NAME, not listing size
+    rows = [
+        row for p in r.partitions(committed, latest) for row in r.read(p)
+    ]
+    assert [x[0] for x in rows] == ["k3", "k4"]  # new files delivered exactly

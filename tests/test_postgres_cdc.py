@@ -507,3 +507,32 @@ def test_reader_pickle_excludes_driver_buffers():
     # ...and the clone still serves an executor-side chunk read
     ids = [json.loads(v)["after"]["id"] for p in parts for v, _, _ in clone.read(p)]
     assert ids == [1, 2, 3, 4, 5, 6]
+
+
+def test_restart_after_creation_real_slot_semantics_keeps_snapshot():
+    """A REAL server's replication slot has a NONZERO
+    confirmed_flush_lsn from the moment it is created, so slot state
+    alone cannot distinguish 'crash right after slot creation' from
+    'snapshot long done'. The creation-seeded progress row is the
+    tie-breaker: a crash between slot creation and the FIRST
+    snapshot-batch commit must re-run the snapshot on restart, not
+    silently skip it (permanent data loss)."""
+    client = FakeClient()
+    orig_ensure = client.ensure_slot
+
+    def ensure_with_real_semantics():
+        created = orig_ensure()
+        if created:
+            client.confirmed_lsn = 5  # real servers: nonzero at creation
+        return created
+
+    client.ensure_slot = ensure_with_real_semantics
+    r1 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    r1.latestOffset()  # slot created, progress seeded — crash before ANY commit
+    assert client.progress == json.dumps([None, None])
+
+    r2 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    rows = _drain(r2)
+    envs = [json.loads(v) for v, _, _ in rows]
+    assert "r" in [e["op"] for e in envs], envs  # snapshot NOT skipped
+    assert envs[0]["after"]["full_name"] == "susan smith"

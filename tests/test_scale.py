@@ -120,3 +120,24 @@ def test_salted_join_value_neutral(spark):
         F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_default_salt_handles_dotted_names_and_map_columns(spark):
+    """The deterministic default salt must backtick-quote column names
+    (a literal dot must not parse as struct access) and skip map
+    columns (xxhash64 rejects MapType) instead of throwing."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import salted_agg
+
+    df = (
+        spark.range(20)
+        .selectExpr(
+            "id % 3 AS k",
+            "CAST(id AS DOUBLE) AS `v.alue`",
+            "map('a', id) AS m",
+        )
+    )
+    out = {
+        r["k"]: r["n"]
+        for r in salted_agg(df, ["k"], {"n": ("k", "count")}, salt=4).collect()
+    }
+    assert out == {0: 7, 1: 7, 2: 6}
