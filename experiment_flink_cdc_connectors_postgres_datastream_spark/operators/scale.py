@@ -103,6 +103,28 @@ def _default_salt(df: DataFrame, salt: int) -> Column:
     return F.pmod(F.xxhash64(*cols), F.lit(salt))
 
 
+def _require_salt_varies_within_key(df: DataFrame, key_cols: list[str], op: str) -> None:
+    """Loud guard for the degenerate salting shape (ADVICE r7): the
+    deterministic default salt hashes every column, so when the frame
+    has NO hashable column outside the key, the salt is a pure
+    function of the key — every row of a hot key lands in ONE bucket
+    and the monster task the salting exists to break is back, silently.
+    That shape is statically detectable from the schema, so refuse it
+    (identical-duplicate rows beyond this case are data-dependent and
+    stay a documented caveat: pass salt_col over a unique row id)."""
+    keys = set(key_cols)
+    hashable_outside = [
+        c for c, t in df.dtypes if c not in keys and not t.startswith("map<")
+    ]
+    if not hashable_outside:
+        raise ValueError(
+            f"{op}: every hashable column is part of the key, so the "
+            "deterministic default salt would be CONSTANT within each key "
+            "and spread nothing — pass salt_col (e.g. a unique row id) "
+            "explicitly"
+        )
+
+
 def salted_agg(
     df: DataFrame,
     group_cols: list[str],
@@ -128,6 +150,8 @@ def salted_agg(
         )
     fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     refn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    if salt_col is None:
+        _require_salt_varies_within_key(df, group_cols, "salted_agg")
     spread = F.pmod(salt_col, F.lit(salt)) if salt_col is not None else _default_salt(df, salt)
     salted = df.withColumn("_salt", spread)
     partial = salted.groupBy(*group_cols, "_salt").agg(
@@ -181,6 +205,8 @@ def salted_join(
             "first"
         )
     sb = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    if salt_col is None:
+        _require_salt_varies_within_key(big, on, "salted_join")
     spread = F.pmod(salt_col, F.lit(salt)) if salt_col is not None else _default_salt(big, salt)
     bb = big.withColumn("_salt", spread.cast("int"))
     return bb.join(sb, [*on, "_salt"], how).drop("_salt")

@@ -585,10 +585,13 @@ def mixture_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # TRY_CAST/coalesce on BOTH engines: a source name without a
-    # numeric suffix falls back to a length-derived rate instead of
-    # Spark-NULL-vs-DuckDB-error divergence (ADVICE r6)
+    # numeric suffix must fall back to a length-derived rate. Under
+    # Spark 4's default ANSI mode a plain cast THROWS on a non-numeric
+    # suffix (the coalesce fallback would be unreachable and the
+    # engines diverge: oracle succeeds, Spark errors — ADVICE r7);
+    # try_cast returns NULL exactly like the oracle's TRY_CAST.
     suffix = F.coalesce(
-        F.substring(F.col("source"), 4, 10).cast("int"), F.length("source")
+        F.substring(F.col("source"), 4, 10).try_cast("int"), F.length("source")
     )
     rate = (F.lit(100) + (suffix * 50) % 900).alias("rate_permille")
     bucket = F.pmod(

@@ -188,6 +188,17 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         # committed files. Until a baseline exists, latestOffset is
         # uncapped (one unpaced catch-up batch after a clean restart).
         self._pacing_active = False
+        # incarnation id stamped into every offset this reader emits:
+        # the strict span/count cross-check in partitions() only holds
+        # when BOTH counts were accumulated by one reader incarnation.
+        # A fresh reader's first latestOffset after retention deletion
+        # rebases its count on the shrunken listing, so comparing that
+        # count against a checkpointed one from a previous incarnation
+        # can spuriously flag a by-name-exact span as "truncated"
+        # (committed n=3 at f2, delete f0, publish f3,f4 → the span
+        # (f2,f4] matches 2 files by name but e_n-s_n says 1) and
+        # crash-loop the stream on a supported scenario.
+        self._epoch = uuid.uuid4().hex[:12]
 
     def _names(self) -> list[str]:
         if not os.path.isdir(self.spool_dir):
@@ -198,7 +209,7 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         # only called on a fresh start (no checkpoint): "" IS the
         # committed position, so pacing may cap from here
         self._pacing_active = True
-        return {"last": "", "n": 0}
+        return {"last": "", "n": 0, "ep": self._epoch}
 
     def latestOffset(self) -> dict:
         """Newest offset to plan: the files whose NAMES sort above the
@@ -220,7 +231,7 @@ class BusUpsertStreamReader(DataSourceStreamReader):
             self._last_name = new[-1]
             self._count += len(new)
         self._pacing_active = True
-        return {"last": self._last_name, "n": self._count}
+        return {"last": self._last_name, "n": self._count, "ep": self._epoch}
 
     def partitions(self, start: dict, end: dict) -> list[BusSpoolPartition]:
         s_last, e_last = start.get("last", ""), end.get("last", "")
@@ -241,7 +252,18 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         if e_last <= s_last:
             return [BusSpoolPartition(None, -1)]
         span = [n for n in self._names() if s_last < n <= e_last]
-        if e_n > s_n and len(span) != e_n - s_n:
+        # the count cross-check is only meaningful when both counts
+        # were accumulated by ONE reader incarnation (same "ep"): a
+        # fresh reader's first latestOffset rebases its count on the
+        # current listing, which retention may have shrunk below the
+        # historical total — against a checkpointed count from an
+        # earlier incarnation that reads as a spurious mismatch for a
+        # span that is exactly right by name (names stay the
+        # authority; cross-epoch truncation inside the range is still
+        # caught by the span-empty check below, and same-epoch spans
+        # keep the strict equality both ways).
+        counts_comparable = start.get("ep") == end.get("ep")
+        if counts_comparable and e_n > s_n and len(span) != e_n - s_n:
             raise RuntimeError(
                 f"bus_upsert: checkpointed span ({s_last!r}, {e_last!r}] "
                 f"expects {e_n - s_n} spool files under {self.spool_dir!r} "

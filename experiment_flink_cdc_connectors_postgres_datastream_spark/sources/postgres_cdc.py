@@ -436,8 +436,16 @@ class PostgresReplicationClient:
             )
 
     def load_snapshot_progress(self) -> tuple | None:  # pragma: no cover - needs server
-        """This slot's recorded snapshot position (table_idx, key), or
-        None when absent/unreadable."""
+        """This slot's recorded snapshot position ((schema,table), key),
+        or None when the row is genuinely ABSENT. A failed READ (broken
+        connection, missing SELECT grant, corrupt row) must NOT look
+        like absence: the restart triage reads "no row + advanced slot"
+        as "snapshot long done", so a transient error there would
+        silently skip the snapshot remainder — data loss with no log
+        line. On failure this logs loudly and returns the from-the-top
+        position ``(None, None)``; re-planning from the top is
+        duplicate-free because partitions() raises the committed floor
+        before any chunk is served."""
         try:
             with self._connect() as conn, conn.cursor() as cur:
                 cur.execute(
@@ -445,12 +453,34 @@ class PostgresReplicationClient:
                     (self.config.slot_name,),
                 )
                 row = cur.fetchone()
-            if row is None:
-                return None
-            ti, key = json.loads(row[0])
-            return (ti, key)
-        except Exception:
+        except Exception as e:
+            import logging  # noqa: PLC0415
+
+            logging.getLogger(__name__).warning(
+                "postgres_cdc: cannot READ snapshot progress from %s (%s); "
+                "treating as snapshot-in-progress and re-planning from the "
+                "top (the committed floor keeps this duplicate-free) — "
+                "grant SELECT on the progress table for exact resume",
+                self.config.progress_table,
+                e,
+            )
+            return (None, None)
+        if row is None:
             return None
+        try:
+            ti, key = json.loads(row[0])
+        except Exception as e:
+            import logging  # noqa: PLC0415
+
+            logging.getLogger(__name__).warning(
+                "postgres_cdc: corrupt snapshot progress row for slot %s (%s); "
+                "re-planning the snapshot from the top (duplicate-free via "
+                "the committed floor)",
+                self.config.slot_name,
+                e,
+            )
+            return (None, None)
+        return (ti, key)
 
     def clear_snapshot_progress(self) -> None:  # pragma: no cover - needs server
         try:

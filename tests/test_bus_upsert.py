@@ -188,25 +188,28 @@ def test_bus_spool_rate_limit_and_restart_seed(spark, tmp_path):
             spark.createDataFrame([(f"k{i}", f"v{i}", "t")], schema).coalesce(1), spool, seq=i
         )
 
+    def _off(o):  # offsets also carry the reader-incarnation "ep" stamp
+        return {k: v for k, v in o.items() if k != "ep"}
+
     r = BusUpsertStreamReader(spool, max_files_per_trigger=1)
-    assert r.initialOffset() == {"last": "", "n": 0}  # fresh start: baseline, pacing on
-    assert r.latestOffset() == {"last": "frames-00000000-0000.jsonl", "n": 1}
-    assert r.latestOffset() == {"last": "frames-00000001-0000.jsonl", "n": 2}
-    assert r.latestOffset() == {"last": "frames-00000002-0000.jsonl", "n": 3}
-    assert r.latestOffset() == {"last": "frames-00000002-0000.jsonl", "n": 3}  # caught up
+    assert _off(r.initialOffset()) == {"last": "", "n": 0}  # fresh start: baseline, pacing on
+    assert _off(r.latestOffset()) == {"last": "frames-00000000-0000.jsonl", "n": 1}
+    assert _off(r.latestOffset()) == {"last": "frames-00000001-0000.jsonl", "n": 2}
+    assert _off(r.latestOffset()) == {"last": "frames-00000002-0000.jsonl", "n": 3}
+    assert _off(r.latestOffset()) == {"last": "frames-00000002-0000.jsonl", "n": 3}  # caught up
 
     # uncommitted-replay restart: partitions() seeds the watermark
     r2 = BusUpsertStreamReader(spool, max_files_per_trigger=1)
     rows = [row for p in r2.partitions({"last": "", "n": 0}, {"last": "frames-00000001-0000.jsonl", "n": 2}) for row in r2.read(p)]
     assert [x[0] for x in rows] == ["k0", "k1"]
-    assert r2.latestOffset() == {"last": "frames-00000002-0000.jsonl", "n": 3}  # resumes from the seed, not zero
+    assert _off(r2.latestOffset()) == {"last": "frames-00000002-0000.jsonl", "n": 3}  # resumes from the seed, not zero
 
     # clean restart from a fully-committed checkpoint: the engine
     # calls latestOffset FIRST — it must NOT cap below the committed
     # position (that would regress the offset log and re-deliver
     # committed files), so the un-seeded first call is uncapped
     r3 = BusUpsertStreamReader(spool, max_files_per_trigger=1)
-    assert r3.latestOffset() == {"last": "frames-00000002-0000.jsonl", "n": 3}
+    assert _off(r3.latestOffset()) == {"last": "frames-00000002-0000.jsonl", "n": 3}
 
     # backwards span (defensive) is an empty batch, not an error
     r4 = BusUpsertStreamReader(spool, max_files_per_trigger=1)
@@ -215,7 +218,7 @@ def test_bus_spool_rate_limit_and_restart_seed(spark, tmp_path):
         for p in r4.partitions({"last": "frames-00000001-0000.jsonl", "n": 2}, {"last": "frames-00000000-0000.jsonl", "n": 1})
         for row in r4.read(p)
     ] == []
-    assert r4.latestOffset() == {"last": "frames-00000002-0000.jsonl", "n": 3}
+    assert _off(r4.latestOffset()) == {"last": "frames-00000002-0000.jsonl", "n": 3}
 
 
 def test_bus_spool_rate_limited_committed_restart_no_duplicates(spark, tmp_path):
@@ -381,3 +384,66 @@ def test_bus_spool_retention_plus_publish_not_skipped(spark, tmp_path):
         row for p in r.partitions(committed, latest) for row in r.read(p)
     ]
     assert [x[0] for x in rows] == ["k3", "k4"]  # new files delivered exactly
+
+
+def test_bus_spool_partial_retention_rebased_count_not_truncation(spark, tmp_path):
+    """Round-8 regression (advisor-reproduced crash loop): retention
+    deletes FEWER committed prefix files than new files arrive in the
+    same interval. The fresh reader's first latestOffset rebases n on
+    the shrunken listing (committed n=3 at f2; delete f0; publish
+    f3,f4 → fresh n counts 4 files, so e_n - s_n = 1 while the span
+    (f2,f4] matches 2 files by name). The old strict count equality
+    raised 'spool was truncated' for a span that is exactly right by
+    name and the stream crash-looped permanently; counts from
+    different reader incarnations (different offset "ep") must not be
+    compared — names are the authority."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        BusUpsertStreamReader,
+        spool_frames,
+    )
+
+    spool = str(tmp_path / "spool_partial_ret")
+    schema = "key string, value string, topic string"
+    for i in range(3):
+        spool_frames(
+            spark.createDataFrame([(f"k{i}", f"v{i}", "t")], schema).coalesce(1), spool, seq=i
+        )
+    f = [f"frames-0000000{i}-0000.jsonl" for i in range(5)]
+
+    # the committed offset carries the FIRST incarnation's epoch
+    r0 = BusUpsertStreamReader(spool)
+    committed = r0.latestOffset()
+    assert (committed["last"], committed["n"]) == (f[2], 3)
+
+    # retention deletes ONE committed prefix file; TWO new files land
+    os.remove(os.path.join(spool, f[0]))
+    for i in (3, 4):
+        spool_frames(
+            spark.createDataFrame([(f"k{i}", f"v{i}", "t")], schema).coalesce(1), spool, seq=i
+        )
+
+    # clean restart: fresh reader, latestOffset fires first and
+    # rebases its count on the 4-file listing (e_n=4, e_n-s_n=1,
+    # span len 2) — must serve the by-name span, not crash
+    r = BusUpsertStreamReader(spool)
+    latest = r.latestOffset()
+    assert latest["last"] == f[4]
+    rows = [row for p in r.partitions(committed, latest) for row in r.read(p)]
+    assert [x[0] for x in rows] == ["k3", "k4"]
+
+    # same-incarnation spans keep the strict cross-check: both
+    # offsets from ONE reader, then delete a file inside the span —
+    # replaying it must stay loud
+    import pytest as _pytest
+
+    f5, f6 = "frames-00000005-0000.jsonl", "frames-00000006-0000.jsonl"
+    o1 = latest
+    for i in (5, 6):
+        spool_frames(
+            spark.createDataFrame([(f"k{i}", f"v{i}", "t")], schema).coalesce(1), spool, seq=i
+        )
+    o2 = r.latestOffset()
+    assert (o2["last"], o2["ep"]) == (f6, o1["ep"])
+    os.remove(os.path.join(spool, f5))
+    with _pytest.raises(RuntimeError, match="truncated or a non-sequential"):
+        r.partitions(o1, o2)

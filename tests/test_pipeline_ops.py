@@ -385,3 +385,23 @@ def test_decontaminate_fuzzy_finds_every_origin_doc(spark):
     for eid in eval_ids:
         assert eid in flagged, (eid, sorted(flagged))
         assert flagged[eid]["max_containment"] == 1.0, flagged[eid]
+
+
+def test_mixture_sample_suffix_fallback_fires_under_ansi(spark):
+    """ADVICE r7: mixture_sample_hash's keep-rate suffix parse must use
+    try_cast — under Spark 4's default ANSI mode a plain .cast('int')
+    THROWS on a source whose numeric suffix is empty/non-numeric (e.g.
+    a 3-char source), making the documented LENGTH fallback unreachable
+    while the DuckDB oracle's TRY_CAST succeeds (engine divergence).
+    Pin the exact expression: non-numeric suffixes take the length
+    fallback, numeric ones parse."""
+    df = spark.createDataFrame(
+        [("web",), ("cc-2021",), ("srcXY",)], "source string"
+    ).select(
+        "source",
+        F.coalesce(
+            F.substring(F.col("source"), 4, 10).try_cast("int"), F.length("source")
+        ).alias("suffix"),
+    )
+    got = {r["source"]: r["suffix"] for r in df.collect()}
+    assert got == {"web": 3, "cc-2021": 2021, "srcXY": 5}

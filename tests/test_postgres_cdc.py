@@ -536,3 +536,88 @@ def test_restart_after_creation_real_slot_semantics_keeps_snapshot():
     envs = [json.loads(v) for v, _, _ in rows]
     assert "r" in [e["op"] for e in envs], envs  # snapshot NOT skipped
     assert envs[0]["after"]["full_name"] == "susan smith"
+
+
+def test_progress_read_failure_is_not_snapshot_done():
+    """Advisor-flagged loss window: ``load_snapshot_progress`` used to
+    swallow every exception and return None, which the restart triage
+    ("no row + advanced slot") reads as "snapshot long done" — a
+    transient connection error or missing SELECT grant at a
+    mid-snapshot restart silently skipped the snapshot remainder. A
+    failed READ must instead resolve to the from-the-top position
+    ``(None, None)`` (duplicate-free via the committed floor), with
+    only genuine row ABSENCE returning None."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import (
+        PostgresReplicationClient,
+    )
+
+    client = PostgresReplicationClient(PostgresCDCConfig())
+
+    class _Boom:
+        def __enter__(self):
+            raise ConnectionError("server hiccup")
+
+        def __exit__(self, *a):
+            return False
+
+    # (a) connection failure → re-plan-from-top sentinel, not None
+    client._connect = lambda: _Boom().__enter__()
+    assert client.load_snapshot_progress() == (None, None)
+
+    # (b) corrupt row → same sentinel
+    class _Cur:
+        def execute(self, *a):
+            return None
+
+        def fetchone(self):
+            return ("not json{",)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Conn:
+        def cursor(self):
+            return _Cur()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    client._connect = lambda: _Conn()
+    assert client.load_snapshot_progress() == (None, None)
+
+    # (c) genuine absence stays None (the "snapshot long done" signal)
+    class _CurNone(_Cur):
+        def fetchone(self):
+            return None
+
+    class _ConnNone(_Conn):
+        def cursor(self):
+            return _CurNone()
+
+    client._connect = lambda: _ConnNone()
+    assert client.load_snapshot_progress() is None
+
+
+def test_triage_read_failure_resumes_snapshot_not_skip():
+    """End-to-end triage: a pre-existing advanced slot whose progress
+    READ fails must re-plan the snapshot (committed-floor
+    duplicate-free), not mark it done."""
+    client = FakeClient()
+    client.slot_created = True  # pre-existing slot
+    client.confirmed_lsn = 5  # looks advanced (true from creation)
+
+    def _read_fails():
+        # what the real client returns after a failed read (logged)
+        return (None, None)
+
+    client.load_snapshot_progress = _read_fails
+    r = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    rows = _drain(r)
+    envs = [json.loads(v) for v, _, _ in rows]
+    assert "r" in [e["op"] for e in envs], envs  # snapshot NOT skipped

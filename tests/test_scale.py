@@ -141,3 +141,33 @@ def test_default_salt_handles_dotted_names_and_map_columns(spark):
         for r in salted_agg(df, ["k"], {"n": ("k", "count")}, salt=4).collect()
     }
     assert out == {0: 7, 1: 7, 2: 6}
+
+
+def test_default_salt_refuses_key_only_frame(spark):
+    """ADVICE r7 guard: when every hashable column is part of the key,
+    the deterministic default salt is a pure function of the key —
+    constant within each hot key, spreading nothing — so salted_agg /
+    salted_join must refuse loudly instead of silently reinstating the
+    monster task; an explicit salt_col lifts the refusal."""
+    import pytest as _pytest
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import salted_agg, salted_join
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    with _pytest.raises(ValueError, match="CONSTANT within each key"):
+        salted_agg(df, ["k"], {"n": ("k", "count")})
+    dim = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    with _pytest.raises(ValueError, match="CONSTANT within each key"):
+        salted_join(df, dim, ["k"])
+
+    # explicit salt_col: runs, and results are exact
+    got = {
+        r["k"]: r["n"]
+        for r in salted_agg(
+            df.withColumn("_rid", F.monotonically_increasing_id()),
+            ["k"],
+            {"n": ("k", "count")},
+            salt_col=F.col("_rid"),
+        ).collect()
+    }
+    assert got == {"a": 2, "b": 1}
