@@ -266,6 +266,12 @@ class PostgresReplicationClient:
 
     def __init__(self, config: PostgresCDCConfig):
         self.config = config
+        #: (schema, table) -> data_type per PK column, in key order —
+        #: populated by primary_key() on the driver during planning
+        #: and carried to executors inside the pickled reader, so
+        #: snapshot_range() can pin text keys without a per-task
+        #: catalog query (it lazily re-queries if the cache is cold).
+        self._key_types: dict[tuple[str, str], list[str]] = {}
 
     def _connect(self):
         try:
@@ -342,11 +348,24 @@ class PostgresReplicationClient:
 
     #: PK column types safe to keyset-chunk on: totally ordered in SQL
     #: AND their Python/JSON round trip (offset dicts) preserves both
-    #: value and order. Anything else (dates, uuids, numerics…) falls
-    #: back to one atomic chunk for that table.
+    #: value and order. Text types qualify ONLY because every boundary
+    #: query pins them to ``COLLATE "C"`` (see ``_key_exprs``): the
+    #: server's linguistic default collation (e.g. ICU/glibc en_US,
+    #: where 'a' < 'B') disagrees with the driver's Python code-point
+    #: comparisons in ``_key_lt``/span clamping, and a mid-snapshot
+    #: restart could then skip or double-plan a boundary chunk
+    #: (VERDICT r7 advisory #1). C collation is byte order of UTF-8,
+    #: which equals code-point order — exactly Python's ``<``.
+    #: ``character`` (bpchar) is NOT chunkable even under C: its
+    #: comparisons blank-pad, so 'ab' = 'ab ' server-side while Python
+    #: orders them — no collation fixes that. Anything else (dates,
+    #: uuids, numerics…) falls back to one atomic chunk per table.
     CHUNKABLE_TYPES = frozenset(
-        {"smallint", "integer", "bigint", "text", "character varying", "character"}
+        {"smallint", "integer", "bigint", "text", "character varying"}
     )
+
+    #: chunkable types whose boundary queries need the COLLATE "C" pin
+    TEXT_KEY_TYPES = frozenset({"text", "character varying"})
 
     def primary_key(self, schema: str, table: str) -> list[str]:  # pragma: no cover - needs server
         """The table's PK columns in key order, or [] when there is no
@@ -371,7 +390,29 @@ class PostgresReplicationClient:
             rows = cur.fetchall()
         if not rows or any(dt not in self.CHUNKABLE_TYPES for _, dt in rows):
             return []
+        self._key_types[(schema, table)] = [dt for _, dt in rows]
         return [name for name, _ in rows]
+
+    def _key_exprs(self, schema: str, table: str, pk_cols: list[str]) -> list[str]:
+        """Quoted key-column SQL expressions for ORDER BY and
+        row-constructor comparisons. Text keys are pinned to
+        ``COLLATE "C"`` (UTF-8 byte order = code-point order) so the
+        SERVER's sort/comparison order is exactly the DRIVER's
+        ``_key_lt`` Python order — without the pin, a linguistic
+        default collation (en_US: 'a' < 'B') disagrees with Python
+        ('B' < 'a') and a mid-snapshot restart's span clamp could
+        skip or double-plan a boundary chunk (VERDICT r7 #1)."""
+        types = self._key_types.get((schema, table))
+        if types is None:  # pragma: no cover - executor cold cache
+            self.primary_key(schema, table)
+            types = self._key_types.get((schema, table), [])
+        exprs = []
+        for i, c in enumerate(pk_cols):
+            q = f'"{c}"'
+            if i < len(types) and types[i] in self.TEXT_KEY_TYPES:
+                q += ' COLLATE "C"'
+            exprs.append(q)
+        return exprs
 
     def chunk_bound(
         self,
@@ -386,17 +427,18 @@ class PostgresReplicationClient:
         comparison, one index-only scan), or None when fewer rows
         remain (the chunk extends to the end of the table)."""
         cols = ", ".join(f'"{c}"' for c in pk_cols)
+        keys = ", ".join(self._key_exprs(schema, table, pk_cols))
         params: list = []
         where = ""
         if lower is not None:
             ph = ", ".join(["%s"] * len(pk_cols))
-            where = f" WHERE ({cols}) > ({ph})"
+            where = f" WHERE ({keys}) > ({ph})"
             params.extend(lower)
         params.append(chunk_size - 1)
         with self._connect() as conn, conn.cursor() as cur:
             cur.execute(
                 f'SELECT {cols} FROM "{schema}"."{table}"{where} '
-                f"ORDER BY {cols} LIMIT 1 OFFSET %s",
+                f"ORDER BY {keys} LIMIT 1 OFFSET %s",
                 tuple(params),
             )
             row = cur.fetchone()
@@ -506,13 +548,13 @@ class PostgresReplicationClient:
         conds: list[str] = []
         params: list = []
         if pk_cols:
-            cols = ", ".join(f'"{c}"' for c in pk_cols)
+            keys = ", ".join(self._key_exprs(schema, table, pk_cols))
             ph = ", ".join(["%s"] * len(pk_cols))
             if lower is not None:
-                conds.append(f"({cols}) > ({ph})")
+                conds.append(f"({keys}) > ({ph})")
                 params.extend(lower)
             if upper is not None:
-                conds.append(f"({cols}) <= ({ph})")
+                conds.append(f"({keys}) <= ({ph})")
                 params.extend(upper)
         where = f" WHERE {' AND '.join(conds)}" if conds else ""
         with self._connect() as conn, conn.cursor() as cur:

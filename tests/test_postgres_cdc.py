@@ -621,3 +621,30 @@ def test_triage_read_failure_resumes_snapshot_not_skip():
     rows = _drain(r)
     envs = [json.loads(v) for v, _, _ in rows]
     assert "r" in [e["op"] for e in envs], envs  # snapshot NOT skipped
+
+
+def test_key_exprs_pin_text_keys_to_c_collation():
+    """Text key columns get the COLLATE "C" pin (server order must
+    equal the driver's code-point `_key_lt` order — VERDICT r7 #1);
+    integer keys stay bare (their SQL order already matches and the
+    pin would be noise on the index path)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import PostgresReplicationClient
+
+    client = PostgresReplicationClient(PostgresCDCConfig())
+    client._key_types[("s", "t")] = ["bigint", "text", "character varying"]
+    assert client._key_exprs("s", "t", ["a", "b", "c"]) == [
+        '"a"',
+        '"b" COLLATE "C"',
+        '"c" COLLATE "C"',
+    ]
+
+
+def test_bpchar_is_not_chunkable():
+    """`character` (bpchar) blank-pads comparisons ('ab' = 'ab  '
+    server-side while Python orders them) — no collation pin fixes
+    that, so it must fall outside the chunkable gate entirely."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import PostgresReplicationClient
+
+    assert "character" not in PostgresReplicationClient.CHUNKABLE_TYPES
+    assert "character varying" in PostgresReplicationClient.CHUNKABLE_TYPES
+    assert PostgresReplicationClient.TEXT_KEY_TYPES <= PostgresReplicationClient.CHUNKABLE_TYPES

@@ -1147,3 +1147,101 @@ def test_two_stage_topologies_concurrent_live(scratch, spark):
         q2.stop()
         for s in (s1, s2):
             cur.execute(f'DROP SCHEMA "{s}" CASCADE')
+
+
+def test_text_pk_collation_chunked_snapshot_restart_live(scratch):
+    """VERDICT r7 advisory #1, LIVE: a TEXT primary key under a
+    LINGUISTIC (ICU en-US) collation whose values genuinely sort
+    differently under C vs linguistic order, keyset-chunked over
+    multiple micro-batches with an uncommitted-span replay AND a
+    mid-snapshot restart — every row exactly once. Safe only because
+    every boundary/range query pins ``COLLATE "C"`` (UTF-8 byte order
+    = code-point order = the driver's ``_key_lt``); without the pin
+    the server's linguistic keyset comparisons disagree with the
+    driver's span clamps and a restart can skip or double-plan a
+    boundary chunk."""
+    cur = scratch["cur"]
+    schema = scratch["schema"]
+    try:
+        cur.execute(
+            f'CREATE COLLATION "{schema}".linguist (provider = icu, locale = \'en-US\')'
+        )
+    except Exception as e:
+        pytest.skip(f"ICU collation unavailable on this server: {e}")
+    cur.execute(
+        f'CREATE TABLE "{schema}".docs ('
+        f'name text COLLATE "{schema}".linguist PRIMARY KEY, body text)'
+    )
+    cur.execute(f'ALTER TABLE "{schema}".docs REPLICA IDENTITY FULL')
+    names = ["A1", "B2", "C5", "D7", "E9", "a3", "b4", "c6", "d8", "e0"]
+    cur.execute(
+        f'INSERT INTO "{schema}".docs VALUES '
+        + ", ".join(f"('{n}', 'body of {n}')" for n in names)
+    )
+
+    # the premise: the table's own ORDER BY (linguistic) and C order
+    # REALLY disagree on these keys, and C order == Python order
+    cur.execute(f'SELECT name FROM "{schema}".docs ORDER BY name')
+    linguistic = [r[0] for r in cur.fetchall()]
+    cur.execute(f'SELECT name FROM "{schema}".docs ORDER BY name COLLATE "C"')
+    c_order = [r[0] for r in cur.fetchall()]
+    assert linguistic != c_order, "test keys must expose the collation divergence"
+    assert c_order == sorted(names), 'COLLATE "C" must equal Python code-point order'
+
+    _setup_plugin(scratch, "pgoutput")
+    cfg = _config(scratch, plugin="pgoutput")
+    cfg.table_list = ["docs"]
+    cfg.snapshot_chunk_size = 3
+    cfg.snapshot_chunks_per_trigger = 1
+    cfg.progress_table = f'"{schema}"._progress'
+    want = sorted(names)  # the order every chunk plan must follow
+
+    def names_of(reader, start, end):
+        return sorted(
+            json.loads(v)["after"]["name"]
+            for p in reader.partitions(start, end)
+            for v, _l, _t in reader.read(p)
+        )
+
+    r1 = PostgresCDCStreamReader(cfg)
+    # the real catalog query admits the text PK (and caches its type)
+    assert r1.client.primary_key(schema, "docs") == ["name"]
+    o0 = r1.initialOffset()
+    o1 = r1.latestOffset()
+    # the first chunk bound is the 3rd key in C (= Python) order — NOT
+    # the 3rd in the table's own linguistic order
+    assert o1 == {"phase": "snapshot", "table": [schema, "docs"], "key": [want[2]]}
+    assert names_of(r1, o0, o1) == want[:3]
+    r1.commit(o1)
+    o2 = r1.latestOffset()  # planned, NOT committed — crash here
+    assert o2["key"] == [want[5]]
+
+    # (a) uncommitted replay on a fresh reader: the literal text
+    # bounds select exactly the same rows (C-pinned range query)
+    r2 = PostgresCDCStreamReader(cfg)
+    assert names_of(r2, o1, o2) == want[3:6]
+    r2.commit(o2)
+
+    # (b) clean mid-snapshot restart: progress-row resume, then drain;
+    # the remaining keys each exactly once, never a boundary repeat
+    r3 = PostgresCDCStreamReader(cfg)
+    seen, curoff = [], o2
+    while True:
+        end = r3.latestOffset()
+        if end == curoff:
+            break
+        seen.extend(
+            json.loads(v)["after"]["name"]
+            for p in r3.partitions(curoff, end)
+            for v, _l, _t in r3.read(p)
+            if json.loads(v)["op"] == "r"
+        )
+        r3.commit(end)
+        curoff = end
+    assert sorted(seen) == want[6:]  # ONLY the un-committed tail
+
+    # snapshot→wal handoff on the text-PK table
+    cur.execute(f'INSERT INTO "{schema}".docs VALUES (\'zz\', \'tail row\')')
+    envs, end2 = _drain(r3, curoff)
+    assert [(e["op"], e["after"]["name"]) for e in envs] == [("c", "zz")]
+    r3.commit(end2)

@@ -43,7 +43,12 @@ if [ "$AUTH" != trust ]; then
     [ -n "$AS_USER" ] && chown "$PGUSER_OS" "$WORK/pwfile"
     PWFILE_ARGS=(--pwfile="$WORK/pwfile")
 fi
-$AS_USER "$PGBIN/initdb" -D "$WORK/data" -U postgres -A "$AUTH" "${PWFILE_ARGS[@]}" >/dev/null
+# UTF8 encoding (not the C-locale SQL_ASCII default): ICU collations —
+# used by the text-PK collation live test — require a UTF8 database.
+# Fall back to the bare form on hosts without a C.utf8 locale.
+$AS_USER "$PGBIN/initdb" -D "$WORK/data" -U postgres -A "$AUTH" "${PWFILE_ARGS[@]}" \
+    -E UTF8 --locale=C.utf8 >/dev/null 2>&1 \
+  || $AS_USER "$PGBIN/initdb" -D "$WORK/data" -U postgres -A "$AUTH" "${PWFILE_ARGS[@]}" >/dev/null
 cat >> "$WORK/data/postgresql.conf" <<CONF
 wal_level = logical
 max_wal_senders = 10
