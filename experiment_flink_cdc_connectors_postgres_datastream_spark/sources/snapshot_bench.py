@@ -155,6 +155,121 @@ class ParquetSnapshotClient:
             con.close()
 
 
+class ParquetWalClient:
+    """WAL-TAIL-only replication client over one parquet table: no
+    snapshot (``list_tables`` is empty, so the reader enters the tail
+    immediately) and a slot that serves a DETERMINISTIC synthetic
+    change feed derived from the table — an INSERT for every even
+    ``event_id`` (lsn = 4*event_id+4 — offset so the first record's
+    LSN clears both the slot's strict confirmed bound and the
+    snapshot→wal floor of 1), an UPDATE for every
+    ``event_id % 10 == 0`` row (event_type → 'updated', lsn =
+    4*event_id+5) and a DELETE for every ``event_id % 14 == 0`` row
+    (lsn = 4*event_id+6), in LSN order. Peeks are non-destructive with real slot semantics
+    (strictly after the confirmed position, at most ``limit``
+    records), so the production tail planner — the
+    ``_peek_covering`` doubling window, ``_changes_to_rows`` envelope
+    translation, per-batch ``advance_slot`` commits — runs at sf
+    scale with no server. This is the per-round bench regression
+    guard for the WAL path, the twin of :class:`ParquetSnapshotClient`
+    for the other phase (VERDICT r7 #5)."""
+
+    def __init__(self, path: str, table: str):
+        if not path:
+            raise ValueError("cdc_wal_bench requires option 'path' (a parquet file)")
+        self.path = path
+        self.table = table
+        self.confirmed = 0
+        self.progress: str | None = None
+
+    # -- slot / progress surface ---------------------------------------
+    def ensure_slot(self) -> bool:
+        return True
+
+    def slot_confirmed_lsn(self) -> int:
+        return self.confirmed
+
+    def advance_slot(self, lsn_int: int) -> None:
+        self.confirmed = max(self.confirmed, lsn_int)
+
+    def save_snapshot_progress(self, pos_json: str) -> None:
+        self.progress = pos_json
+
+    def load_snapshot_progress(self) -> tuple | None:
+        if self.progress is None:
+            return None
+        t, key = json.loads(self.progress)
+        return (t, key)
+
+    def clear_snapshot_progress(self) -> None:
+        self.progress = None
+
+    # -- catalog (tail-only: nothing to snapshot) ----------------------
+    def list_tables(self) -> list[tuple[str, str]]:
+        return []
+
+    def primary_key(self, schema: str, table: str) -> list[str]:
+        return []
+
+    def peek_changes(self, limit: int) -> list[dict[str, Any]]:
+        """wal2json-shaped records strictly after the confirmed LSN, in
+        LSN order, at most ``limit`` — the exact
+        ``pg_logical_slot_peek_changes`` contract the planner's
+        doubling window relies on. Each peek re-reads from the slot
+        position (peeks are non-destructive), which is also why the
+        production planner grows its window instead of paging."""
+        import duckdb  # noqa: PLC0415
+
+        con = duckdb.connect()
+        try:
+            rows = con.sql(
+                f"""
+                WITH feed AS (
+                  SELECT event_id * 4 + 4 AS lsn, 'I' AS action, event_id, user_id, event_type
+                  FROM '{self.path}' WHERE event_id % 2 = 0
+                  UNION ALL
+                  SELECT event_id * 4 + 5, 'U', event_id, user_id, event_type
+                  FROM '{self.path}' WHERE event_id % 10 = 0
+                  UNION ALL
+                  SELECT event_id * 4 + 6, 'D', event_id, user_id, event_type
+                  FROM '{self.path}' WHERE event_id % 14 = 0
+                )
+                SELECT lsn, action, event_id, user_id, event_type FROM feed
+                WHERE lsn > {int(self.confirmed)} ORDER BY lsn LIMIT {int(limit)}
+                """
+            ).fetchall()
+        finally:
+            con.close()
+        out: list[dict[str, Any]] = []
+        for lsn, action, eid, uid, etype in rows:
+            cols = [
+                {"name": "event_id", "value": int(eid)},
+                {"name": "user_id", "value": _jsonable(uid)},
+                {"name": "event_type", "value": _jsonable(etype)},
+            ]
+            rec: dict[str, Any] = {
+                "action": action,
+                "schema": "parquet",
+                "table": self.table,
+                "timestamp_ms": int(lsn),
+                "lsn_int": int(lsn),
+                "xid": int(eid),
+            }
+            if action == "I":
+                rec["columns"] = cols
+            elif action == "U":
+                rec["columns"] = [
+                    {"name": "event_id", "value": int(eid)},
+                    {"name": "user_id", "value": _jsonable(uid)},
+                    {"name": "event_type", "value": "updated"},
+                ]
+                rec["identity"] = cols
+            else:  # D
+                rec["identity"] = cols
+            out.append(rec)
+        return out
+
+
 if _HAS_DATASOURCE_API:
     from pyspark.sql.datasource import DataSource
 
@@ -182,10 +297,36 @@ if _HAS_DATASOURCE_API:
             )
             return PostgresCDCStreamReader(cfg, client=client)
 
+    class ParquetWalDataSource(DataSource):
+        """``spark.readStream.format("cdc_wal_bench")`` — the
+        production WAL-tail reader over the parquet-backed synthetic
+        slot. Options: path (parquet file), table (logical name),
+        plus postgres_cdc's poll_batch_size (the doubling window's
+        starting width)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "cdc_wal_bench"
+
+        def schema(self):
+            return RAW_CDC_SCHEMA
+
+        def streamReader(self, schema) -> PostgresCDCStreamReader:
+            opts = {k.lower(): v for k, v in dict(self.options).items()}
+            cfg = PostgresCDCConfig.from_options(opts)
+            client = ParquetWalClient(opts.get("path", ""), opts.get("table", "events"))
+            return PostgresCDCStreamReader(cfg, client=client)
+
     def register_snapshot_bench(spark) -> None:
         spark.dataSource.register(ParquetSnapshotDataSource)
+
+    def register_wal_bench(spark) -> None:
+        spark.dataSource.register(ParquetWalDataSource)
 
 else:  # pragma: no cover
 
     def register_snapshot_bench(spark) -> None:
         raise ImportError("cdc_snapshot_bench requires the Spark 4 Python DataSource API")
+
+    def register_wal_bench(spark) -> None:
+        raise ImportError("cdc_wal_bench requires the Spark 4 Python DataSource API")

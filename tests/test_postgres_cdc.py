@@ -648,3 +648,48 @@ def test_bpchar_is_not_chunkable():
     assert "character" not in PostgresReplicationClient.CHUNKABLE_TYPES
     assert "character varying" in PostgresReplicationClient.CHUNKABLE_TYPES
     assert PostgresReplicationClient.TEXT_KEY_TYPES <= PostgresReplicationClient.CHUNKABLE_TYPES
+
+
+def test_parquet_wal_client_slot_semantics(tmp_path):
+    """The WAL bench backend must honor the real slot contract the
+    production planner relies on: peeks are non-destructive, strictly
+    after the confirmed position, limit-bounded, in LSN order — and
+    its records translate through the SAME wal2json_to_envelope path
+    as a live server's."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.snapshot_bench import ParquetWalClient
+
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": list(range(20)),
+                "user_id": [i * 10 for i in range(20)],
+                "event_type": ["view"] * 20,
+            }
+        ),
+        path,
+    )
+    c = ParquetWalClient(path, "events")
+    # feed: I for even ids (10), U for %10 (2), D for %14 (2: 0 and 14)
+    all_recs = c.peek_changes(100)
+    assert [r["action"] for r in all_recs[:3]] == ["I", "U", "D"]  # id 0: lsn 0,1,2
+    assert len(all_recs) == 10 + 2 + 2
+    lsns = [r["lsn_int"] for r in all_recs]
+    assert lsns == sorted(lsns)
+    # non-destructive + limit-bounded
+    assert [r["lsn_int"] for r in c.peek_changes(3)] == lsns[:3]
+    # confirmed position is a strict lower bound
+    c.advance_slot(lsns[2])
+    assert [r["lsn_int"] for r in c.peek_changes(100)] == lsns[3:]
+    # records translate through the production envelope path
+    env_i = json.loads(wal2json_to_envelope(all_recs[0], "db"))
+    assert env_i["op"] == "c" and env_i["after"]["event_id"] == 0
+    env_u = json.loads(wal2json_to_envelope(all_recs[1], "db"))
+    assert env_u["op"] == "u" and env_u["after"]["event_type"] == "updated"
+    assert env_u["before"]["event_type"] == "view"
+    env_d = json.loads(wal2json_to_envelope(all_recs[2], "db"))
+    assert env_d["op"] == "d" and env_d["after"] is None
+    assert env_d["before"]["event_id"] == 0
