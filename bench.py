@@ -155,6 +155,17 @@ EXTENDED_QUERIES = [
     "hard_negatives_topk",
     "repeat_factor_sampling",
     "decontaminate_spans",
+    # round 8: the WAL-tail throughput guard (VERDICT r7 #5 — the
+    # twin of cdc_snapshot_chunked for the other phase; like it, the
+    # timing is DELIBERATELY engine-driven end-to-end: peek-window
+    # planning + envelope translation + paced micro-batches are the
+    # quantities to guard), plus the new curation/behavioral family
+    "cdc_wal_tail",
+    "sessionization_gap",
+    "event_sequence_ngrams",
+    "temperature_mixture_weights",
+    "quality_logreg_score",
+    "embedding_matryoshka",
 ]
 
 

@@ -26,62 +26,67 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 
 # The correctness driver grades the FIRST 50 registered queries, in
 # registration order. Cumulative coverage is complete: every query
-# registered through round 6 has a driver CORRECTNESS row in some
-# round (all green at their latest grade). Round-7 window policy
-# (same rotation contract as r4-r6): (1) every query whose code path
-# or oracle changed this round gets a fresh grade — the deterministic
-# hash salts, the TRY_CAST keep-rate, the int8 zero guard, the
-# interpolated curve CTE, and the name-based bus offsets; (2) the
-# round-7 addition; (3) the 13 remaining round-2 rows (VERDICT r6
-# directive #6 — after this round nothing's latest grade is older
-# than round 3); (4) remaining slots to the oldest round-3 rows in
+# registered through round 7 has a driver CORRECTNESS row in some
+# round (all green at their latest grade). Round-8 window policy
+# (same rotation contract as r4-r7): (1) every query whose code path
+# or oracle changed since the round-7 grade gets a fresh grade — the
+# salted-op degenerate-shape guard, the Spark-side try_cast, the
+# epoch-scoped bus offsets, the collation-pinned CDC source, the
+# O(new) incremental dedup, and the two-phase hard-negative rank;
+# (2) the round-8 additions; (3) the 14 remaining round-3 rows
+# (VERDICT r7 #1 — after this round nothing's latest grade is older
+# than round 4); (4) remaining slots to the oldest round-4 rows in
 # registration order. Everything outside the window stays registered
 # and locally verified via tools/verify_local.py.
 _PRIORITY = [
-    # --- (1) code path / oracle changed in round 7 → fresh grade ---
-    # deterministic hash salts (retry-stable shuffles, ADVICE r6)
-    "count_live_by_salted", "salted_join_agg",
-    # TRY_CAST keep-rate / maxabs zero guard / interpolated VALUES CTE
-    "mixture_sample_hash", "embedding_int8_quant", "minhash_recall_curve",
-    # name-based spool offsets ({last, n} + count cross-check)
+    # --- (1) code path changed since the round-7 grade ---
+    # salted ops refuse the key-only-columns degenerate shape
+    "count_live_by_salted", "salted_join_agg", "salted_agg_demo",
+    # Spark-side try_cast so the length fallback fires under ANSI
+    "mixture_sample_hash",
+    # reader-incarnation epoch in the spool offsets
     "bus_roundtrip_streamed", "bus_table_compact",
-    # --- (2) new in round 7 ---
-    # the chunked keyset snapshot at sf scale through the source API
+    # COLLATE "C" keyset pin + progress-read loss-window fix
     "cdc_snapshot_chunked",
-    # weighted sampling / DSIR curation / fuzzy decontamination /
-    # incremental (crawl-snapshot) MinHash dedup through the engine /
-    # hard-negative mining / repeat-factor class balancing
-    "priority_sample_per_source", "dsir_importance_weights",
-    "decontaminate_fuzzy", "decontaminate_spans",
+    # O(new) banded store + retry-idempotent batch writes
     "dedup_minhash_streamed",
-    "hard_negatives_topk", "repeat_factor_sampling",
-    # --- (3) stalest: the 13 remaining round-2 rows (VERDICT r6 #6) ---
-    "similarity_topk_ivf", "multimodal_meta", "sliding_window",
-    "asof_join", "pivot_counts", "udaf_weighted_mean",
-    "json_extract_props", "percentile_by_type", "cube_counts",
-    "window_rank_family", "embedding_norm_stats", "pii_redact",
-    "shard_assignment",
-    # --- (4) oldest round-3 rows, registration order (22 of 36; the
-    # round-7 additions displaced the rest — the displaced rows lead
-    # the next-round rotation, named in the comment at the end) ---
-    # (salted_agg_demo is also a round-7 regrade: it consumes the
-    # reworked deterministic salt)
-    "project_filter", "cdc_two_table_join", "customers_without_orders",
-    "tokens_to_ids", "dedup_jaccard_prefix", "dedup_spans",
-    "similarity_topk_lsh", "embedding_near_dup",
-    "multimodal_feature_topk", "grouping_sets_count", "doc_chunking",
-    "sequence_packing", "repetition_ratio", "length_band_filter",
-    "interval_join_counts", "salted_agg_demo", "contamination_check",
-    "train_val_test_split", "embedding_quantize_error",
-    "type_token_ratio", "jsonl_roundtrip", "csv_roundtrip",
-    # Still outside the window, all last green in round 3 and
+    # per-anchor rank through two_phase_topk
+    "hard_negatives_topk",
+    # --- (2) new in round 8 ---
+    # the WAL-tail throughput guard through the engine
+    "cdc_wal_tail",
+    # gap sessionization / path mining / temperature mixing /
+    # linear quality gate / Matryoshka truncation audit
+    "sessionization_gap", "event_sequence_ngrams",
+    "temperature_mixture_weights", "quality_logreg_score",
+    "embedding_matryoshka",
+    # --- (3) stalest: the 14 remaining round-3 rows (VERDICT r7 #1) ---
+    "orc_roundtrip", "tumbling_window_streamed",
+    "session_window_streamed", "dedup_streamed",
+    "stream_stream_join_streamed", "schema_merge_roundtrip",
+    "stream_static_join_streamed", "funnel_conversion",
+    "retention_cohorts", "mixture_sample", "multi_resolution_rollup",
+    "word_entropy", "zscore_outliers", "curation_pipeline",
+    # --- (4) oldest round-4 rows, registration order (21 of 40; the
+    # displaced 19 lead the next-round rotation, named below) ---
+    "compact_latest", "count_live_by", "tumbling_window",
+    "changelog_diff", "cdc_parse_envelope", "cdc_pipeline",
+    "cdc_pipeline_streamed", "cdc_live_count_stateful",
+    "changelog_agg_multi", "changelog_agg_multi_streamed",
+    "bpe_pair_counts", "bpe_learn_merges", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    "dup_degree_histogram", "similarity_topk_ivf_sampled",
+    "similarity_topk_pq", "similarity_topk_pq_sampled",
+    "similarity_topk_pq_sampled_rerank",
+    # Still outside the window, all last green in round 4 and
     # unchanged since (next rotation's front of the line):
-    # orc_roundtrip, tumbling_window_streamed, session_window_streamed,
-    # dedup_streamed, stream_stream_join_streamed,
-    # schema_merge_roundtrip, stream_static_join_streamed,
-    # funnel_conversion, retention_cohorts, mixture_sample,
-    # multi_resolution_rollup, word_entropy, zscore_outliers,
-    # curation_pipeline.
+    # session_window, ntile_quartiles, stratified_sample,
+    # variant_extract, zorder_layout, window_running_sum,
+    # window_moving_avg, window_first_last, monthly_order_stats,
+    # string_functions, normalize_text, epoch_shuffle,
+    # boilerplate_removal, unigram_kl_by_source, ngram_novelty,
+    # tumbling_window_late_streamed, dedup_within_watermark_streamed,
+    # mad_outliers, winsorized_stats.
 ]
 
 

@@ -204,3 +204,91 @@ def multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.to_date(F.col("w.start")).alias("day"), "n_events", "total_value")
     )
+
+
+@register(
+    "sessionization_gap",
+    """
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS t_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    s AS (
+      SELECT user_id,
+             CASE WHEN prev_us IS NULL OR t_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM g)
+    SELECT user_id,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           CAST(COUNT(1) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the classic clickstream cut: a new
+    session starts after >30 min of inactivity), reduced to sessions
+    and events per user. Timestamps compare as integer microseconds
+    (`unix_micros` / `epoch_us`) so the 30-minute gap test is exact on
+    both engines — no float epoch arithmetic.
+
+    Scale shape: one shuffle on user_id for the LAG window (partition
+    sizes are per-user event counts — bounded, human-scale), then the
+    per-user count reuses the same partitioning: Catalyst plans the
+    groupBy WITHOUT a second exchange because the window already
+    hash-partitioned on the grouping key."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn("t_us", F.unix_micros("ts")).withColumn(
+        "prev_us", F.lag("t_us").over(w)
+    )
+    is_new = (
+        F.col("prev_us").isNull() | (F.col("t_us") - F.col("prev_us") > 1_800_000_000)
+    ).cast("int")
+    return (
+        g.select("user_id", is_new.alias("is_new"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "event_sequence_ngrams",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events)
+    SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+           CAST(COUNT(1) AS BIGINT) AS n
+    FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+    """,
+)
+def event_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigrams over each user's time-ordered stream —
+    the path-mining primitive behind funnel discovery (which 3-step
+    behavior sequences actually happen, before committing to a funnel
+    definition like `funnel_conversion`'s). Deterministic tie-break
+    (count desc, trigram asc) makes the top-20 stable across engines.
+
+    Scale shape: one shuffle on user_id for the LEAD window (both
+    leads share one window spec → one exchange + one sort), a
+    partial-agg shuffle on the trigram (5^3 = 125 possible keys at
+    most — tiny), and a driver-side LIMIT 20 on the sorted result."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        o.select(F.concat_ws(">", "event_type", "e2", "e3").alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(20)
+    )

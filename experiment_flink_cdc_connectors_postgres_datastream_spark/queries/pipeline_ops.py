@@ -941,3 +941,138 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(meta, F.col("_id") == F.col("doc_id"))
         .select("doc_id", "source", "lang", "n_grams", "log_w_micro")
     )
+
+
+@register(
+    "temperature_mixture_weights",
+    r"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source),
+    q AS (
+      SELECT source, total_tokens,
+             CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sqrt_micro
+      FROM s)
+    SELECT source, total_tokens, sqrt_micro,
+           sqrt_micro * 1000000 // (SELECT SUM(sqrt_micro) FROM q) AS weight_ppm
+    FROM q
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multi-source sampling weights, the UniMax /
+    multilingual-LM mixing rule at alpha = 0.5: a source's sampling
+    weight is proportional to its token count raised to the
+    temperature (sqrt at 0.5), flattening the head sources so
+    low-resource ones are not drowned. (`mixture_sample` consumes
+    per-source rates; THIS query is where those rates come from.)
+    Exactness: alpha = 0.5 is deliberate — IEEE-754 requires SQRT to
+    be correctly rounded, so both engines produce the identical
+    double, which is then floored into integer micro-units; every
+    later step (sum, scaled floor-division) is bigint arithmetic, so
+    the weights hash-match with no float-sum order sensitivity (pow()
+    at other alphas is NOT correctly rounded and could differ by an
+    ulp between libm implementations).
+
+    Scale shape: one partial-agg shuffle on source for the token
+    totals (map-side combine does the heavy lifting); the ppm
+    normalization joins the per-source rows against a 1-row broadcast
+    total — no second full shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.size(F.split(F.lower("text"), r"\s+")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("total_tokens"))
+    )
+    q = s.withColumn(
+        "sqrt_micro",
+        F.floor(F.sqrt(F.col("total_tokens").cast("double")) * 1_000_000).cast("bigint"),
+    )
+    # the per-source table is tiny (one row per source) but its
+    # lineage is a full corpus scan — cut it so the 1-row total
+    # below reuses the materialized rows instead of re-scanning the
+    # documents (the dsir_importance_weights pattern)
+    q = q.localCheckpoint(eager=False)
+    total = q.agg(F.sum("sqrt_micro").alias("_t"))
+    return q.crossJoin(F.broadcast(total)).select(
+        "source",
+        "total_tokens",
+        "sqrt_micro",
+        F.expr("sqrt_micro * 1000000 div _t").alias("weight_ppm"),
+    )
+
+
+#: integer milli-weights of the fixed linear quality model (a
+#: fastText-style "is this page worth training on" classifier,
+#: hand-set to reward lexical diversity and penalize very long or
+#: digit-heavy pages). Integer weights over integer features keep the
+#: score exact on both engines.
+QUALITY_W_TOKEN = 50
+QUALITY_W_TYPE = 120
+QUALITY_W_CHAR = -3
+QUALITY_W_DIGIT = -400
+QUALITY_BIAS = -2_000
+
+
+@register(
+    "quality_logreg_score",
+    rf"""
+    WITH f AS (
+      SELECT source,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS n_typ,
+             CAST(length(text) AS BIGINT) AS n_chr,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_dig
+      FROM documents),
+    s AS (
+      SELECT source,
+             {QUALITY_W_TOKEN} * n_tok + {QUALITY_W_TYPE} * n_typ
+             + {QUALITY_W_CHAR} * n_chr + {QUALITY_W_DIGIT} * n_dig
+             + {QUALITY_BIAS} AS score_milli
+      FROM f)
+    SELECT source,
+           CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(score_milli) AS BIGINT) AS score_checksum
+    FROM s GROUP BY source
+    """,
+)
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering with a FIXED linear classifier —
+    the shape of a fastText/logreg quality gate (CCNet, GPT-3's
+    Common Crawl filter) with the training externalized: the engine's
+    job is applying w·x over per-document features at corpus scale,
+    and integer milli-weights over integer count-features make the
+    decision boundary exactly reproducible cross-engine (a float
+    sigmoid would hash-diverge; the sign of w·x is the same decision).
+
+    Scale shape: per-document features are zero-shuffle codegen'd
+    column ops on the documents scan; the only exchange is the
+    partial-agg on source. At 100 TB this is the cheapest possible
+    pass — exactly why linear gates run before any GPU-model scoring
+    in production curation stacks."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    f = docs.select(
+        "source",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_typ"),
+        F.length("text").cast("bigint").alias("n_chr"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).cast("bigint").alias("n_dig"),
+    )
+    score = (
+        QUALITY_W_TOKEN * F.col("n_tok")
+        + QUALITY_W_TYPE * F.col("n_typ")
+        + QUALITY_W_CHAR * F.col("n_chr")
+        + QUALITY_W_DIGIT * F.col("n_dig")
+        + F.lit(QUALITY_BIAS)
+    )
+    return (
+        f.select("source", score.alias("score_milli"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score_milli") > 0).cast("bigint")).alias("n_pass"),
+            F.sum("score_milli").alias("score_checksum"),
+        )
+    )

@@ -866,3 +866,69 @@ def repeat_factor_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_repeats").alias("n_after"),
         F.sum(F.col("vec_id") * F.col("n_repeats")).alias("repeat_checksum"),
     )
+
+
+@register(
+    "embedding_matryoshka",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             CAST(FLOOR(1e8 * (CAST(unnest(embedding) AS DOUBLE)
+                               * CAST(unnest(embedding) AS DOUBLE))) AS BIGINT) AS energy
+      FROM embeddings),
+    p AS (
+      SELECT k.dim_budget, e.vec_id,
+             SUM(CASE WHEN e.i <= k.dim_budget THEN e.energy ELSE 0 END) AS e_k,
+             SUM(e.energy) AS e_total
+      FROM e CROSS JOIN (VALUES (8), (16), (32), (64)) AS k(dim_budget)
+      GROUP BY 1, 2)
+    SELECT CAST(dim_budget AS INT) AS dim_budget,
+           CAST(COUNT(1) AS BIGINT) AS n_vecs,
+           CAST(SUM(e_k * 1000000 // e_total) AS BIGINT) AS captured_ppm_sum
+    FROM p WHERE e_total > 0
+    GROUP BY 1
+    """,
+)
+def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation truncation audit (Kusupati et al.
+    2022): how much of each embedding's energy (sum of squared
+    components) survives truncation to a prefix of 8/16/32/64 dims —
+    the measurement that decides how small an MRL index or a cheap
+    first-stage retriever can go. Per-element energies are floored
+    into integer 1e-8 units BEFORE summation (float32→double squaring
+    is exactly rounded, so both engines floor the same double), and
+    captured fractions are bigint floor-divisions — no float-sum
+    order sensitivity anywhere on the grading path.
+
+    Scale shape: zero shuffles before the 4-row final agg — the
+    per-vector prefix energies are a single codegen'd pass over the
+    embeddings scan (four F.aggregate folds over array slices, no
+    explode: the 64-element explode would be a 64x row blow-up at
+    100 TB), then one partial-agg exchange on the 4 dim budgets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def energy(upto: int):
+        return F.aggregate(
+            F.slice("embedding", 1, upto),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc
+            + F.floor(F.lit(1e8) * (x.cast("double") * x.cast("double"))).cast("bigint"),
+        )
+
+    per_vec = emb.select(
+        *[energy(k).alias(f"e_{k}") for k in (8, 16, 32, 64)],
+    ).filter(F.col("e_64") > 0)
+    # stack, not a 4-way union: one scan emits all four budget rows
+    # (a union of four selects would re-read the embeddings 4x)
+    stacked = per_vec.select(
+        F.expr(
+            "stack(4, "
+            + ", ".join(f"{k}, e_{k} * 1000000 div e_64" for k in (8, 16, 32, 64))
+            + ") as (dim_budget, captured_ppm)"
+        )
+    )
+    return stacked.groupBy("dim_budget").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("captured_ppm").alias("captured_ppm_sum"),
+    )

@@ -405,3 +405,51 @@ def test_mixture_sample_suffix_fallback_fires_under_ansi(spark):
     )
     got = {r["source"]: r["suffix"] for r in df.collect()}
     assert got == {"web": 3, "cc-2021": 2021, "srcXY": 5}
+
+
+def test_temperature_mixture_sqrt_flattening(spark, tmp_path):
+    """Alpha=0.5 flattening: a source with 4x the tokens gets only 2x
+    the weight; ppm weights are exact integers that sum to <= 1e6."""
+    rows = [(i, "w " * (99 if i < 10 else 399), "big" if i >= 10 else "small")
+            for i in range(20)]
+    # cross-engine token-count parity is the oracle's job; this test
+    # pins only the flattening ratio, which a constant off-by-one in
+    # the split convention cannot affect.
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.pipeline_ops import temperature_mixture_weights
+
+    out = {r["source"]: r for r in temperature_mixture_weights(spark, str(tmp_path)).collect()}
+    assert out["big"]["total_tokens"] == 4 * out["small"]["total_tokens"]
+    # sqrt: ~2x the sampling weight despite 4x the tokens (up to the
+    # one-micro-unit floor quantization)
+    assert abs(out["big"]["sqrt_micro"] - 2 * out["small"]["sqrt_micro"]) <= 1
+    assert sum(r["weight_ppm"] for r in out.values()) <= 1_000_000
+
+
+def test_quality_logreg_score_hand_computed(spark, tmp_path):
+    """The linear gate scores w.x exactly: hand-computed milli-score
+    for a two-doc corpus."""
+    rows = [
+        (0, "good doc with many distinct words", "s"),   # 6 tok, 6 typ, 33 chr, 0 dig
+        (1, "1 1 1 1", "s"),                              # 4 tok, 1 typ, 7 chr, 4 dig
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.pipeline_ops import (
+        QUALITY_BIAS,
+        QUALITY_W_CHAR,
+        QUALITY_W_DIGIT,
+        QUALITY_W_TOKEN,
+        QUALITY_W_TYPE,
+        quality_logreg_score,
+    )
+
+    s0 = QUALITY_W_TOKEN * 6 + QUALITY_W_TYPE * 6 + QUALITY_W_CHAR * 33 + QUALITY_BIAS
+    s1 = QUALITY_W_TOKEN * 4 + QUALITY_W_TYPE * 1 + QUALITY_W_CHAR * 7 + QUALITY_W_DIGIT * 4 + QUALITY_BIAS
+    row = quality_logreg_score(spark, str(tmp_path)).first()
+    assert row["n_docs"] == 2
+    assert row["score_checksum"] == s0 + s1
+    assert row["n_pass"] == int(s0 > 0) + int(s1 > 0)

@@ -585,3 +585,70 @@ def test_decontaminate_spans_semi_join_no_fanout(spark):
     df = QUERIES["decontaminate_spans"](spark, SF)
     plan = assert_plan(df, forbids=["CartesianProduct", "BroadcastNestedLoopJoin"])
     assert "LeftSemi" in plan, plan
+
+
+def test_sessionization_gap_single_data_exchange(spark):
+    """The LAG window and the per-user count must share one
+    hash-partitioning on user_id — a second user_id exchange after
+    the window would double the shuffle volume of the heaviest stage
+    at 100 TB."""
+    import re
+
+    df = QUERIES["sessionization_gap"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+    for cols in scan_columns(df):
+        assert set(cols) <= {"user_id", "ts", "event_id"}
+
+
+def test_event_sequence_ngrams_one_window_operator(spark):
+    """Both LEADs ride ONE Window operator (one exchange + one sort);
+    the scan reads only the four referenced columns."""
+    import re
+
+    df = QUERIES["event_sequence_ngrams"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, plan
+    for cols in scan_columns(df):
+        assert set(cols) <= {"user_id", "event_type", "ts", "event_id"}
+
+
+def test_temperature_mixture_checkpoint_shared_broadcast_total(spark):
+    """The corpus scan + per-source agg runs ONCE (localCheckpoint —
+    the final plan reads the materialized per-source rows as
+    ExistingRDD on BOTH sides), and the 1-row total joins back by
+    broadcast. Without the checkpoint the total's build side re-scans
+    the whole corpus — a second 100-TB pass for one scalar."""
+    df = QUERIES["temperature_mixture_weights"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "FileScan" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_quality_logreg_zero_prejoin_shuffles(spark):
+    """The linear gate is a pure codegen'd map over the documents
+    scan: the ONLY exchange in the whole plan is the final per-source
+    agg — the cheapest-possible-pass property that makes a linear
+    quality filter the first stage of a 100-TB curation stack."""
+    df = QUERIES["quality_logreg_score"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    for cols in scan_columns(df):
+        assert set(cols) <= {"source", "text"}
+
+
+def test_embedding_matryoshka_no_per_dim_explode(spark):
+    """Prefix energies fold in-row (F.aggregate over array slices) —
+    a per-dimension explode would be a 64x row blow-up before the
+    shuffle. The only Generate is the 4-row budget stack; the scan
+    reads only the embedding column."""
+    import re
+
+    df = QUERIES["embedding_matryoshka"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "explode" not in plan.lower().replace("generate stack", ""), plan
+    assert len(re.findall(r"Generate stack", plan)) == 1, plan
+    for cols in scan_columns(df):
+        assert set(cols) == {"embedding"}
