@@ -138,6 +138,14 @@ class PostgresCDCConfig:
     #: chunks planned per micro-batch — snapshot backpressure, the
     #: analogue of the bus source's maxFilesPerTrigger
     snapshot_chunks_per_trigger: int = 8
+    #: rows per WAL-batch partition: a tail span splits into
+    #: ceil(n/this) tasks so a large catch-up batch (restart after
+    #: downtime, burst traffic) parallelizes downstream instead of
+    #: funneling through one task. Safe because every downstream
+    #: consumer orders/compacts by the lsn column, never by partition
+    #: arrival order (changelog correctness does not depend on
+    #: intra-batch ordering).
+    wal_rows_per_partition: int = 8192
     #: tiny source-side table recording per-slot snapshot progress
     #: (one row: slot_name → keyset position). Needed because a real
     #: slot's confirmed_flush_lsn is nonzero from CREATION, so slot
@@ -187,6 +195,9 @@ class PostgresCDCConfig:
                     "snapshotchunkspertrigger",
                     default="8",
                 )
+            ),
+            wal_rows_per_partition=int(
+                opt("wal_rows_per_partition", "walrowsperpartition", default="8192")
             ),
             progress_table=opt(
                 "progress_table",
@@ -968,7 +979,14 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
                             "Refusing to return an empty batch for a non-empty span."
                         )
                 if rows:
-                    parts.append(PostgresCDCPartition(rows=rows))
+                    # split large tail batches into bounded tasks —
+                    # catch-up spans otherwise funnel the whole batch
+                    # through one executor slot
+                    step = max(1, self.config.wal_rows_per_partition)
+                    parts.extend(
+                        PostgresCDCPartition(rows=rows[i : i + step])
+                        for i in range(0, len(rows), step)
+                    )
         return parts or [PostgresCDCPartition()]
 
     def read(self, partition: PostgresCDCPartition) -> Iterator[tuple]:

@@ -693,3 +693,42 @@ def test_parquet_wal_client_slot_semantics(tmp_path):
     env_d = json.loads(wal2json_to_envelope(all_recs[2], "db"))
     assert env_d["op"] == "d" and env_d["after"] is None
     assert env_d["before"]["event_id"] == 0
+
+
+def test_wal_batch_splits_into_bounded_partitions():
+    """A large tail span splits into ceil(n/wal_rows_per_partition)
+    tasks (parallel downstream consumption for catch-up batches) with
+    every row exactly once and lsn order preserved within the span's
+    concatenation."""
+    client = FakeClient()
+    client.change_queue = [
+        [
+            {
+                "action": "I",
+                "schema": "schema1",
+                "table": "users",
+                "columns": [{"name": "id", "value": 1000 + i}],
+                "timestamp_ms": i,
+                "lsn_int": 100 + i,
+                "xid": 500,
+            }
+            for i in range(10)
+        ],
+        [],
+    ]
+    cfg = PostgresCDCConfig(wal_rows_per_partition=3)
+    r = PostgresCDCStreamReader(cfg, client=client)
+    start = r.initialOffset()
+    snap_end = r.latestOffset()
+    r.commit(snap_end)
+    end = r.latestOffset()
+    parts = r.partitions(snap_end, end)
+    sizes = [len(p.rows) for p in parts]
+    assert sizes == [3, 3, 3, 1]
+    lsns = [lsn for p in parts for _v, lsn, _t in p.rows]
+    assert lsns == sorted(lsns) and len(lsns) == 10
+
+
+def test_wal_partition_option_parses():
+    cfg = PostgresCDCConfig.from_options({"walRowsPerPartition": "123"})
+    assert cfg.wal_rows_per_partition == 123
