@@ -166,6 +166,8 @@ EXTENDED_QUERIES = [
     "temperature_mixture_weights",
     "quality_logreg_score",
     "embedding_matryoshka",
+    "ngram_coverage_curve",
+    "recency_decay_weights",
 ]
 
 

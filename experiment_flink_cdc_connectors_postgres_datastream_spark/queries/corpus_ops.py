@@ -840,3 +840,66 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_share"),
         )
     )
+
+
+@register(
+    "ngram_coverage_curve",
+    r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      FROM documents),
+    cnt AS (
+      SELECT token, CAST(COUNT(1) AS BIGINT) AS n FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM cnt),
+    ranked AS (
+      SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+      FROM cnt ORDER BY n DESC, token LIMIT 5000),
+    cum AS (
+      SELECT r, SUM(n) OVER (ORDER BY r) AS covered FROM ranked)
+    SELECT k.vocab_size,
+           CAST(c.covered AS BIGINT) AS covered_tokens,
+           CAST(t.total AS BIGINT) AS total_tokens,
+           c.covered * 1000000 // t.total AS coverage_ppm
+    FROM (VALUES (100), (1000), (5000)) AS k(vocab_size)
+    JOIN cum c ON c.r = k.vocab_size
+    CROSS JOIN tot t
+    """,
+)
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    OCCURRENCES the top-k most frequent types cover, at k = 100 /
+    1000 / 5000 — the measurement behind tokenizer vocab sizing (how
+    big must the vocab be before <unk> is rare) and stopword-list
+    cutoffs. Deterministic tie-break (count desc, token asc) pins the
+    boundary of each k on both engines; coverage is bigint
+    floor-division ppm.
+
+    Scale shape: one partial-agg shuffle for type counts, then
+    TakeOrdered for the top-5000 — the curve never globally sorts the
+    full vocabulary (100-TB corpora have billions of types; only the
+    bounded head rides the single-task cumulative window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = cnt.agg(F.sum("n").alias("total"))
+    head = cnt.orderBy(F.col("n").desc(), "token").limit(5000)
+    w = Window.orderBy("r")
+    ranked = head.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("n").desc(), "token"))
+    )
+    cum = ranked.withColumn("covered", F.sum("n").over(w))
+    ks = spark.createDataFrame([(100,), (1000,), (5000,)], "vocab_size int")
+    return (
+        F.broadcast(ks)
+        .join(cum, ks.vocab_size == cum.r)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            F.col("covered").cast("bigint").alias("covered_tokens"),
+            F.col("total").cast("bigint").alias("total_tokens"),
+            F.expr("covered * 1000000 div total").alias("coverage_ppm"),
+        )
+    )

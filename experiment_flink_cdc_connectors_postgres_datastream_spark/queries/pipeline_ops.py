@@ -1076,3 +1076,49 @@ def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score_milli").alias("score_checksum"),
         )
     )
+
+
+@register(
+    "recency_decay_weights",
+    """
+    WITH m AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+    w AS (
+      SELECT event_type,
+             1000000 // (CAST(1 AS BIGINT) << LEAST(
+               (m.max_us - epoch_us(ts)) // 86400000000 // 7, 40)) AS weight_ppm
+      FROM events CROSS JOIN m)
+    SELECT event_type,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           CAST(SUM(weight_ppm) AS BIGINT) AS replay_weight_sum
+    FROM w GROUP BY event_type
+    """,
+)
+def recency_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted replay sampling weights with a 7-day
+    half-life: an event's weight halves per week of age relative to
+    the newest event in the table — the standard freshness bias for
+    continual-pretraining / replay-buffer mixing. Ages are integer
+    microsecond arithmetic bucketed into whole weeks, and the decay is
+    a bigint shift (1e6 >> weeks, clamped at 40 so the shift never
+    overflows) — no float pow anywhere, so the weights hash-match
+    cross-engine exactly.
+
+    Scale shape: the 1-row max-timestamp aggregate broadcasts back
+    over the scan (no second shuffle of the events), then one
+    partial-agg exchange on event_type."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    m = ev.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    # integer division twice (days, then weeks), exactly as the
+    # oracle; the shift needs SQL expr form (the Python shiftleft
+    # helper takes only a literal bit count)
+    w = ev.crossJoin(F.broadcast(m)).select(
+        "event_type",
+        F.expr(
+            "1000000 div shiftleft(cast(1 as bigint), cast(least("
+            "((max_us - unix_micros(ts)) div 86400000000) div 7, 40) as int))"
+        ).alias("weight_ppm"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("weight_ppm").alias("replay_weight_sum"),
+    )

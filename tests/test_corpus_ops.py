@@ -111,3 +111,20 @@ def test_boilerplate_removal_drops_common_segments_preserves_order(spark):
     assert got[3] == (2, 1, "eta theta iota")
     assert got[4] == (1, 0, "")
     assert got[5] == (2, 2, "kappa lambda mu nu xi omicron")
+
+
+def test_ngram_coverage_curve_cumulative_math(spark, tmp_path):
+    """Coverage at k is the cumulative count of the top-k types under
+    the (count desc, token asc) order: 150 distinct tokens with
+    counts 150..1 -> top-100 covers sum(51..150)=10050 of 11325."""
+    rows = [(i, (f"t{i:03d} " * (150 - i)).strip(), "s") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.corpus_ops import ngram_coverage_curve
+
+    out = {r["vocab_size"]: r for r in ngram_coverage_curve(spark, str(tmp_path)).collect()}
+    assert set(out) == {100}  # vocab (150) < 1000: larger ks are absent
+    assert out[100]["covered_tokens"] == sum(range(51, 151))
+    assert out[100]["total_tokens"] == sum(range(1, 151))
+    assert out[100]["coverage_ppm"] == sum(range(51, 151)) * 1_000_000 // sum(range(1, 151))

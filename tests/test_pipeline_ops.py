@@ -453,3 +453,30 @@ def test_quality_logreg_score_hand_computed(spark, tmp_path):
     assert row["n_docs"] == 2
     assert row["score_checksum"] == s0 + s1
     assert row["n_pass"] == int(s0 > 0) + int(s1 > 0)
+
+
+def test_recency_decay_halves_per_week(spark, tmp_path):
+    """Weights halve per whole week of age vs the newest event; ages
+    >= 40 weeks clamp to weight 0 (1e6 >> 40)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 6, 1)
+
+    def ev(eid, days_old, etype):
+        return (eid, etype, t0 - datetime.timedelta(days=days_old))
+
+    rows = [
+        ev(1, 0, "a"),    # newest: k=0 -> 1_000_000
+        ev(2, 8, "a"),    # 1 week old -> 500_000
+        ev(3, 15, "b"),   # 2 weeks -> 250_000
+        ev(4, 290, "b"),  # 41 weeks -> clamped shift 40 -> 0
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.pipeline_ops import recency_decay_weights
+
+    out = {r["event_type"]: r for r in recency_decay_weights(spark, str(tmp_path)).collect()}
+    assert out["a"]["replay_weight_sum"] == 1_000_000 + 500_000
+    assert out["b"]["replay_weight_sum"] == 250_000 + 0
+    assert out["a"]["n_events"] == 2 and out["b"]["n_events"] == 2

@@ -652,3 +652,26 @@ def test_embedding_matryoshka_no_per_dim_explode(spark):
     assert len(re.findall(r"Generate stack", plan)) == 1, plan
     for cols in scan_columns(df):
         assert set(cols) == {"embedding"}
+
+
+def test_ngram_coverage_curve_takeordered_head(spark):
+    """The coverage curve must TakeOrdered the top-5000 types — never
+    globally sort the full vocabulary (billions of types at 100 TB);
+    only the bounded head rides the single-task cumulative window."""
+    df = QUERIES["ngram_coverage_curve"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_recency_decay_single_exchange_broadcast_max(spark):
+    """The 1-row max-timestamp aggregate broadcasts back over the
+    events scan; the only hash exchange is the final event_type agg."""
+    import re
+
+    df = QUERIES["recency_decay_weights"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    for cols in scan_columns(df):
+        assert set(cols) <= {"event_type", "ts"}
