@@ -803,13 +803,23 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
 
     def _changes_to_rows(self, changes: list[dict[str, Any]], floor_lsn: int) -> list[tuple]:
         """Translate peeked wal2json records into (envelope, lsn, ts)
-        rows, dropping non-row actions and anything at/below
+        rows, dropping non-row actions, anything at/below
         ``floor_lsn`` (already planned into an earlier span — peek
-        re-returns unadvanced changes on every call)."""
+        re-returns unadvanced changes on every call), and the
+        source's own bookkeeping: the snapshot-progress table lives in
+        the source DB (often inside a captured schema — the default is
+        public) and a publication/plugin typically covers it, so
+        without this filter a consumer would see the engine's own
+        progress upserts and the clear-on-first-advance delete as CDC
+        events. It is excluded from the snapshot for the same reason
+        (``_ensure_tables``)."""
+        skip = self._progress_pair()
         rows: list[tuple] = []
         for rec in changes:
             lsn = rec.get("lsn_int", 0)
             if lsn < floor_lsn:
+                continue
+            if (rec.get("schema"), rec.get("table")) == skip:
                 continue
             env = wal2json_to_envelope(rec, self.config.database)
             if env is not None:
@@ -897,12 +907,27 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
                     self._snapshot_done = True
                     self._last_lsn = max(self._last_lsn, 1)
                 return {"phase": "snapshot", "table": new_pos[0], "key": new_pos[1]}
-        # Grow the peek window past already-planned-but-uncommitted
-        # changes (they stay in the slot until commit advances it) —
-        # a fixed-size peek would re-see only the oldest uncommitted
-        # span and stall planning until a commit.
-        changes = self._peek_covering(self._last_lsn + 1)
-        rows = self._changes_to_rows(changes, self._last_lsn)
+        # Grow the peek window until it yields at least one
+        # TRANSLATABLE row or the slot is exhausted. Covering
+        # `_last_lsn` alone is not enough: the window must also grow
+        # past already-planned-but-uncommitted changes (below the
+        # floor until a commit advances the slot) AND past runs of
+        # records that translate to nothing — progress-table
+        # bookkeeping, Begin/Commit messages — otherwise a small
+        # window full of filtered records reads as "nothing new" and
+        # planning stalls on real changes beyond it.
+        limit = self.config.poll_batch_size
+        prev_max = -1
+        while True:
+            changes = self.client.peek_changes(limit)
+            rows = self._changes_to_rows(changes, self._last_lsn)
+            if rows or not changes:
+                break
+            max_lsn = max(c.get("lsn_int", 0) for c in changes)
+            if max_lsn <= prev_max:
+                break  # exhausted: everything visible is filtered/planned
+            prev_max = max_lsn
+            limit *= 2
         if rows:
             max_lsn = max(lsn for _, lsn, _ in rows)
             self._pending[(self._last_lsn, max_lsn + 1)] = rows

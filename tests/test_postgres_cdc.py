@@ -732,3 +732,77 @@ def test_wal_batch_splits_into_bounded_partitions():
 def test_wal_partition_option_parses():
     cfg = PostgresCDCConfig.from_options({"walRowsPerPartition": "123"})
     assert cfg.wal_rows_per_partition == 123
+
+
+def test_progress_table_records_filtered_from_wal_stream():
+    """The source's own bookkeeping (snapshot-progress upserts, the
+    clear-on-first-advance delete) must never surface as CDC events —
+    the progress table commonly lives inside a captured schema (the
+    default is public) and publications cover it."""
+    client = FakeClient()
+    client.change_queue = [
+        [
+            {
+                "action": "I",
+                "schema": "public",
+                "table": "_spark_cdc_snapshot_progress",
+                "columns": [{"name": "slot_name", "value": "s"}, {"name": "pos", "value": "x"}],
+                "timestamp_ms": 1,
+                "lsn_int": 50,
+                "xid": 1,
+            },
+            {
+                "action": "I",
+                "schema": "schema1",
+                "table": "users",
+                "columns": [{"name": "id", "value": 7}],
+                "timestamp_ms": 2,
+                "lsn_int": 51,
+                "xid": 2,
+            },
+        ],
+        [],
+    ]
+    r = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    rows = _drain(r)
+    envs = [json.loads(v) for v, _l, _t in rows]
+    tables = {e["source"]["table"] for e in envs}
+    assert "_spark_cdc_snapshot_progress" not in tables
+    assert any(e["op"] == "c" and e["after"] == {"id": 7} for e in envs)
+
+
+def test_planning_grows_past_filtered_record_runs():
+    """A run of records that translate to nothing (bookkeeping,
+    Begin/Commit) wider than the peek window must not stall planning:
+    the window grows until a translatable row surfaces — without the
+    growth, a 2-record window full of progress upserts reads as
+    'nothing new' and the real change beyond it is never planned."""
+    client = FakeClient()
+    fluff = [
+        {
+            "action": "I",
+            "schema": "public",
+            "table": "_spark_cdc_snapshot_progress",
+            "columns": [{"name": "slot_name", "value": "s"}, {"name": "pos", "value": str(i)}],
+            "timestamp_ms": i,
+            "lsn_int": 30 + i,
+            "xid": 1,
+        }
+        for i in range(6)
+    ]
+    real = {
+        "action": "I",
+        "schema": "schema1",
+        "table": "users",
+        "columns": [{"name": "id", "value": 42}],
+        "timestamp_ms": 99,
+        "lsn_int": 90,
+        "xid": 2,
+    }
+    client.change_queue = [fluff + [real], []]
+    cfg = PostgresCDCConfig(poll_batch_size=2)  # window < the fluff run
+    r = PostgresCDCStreamReader(cfg, client=client)
+    rows = _drain(r)
+    envs = [json.loads(v) for v, _l, _t in rows]
+    assert any(e["op"] == "c" and e["after"] == {"id": 42} for e in envs)
+    assert all(e["source"]["table"] != "_spark_cdc_snapshot_progress" for e in envs)
