@@ -1245,3 +1245,37 @@ def test_text_pk_collation_chunked_snapshot_restart_live(scratch):
     envs, end2 = _drain(r3, curoff)
     assert [(e["op"], e["after"]["name"]) for e in envs] == [("c", "zz")]
     r3.commit(end2)
+
+
+def test_wal_batch_split_live(scratch):
+    """Round-8 parallelism fix against a real server: a burst of
+    inserts wider than wal_rows_per_partition arrives as one planned
+    span split into several bounded partitions — every row exactly
+    once, lsn-ordered across the concatenation, nothing lost at the
+    split seams."""
+    _setup_plugin(scratch, "pgoutput")
+    cfg = _config(scratch, plugin="pgoutput")
+    cfg.wal_rows_per_partition = 3
+    cfg.poll_batch_size = 100  # one planned span for the whole burst
+    cfg.progress_table = f'"{scratch["schema"]}"._progress'
+
+    r = PostgresCDCStreamReader(cfg)
+    start = r.initialOffset()
+    envs, end = _drain(r, start)  # snapshot (ids 1, 2)
+    assert sorted(e["after"]["id"] for e in envs) == [1, 2]
+    r.commit(end)
+
+    cur = scratch["cur"]
+    values = ", ".join(f"({i}, 'burst {i}')" for i in range(10, 20))
+    cur.execute(f'INSERT INTO "{scratch["schema"]}".users VALUES {values}')
+
+    end2 = r.latestOffset()
+    parts = r.partitions(end, end2)
+    sizes = [len(p.rows) for p in parts if p.rows]
+    assert len(sizes) >= 2 and max(sizes) <= 3, sizes  # genuinely split
+    rows = [row for p in parts for row in p.rows]
+    lsns = [lsn for _v, lsn, _t in rows]
+    assert lsns == sorted(lsns)
+    ids = sorted(json.loads(v)["after"]["id"] for v, _l, _t in rows)
+    assert ids == list(range(10, 20))  # exactly once across the seams
+    r.commit(end2)
