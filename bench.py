@@ -168,6 +168,7 @@ EXTENDED_QUERIES = [
     "embedding_matryoshka",
     "ngram_coverage_curve",
     "recency_decay_weights",
+    "lang_confusion_matrix",
 ]
 
 

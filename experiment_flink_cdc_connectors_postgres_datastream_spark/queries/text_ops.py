@@ -310,3 +310,83 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pdf = pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])
     return spark.createDataFrame(pdf, "rank long, left string, right string, pair_count long")
+
+
+@register(
+    "lang_confusion_matrix",
+    f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_marker_sql('en')} AS s_en,
+             {_marker_sql('de')} AS s_de,
+             {_marker_sql('es')} AS s_es,
+             {_marker_sql('fr')} AS s_fr
+      FROM documents),
+    pred AS (
+      SELECT lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scores),
+    t AS (
+      SELECT lang,
+             CAST(COUNT(1) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM pred GROUP BY lang),
+    p AS (
+      SELECT pred_lang, CAST(COUNT(1) AS BIGINT) AS n_predicted
+      FROM pred GROUP BY pred_lang)
+    SELECT COALESCE(t.lang, p.pred_lang) AS lang,
+           COALESCE(t.n_docs, 0) AS n_docs,
+           COALESCE(t.n_correct, 0) AS n_correct,
+           COALESCE(p.n_predicted, 0) AS n_predicted,
+           CASE WHEN COALESCE(t.n_docs, 0) > 0
+                THEN COALESCE(t.n_correct, 0) * 1000000 // t.n_docs ELSE 0 END AS recall_ppm,
+           CASE WHEN COALESCE(p.n_predicted, 0) > 0
+                THEN COALESCE(t.n_correct, 0) * 1000000 // p.n_predicted ELSE 0 END AS precision_ppm
+    FROM t FULL OUTER JOIN p ON t.lang = p.pred_lang
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality audit of the stopword-marker language ID:
+    per-language recall and precision in integer ppm, over the labeled
+    `lang` column — including the honest failure rows (a language the
+    classifier cannot emit, like zh in the testdata, shows recall 0;
+    a language it over-predicts shows depressed precision). This is
+    the evaluation operator a curation stack runs BEFORE trusting a
+    cheap classifier to route 100 TB — `lang_id` produces the
+    predictions; this grades them.
+
+    Scale shape: the marker scoring is zero-shuffle codegen'd column
+    work; two small aggregations (truth by lang, volume by predicted
+    lang — each ≤ #languages rows) full-outer-join driver-cheap."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_scores(docs).select("lang", "pred_lang")
+    t = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("lang") == F.col("pred_lang")).cast("bigint")).alias("n_correct"),
+    )
+    # rename before the join: t and p share lineage (a self-join on
+    # the scored frame), and duplicate column names are ambiguous
+    p = (
+        pred.groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_predicted"))
+        .withColumnRenamed("pred_lang", "plang")
+    )
+    j = t.join(p, t.lang == p.plang, "full_outer")
+    n_docs = F.coalesce("n_docs", F.lit(0))
+    n_correct = F.coalesce("n_correct", F.lit(0))
+    n_predicted = F.coalesce("n_predicted", F.lit(0))
+    return j.select(
+        F.coalesce(t.lang, p.plang).alias("lang"),
+        n_docs.alias("n_docs"),
+        n_correct.alias("n_correct"),
+        n_predicted.alias("n_predicted"),
+        F.when(n_docs > 0, F.expr("coalesce(n_correct, 0) * 1000000 div n_docs"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("recall_ppm"),
+        F.when(n_predicted > 0, F.expr("coalesce(n_correct, 0) * 1000000 div n_predicted"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("precision_ppm"),
+    )

@@ -552,3 +552,27 @@ def test_real_decoder_missing_codec_is_loud_not_sentinel(spark):
         use_real_decoder=True,
     ).collect()
     assert rows[0]["width"] == 0 and rows[0]["height"] == 0
+
+
+def test_lang_confusion_matrix_counts(spark, tmp_path):
+    """Recall/precision bookkeeping: a language the classifier cannot
+    emit gets recall 0 with its volume intact; the over-predicted
+    language's precision reflects the spill."""
+    rows = [
+        (0, "the of and to in", "en", "s"),    # strong en markers -> en
+        (1, "der die und das ist", "de", "s"),  # strong de markers -> de
+        (2, "xyzzy qwerty", "zh", "s"),         # no markers: argmax tie -> en
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.text_ops import lang_confusion_matrix
+
+    out = {r["lang"]: r for r in lang_confusion_matrix(spark, str(tmp_path)).collect()}
+    assert out["en"]["n_docs"] == 1 and out["en"]["n_correct"] == 1
+    assert out["en"]["n_predicted"] == 2  # the zh doc spills into en
+    assert out["en"]["recall_ppm"] == 1_000_000
+    assert out["en"]["precision_ppm"] == 500_000
+    assert out["zh"]["n_docs"] == 1 and out["zh"]["n_correct"] == 0
+    assert out["zh"]["n_predicted"] == 0 and out["zh"]["recall_ppm"] == 0
+    assert out["de"]["recall_ppm"] == 1_000_000 and out["de"]["precision_ppm"] == 1_000_000
