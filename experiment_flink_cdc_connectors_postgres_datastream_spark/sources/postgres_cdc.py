@@ -828,11 +828,15 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
 
     def _peek_covering(self, span_end: int) -> list[dict[str, Any]]:
         """Peek from the slot with a doubling window until the view
-        covers ``span_end`` or the slot is exhausted. Exhaustion is
-        detected by the LSN horizon no longer advancing when the window
-        grows — NOT by ``len(changes) < limit``, which under-counts for
-        pgoutput (Begin/Relation/Commit messages consume window slots
-        but decode to no row change). Peeks are non-destructive, so
+        covers ``span_end`` or the slot is exhausted — the REPLAY
+        read (``partitions`` re-serving a checkpointed span whose end
+        is known; ``latestOffset`` planning uses its own loop, which
+        grows until a translatable row surfaces instead of until a
+        target LSN is covered). Exhaustion is detected by the LSN
+        horizon no longer advancing when the window grows — NOT by
+        ``len(changes) < limit``, which under-counts for pgoutput
+        (Begin/Relation/Commit messages consume window slots but
+        decode to no row change). Peeks are non-destructive, so
         re-reading a growing prefix costs only the re-decode."""
         limit = self.config.poll_batch_size
         prev_max = -1
