@@ -169,6 +169,7 @@ EXTENDED_QUERIES = [
     "ngram_coverage_curve",
     "recency_decay_weights",
     "lang_confusion_matrix",
+    "xml_roundtrip",
 ]
 
 

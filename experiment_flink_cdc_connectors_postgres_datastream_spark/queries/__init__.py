@@ -61,6 +61,7 @@ _PRIORITY = [
     "temperature_mixture_weights", "quality_logreg_score",
     "embedding_matryoshka", "ngram_coverage_curve",
     "recency_decay_weights", "lang_confusion_matrix",
+    "xml_roundtrip",
     # --- (3) stalest: the 14 remaining round-3 rows (VERDICT r7 #1) ---
     "orc_roundtrip", "tumbling_window_streamed",
     "session_window_streamed", "dedup_streamed",
@@ -68,17 +69,18 @@ _PRIORITY = [
     "stream_static_join_streamed", "funnel_conversion",
     "retention_cohorts", "mixture_sample", "multi_resolution_rollup",
     "word_entropy", "zscore_outliers", "curation_pipeline",
-    # --- (4) oldest round-4 rows, registration order (18 of 40; the
-    # displaced 22 lead the next-round rotation, named below) ---
+    # --- (4) oldest round-4 rows, registration order (17 of 40; the
+    # displaced 23 lead the next-round rotation, named below) ---
     "compact_latest", "count_live_by", "tumbling_window",
     "changelog_diff", "cdc_parse_envelope", "cdc_pipeline",
     "cdc_pipeline_streamed", "cdc_live_count_stateful",
     "changelog_agg_multi", "changelog_agg_multi_streamed",
     "bpe_pair_counts", "bpe_learn_merges", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
-    "dup_degree_histogram", "similarity_topk_ivf_sampled",
+    "dup_degree_histogram",
     # Still outside the window, all last green in round 4 and
     # unchanged since (next rotation's front of the line):
+    # similarity_topk_ivf_sampled,
     # similarity_topk_pq (rows-only by contract; its value-graded
     # _sampled twins are also in this list),
     # similarity_topk_pq_sampled, similarity_topk_pq_sampled_rerank,

@@ -1097,3 +1097,33 @@ def cdc_wal_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(tbl)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register("xml_roundtrip", _EVENTS_AGG_SQL)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source (Spark 4's NATIVE xml file format — no spark-xml
+    package): the same write→read→aggregate round trip through
+    rowTag-framed XML with an explicit schema (inference would rescan;
+    XML is the interchange format of the enterprise feeds a curation
+    stack still ingests). Matching the parquet-side oracle asserts
+    lossless double/string round-tripping through the markup codec —
+    value escaping, self-closing empties, whitespace framing."""
+    work = tempfile.mkdtemp(prefix="xml_src_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+        ev.coalesce(4).write.mode("overwrite").format("xml").option(
+            "rowTag", "event"
+        ).save(work)
+        back = (
+            spark.read.schema("event_type string, value double")
+            .format("xml")
+            .option("rowTag", "event")
+            .load(work)
+        )
+        pdf = _events_agg(back).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    # Arrow-path re-materialization (see session_window_streamed)
+    return spark.createDataFrame(
+        pdf, "event_type string, n_events long, total_value double"
+    )
