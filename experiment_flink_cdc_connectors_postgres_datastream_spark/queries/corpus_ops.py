@@ -854,25 +854,31 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
       FROM cnt ORDER BY n DESC, token LIMIT 5000),
+    mx AS (SELECT MAX(r) AS mx FROM ranked),
     cum AS (
       SELECT r, SUM(n) OVER (ORDER BY r) AS covered FROM ranked)
-    SELECT k.vocab_size,
+    SELECT CAST(k.vocab_size AS BIGINT) AS vocab_size,
            CAST(c.covered AS BIGINT) AS covered_tokens,
            CAST(t.total AS BIGINT) AS total_tokens,
-           c.covered * 1000000 // t.total AS coverage_ppm
-    FROM (VALUES (100), (1000), (5000)) AS k(vocab_size)
-    JOIN cum c ON c.r = k.vocab_size
+           CAST(c.covered * 1000000 // t.total AS BIGINT) AS coverage_ppm
+    FROM (VALUES (10), (100), (1000), (5000)) AS k(vocab_size)
+    CROSS JOIN mx m
+    JOIN cum c ON c.r = LEAST(k.vocab_size, m.mx)
     CROSS JOIN tot t
     """,
 )
 def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve: what fraction of all token
-    OCCURRENCES the top-k most frequent types cover, at k = 100 /
+    OCCURRENCES the top-k most frequent types cover, at k = 10 / 100 /
     1000 / 5000 — the measurement behind tokenizer vocab sizing (how
     big must the vocab be before <unk> is rare) and stopword-list
-    cutoffs. Deterministic tie-break (count desc, token asc) pins the
-    boundary of each k on both engines; coverage is bigint
-    floor-division ppm.
+    cutoffs. Each k is CLAMPED to the corpus's type count (coverage
+    at min(k, n_types); a k past the whole vocabulary covers 100%),
+    so every curve point exists at every scale — the round-8 form
+    emitted ZERO rows at the sf0.01 grading scale (31-type synthetic
+    vocab vs k >= 100), a hollow hash-match of two empty sets.
+    Deterministic tie-break (count desc, token asc) pins the boundary
+    of each k on both engines; coverage is bigint floor-division ppm.
 
     Scale shape: one partial-agg shuffle for type counts, then
     TakeOrdered for the top-5000 — the curve never globally sorts the
@@ -890,11 +896,13 @@ def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = head.withColumn(
         "r", F.row_number().over(Window.orderBy(F.col("n").desc(), "token"))
     )
+    mx = ranked.agg(F.max("r").alias("mx"))
     cum = ranked.withColumn("covered", F.sum("n").over(w))
-    ks = spark.createDataFrame([(100,), (1000,), (5000,)], "vocab_size int")
+    ks = spark.createDataFrame([(10,), (100,), (1000,), (5000,)], "vocab_size bigint")
     return (
         F.broadcast(ks)
-        .join(cum, ks.vocab_size == cum.r)
+        .crossJoin(F.broadcast(mx))
+        .join(cum, F.least(ks.vocab_size, F.col("mx")) == cum.r)
         .crossJoin(F.broadcast(total))
         .select(
             "vocab_size",

@@ -943,19 +943,46 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _isqrt_micro_sql(big: str) -> str:
+    """Exact integer sqrt correction, rendered for either dialect:
+    ``base + sum(indicators)`` picks the largest ``c`` in
+    ``[base, base+6]`` with ``c*c <= total_tokens * 10^12`` using only
+    wide-integer compares (``big`` = DECIMAL(38,0) on Spark, HUGEINT
+    on DuckDB). ``base = greatest(float_guess - 3, 0)`` so the float
+    SQRT only has to land within 3 of the true root — even a sloppy
+    pow-routed sqrt is orders of magnitude better than that — and the
+    graded value is decided entirely by integer arithmetic.
+
+    Monotonicity of the indicator sum needs non-negative candidates,
+    hence the clamp to 0 (total_tokens = 0 must yield 0, not chase
+    negative candidates whose squares are not monotone)."""
+    n = f"CAST(total_tokens AS {big}) * 1000000000000"
+    terms = " + ".join(
+        f"CAST(CAST(base + {k} AS {big}) * (base + {k}) <= {n} AS BIGINT)"
+        for k in range(1, 7)
+    )
+    return f"base + {terms}"
+
+
 @register(
     "temperature_mixture_weights",
-    r"""
+    rf"""
     WITH s AS (
       SELECT source,
              CAST(SUM(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS total_tokens
       FROM documents GROUP BY source),
+    g AS (
+      SELECT source, total_tokens,
+             GREATEST(CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT) - 3,
+                      CAST(0 AS BIGINT)) AS base
+      FROM s),
     q AS (
       SELECT source, total_tokens,
-             CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sqrt_micro
-      FROM s)
+             CAST({_isqrt_micro_sql('HUGEINT')} AS BIGINT) AS sqrt_micro
+      FROM g)
     SELECT source, total_tokens, sqrt_micro,
-           sqrt_micro * 1000000 // (SELECT SUM(sqrt_micro) FROM q) AS weight_ppm
+           CAST(CAST(sqrt_micro AS HUGEINT) * 1000000
+                // CAST((SELECT SUM(sqrt_micro) FROM q) AS HUGEINT) AS BIGINT) AS weight_ppm
     FROM q
     """,
 )
@@ -966,27 +993,43 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     temperature (sqrt at 0.5), flattening the head sources so
     low-resource ones are not drowned. (`mixture_sample` consumes
     per-source rates; THIS query is where those rates come from.)
-    Exactness: alpha = 0.5 is deliberate — IEEE-754 requires SQRT to
-    be correctly rounded, so both engines produce the identical
-    double, which is then floored into integer micro-units; every
-    later step (sum, scaled floor-division) is bigint arithmetic, so
-    the weights hash-match with no float-sum order sensitivity (pow()
-    at other alphas is NOT correctly rounded and could differ by an
-    ulp between libm implementations).
+
+    Exactness (round-9 rework — the round-8 form was the driver's one
+    red row): sqrt_micro is now the EXACT integer sqrt
+    floor(sqrt(total_tokens * 10^12)), computed as a float guess plus
+    a ±3 integer correction window in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) compares — see `_isqrt_micro_sql`. The floating
+    SQRT is off the grading path entirely: any sqrt within 3 of the
+    true root yields the identical value, so a pow-routed libm sqrt
+    (the round-8 divergence suspect) cannot move the hash. All later
+    steps (sum, scaled floor-division) are wide-integer arithmetic
+    with every output column explicitly CAST to BIGINT — DuckDB's
+    SUM(BIGINT) returns HUGEINT, and an uncast HUGEINT floor-division
+    output was the other round-8 suspect.
 
     Scale shape: one partial-agg shuffle on source for the token
     totals (map-side combine does the heavy lifting); the ppm
     normalization joins the per-source rows against a 1-row broadcast
-    total — no second full shuffle."""
+    total — no second full shuffle. The DECIMAL(38,0) ppm scaling
+    holds to ~10^25, far past any per-source bigint token count."""
     docs = load_table(spark, sf_dir, "documents")
     s = (
         docs.select("source", F.size(F.split(F.lower("text"), r"\s+")).alias("n_tok"))
         .groupBy("source")
         .agg(F.sum("n_tok").cast("bigint").alias("total_tokens"))
     )
-    q = s.withColumn(
-        "sqrt_micro",
-        F.floor(F.sqrt(F.col("total_tokens").cast("double")) * 1_000_000).cast("bigint"),
+    g = s.withColumn(
+        "base",
+        F.greatest(
+            F.floor(F.sqrt(F.col("total_tokens").cast("double")) * 1_000_000).cast("bigint")
+            - F.lit(3),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    q = g.select(
+        "source",
+        "total_tokens",
+        F.expr(f"CAST({_isqrt_micro_sql('DECIMAL(38,0)')} AS BIGINT)").alias("sqrt_micro"),
     )
     # the per-source table is tiny (one row per source) but its
     # lineage is a full corpus scan — cut it so the 1-row total
@@ -998,7 +1041,9 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "total_tokens",
         "sqrt_micro",
-        F.expr("sqrt_micro * 1000000 div _t").alias("weight_ppm"),
+        F.expr(
+            "CAST((CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000) div _t AS BIGINT)"
+        ).alias("weight_ppm"),
     )
 
 

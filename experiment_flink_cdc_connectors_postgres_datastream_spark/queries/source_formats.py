@@ -1010,9 +1010,11 @@ def cdc_snapshot_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-@register(
-    "cdc_wal_tail",
-    """
+#: live state of the synthetic WAL feed (insert per even event_id,
+#: update per %10, delete per %14) — the oracle for `cdc_wal_tail`
+#: AND its restart twin `cdc_wal_tail_resume`: both must converge to
+#: the same table no matter where the stream was stopped.
+_WAL_LIVE_ORACLE = """
     WITH final AS (
       SELECT event_id,
              CASE WHEN event_id % 10 = 0 THEN 'updated' ELSE event_type END AS event_type
@@ -1023,8 +1025,10 @@ def cdc_snapshot_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(1) AS BIGINT) AS n_live,
            CAST(SUM(event_id) AS BIGINT) AS id_checksum
     FROM final GROUP BY event_type
-    """,
-)
+    """
+
+
+@register("cdc_wal_tail", _WAL_LIVE_ORACLE)
 def cdc_wal_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WAL TAIL path at sf scale through the engine's source API
     (VERDICT r7 #5 — the snapshot got its bench guard in round 7, the
@@ -1066,37 +1070,115 @@ def cdc_wal_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
-        parsed = spark.table(tbl).select(
-            F.col("lsn"),
-            F.from_json(
-                "value",
-                "struct<op: string, "
-                "after: struct<event_id: bigint, user_id: bigint, event_type: string>, "
-                "before: struct<event_id: bigint, user_id: bigint, event_type: string>>",
-            ).alias("e"),
-        )
-        keyed = parsed.select(
-            F.coalesce("e.after.event_id", "e.before.event_id").alias("event_id"),
-            F.col("lsn"),
-            F.struct(F.col("e.op").alias("op"), F.col("e.after.event_type").alias("event_type")).alias("rec"),
-        )
-        live = (
-            keyed.groupBy("event_id")
-            .agg(F.max_by("rec", "lsn").alias("last"))
-            .filter(F.col("last.op") != "d")
-        )
-        pdf = (
-            live.groupBy(F.col("last.event_type").alias("event_type"))
-            .agg(
-                F.count(F.lit(1)).alias("n_live"),
-                F.sum("event_id").alias("id_checksum"),
-            )
-            .toPandas()
-        )
+        pdf = _wal_envelopes_to_live(spark.table(tbl)).toPandas()
         return spark.createDataFrame(pdf, "event_type string, n_live long, id_checksum long")
     finally:
         spark.catalog.dropTempView(tbl)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _wal_envelopes_to_live(raw: DataFrame) -> DataFrame:
+    """Changelog-compact raw (value, lsn) WAL envelopes from the
+    ``cdc_wal_bench`` feed into live per-event_type counts: last
+    record per key by LSN, deletes drop, then one partial-agg shuffle
+    on event_type. Shared by `cdc_wal_tail` and its restart twin so
+    both grade through identical compaction."""
+    parsed = raw.select(
+        F.col("lsn"),
+        F.from_json(
+            "value",
+            "struct<op: string, "
+            "after: struct<event_id: bigint, user_id: bigint, event_type: string>, "
+            "before: struct<event_id: bigint, user_id: bigint, event_type: string>>",
+        ).alias("e"),
+    )
+    keyed = parsed.select(
+        F.coalesce("e.after.event_id", "e.before.event_id").alias("event_id"),
+        F.col("lsn"),
+        F.struct(F.col("e.op").alias("op"), F.col("e.after.event_type").alias("event_type")).alias("rec"),
+    )
+    live = (
+        keyed.groupBy("event_id")
+        .agg(F.max_by("rec", "lsn").alias("last"))
+        .filter(F.col("last.op") != "d")
+    )
+    return live.groupBy(F.col("last.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("event_id").alias("id_checksum"),
+    )
+
+
+@register("cdc_wal_tail_resume", _WAL_LIVE_ORACLE)
+def cdc_wal_tail_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once WAL-tail RESTART under the driver hash (VERDICT
+    r8 #5 — `cdc_wal_tail` grades planning/translation/pacing; the
+    live suite restarts real streams but is not value-graded): the
+    same production tail over the same synthetic feed is STOPPED
+    mid-feed after at least one committed micro-batch, then a second
+    incarnation resumes from the checkpoint — the durable bench slot
+    (`state_path`, the server-side confirmed position a real slot
+    keeps) plus the engine's offset log must replay the uncommitted
+    span by literal LSN bounds and continue, with the parquet file
+    sink's metadata log deduplicating any batch the crash re-runs.
+    The union of both incarnations' output is changelog-compacted and
+    hash-matched to the direct-table oracle: one lost, duplicated, or
+    reordered record anywhere across the restart shifts the checksum.
+
+    The stop point is deliberately nondeterministic (whenever ≥ 1
+    batch has committed) — the oracle is split-invariant, which IS
+    the claim: exactly-once holds no matter where the crash lands.
+    Scale shape: identical to `cdc_wal_tail` (driver-planned ordered
+    slot, bounded spans split into ≤wal_rows_per_partition tasks);
+    the poll window is sized to the feed so every scale stops with
+    real work left for the resumed incarnation."""
+    import time
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.snapshot_bench import register_wal_bench
+
+    register_wal_bench(spark)
+    work = tempfile.mkdtemp(prefix="waltail_resume_")
+    out = os.path.join(work, "out")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    # ~0.67 feed records per event row; size the poll window for ~5
+    # micro-batches at ANY scale so the mid-feed stop leaves the
+    # resumed incarnation real work even at the sf0.01 grading scale
+    n_events = spark.read.parquet(events_path).count()
+    poll = max(256, (n_events * 2) // (3 * 5))
+
+    def incarnation():
+        return (
+            spark.readStream.format("cdc_wal_bench")
+            .option("path", events_path)
+            .option("table", "events")
+            .option("poll_batch_size", str(poll))
+            .option("state_path", os.path.join(work, "slot_state.json"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+
+    try:
+        q = incarnation()
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p is not None and p.get("batchId", -1) >= 1:
+                break  # >=1 batch durably committed: crash now
+            time.sleep(0.05)
+        q.stop()  # mid-feed stop — the in-flight batch is abandoned
+        q2 = incarnation()
+        q2.processAllAvailable()
+        q2.stop()
+        # spark.read honors the file sink's _spark_metadata log, so
+        # files from batches the crash abandoned are invisible —
+        # this read IS the exactly-once contract being graded
+        pdf = _wal_envelopes_to_live(spark.read.parquet(out)).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, "event_type string, n_live long, id_checksum long")
 
 
 @register("xml_roundtrip", _EVENTS_AGG_SQL)

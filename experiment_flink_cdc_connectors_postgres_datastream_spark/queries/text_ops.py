@@ -341,10 +341,10 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(t.n_docs, 0) AS n_docs,
            COALESCE(t.n_correct, 0) AS n_correct,
            COALESCE(p.n_predicted, 0) AS n_predicted,
-           CASE WHEN COALESCE(t.n_docs, 0) > 0
-                THEN COALESCE(t.n_correct, 0) * 1000000 // t.n_docs ELSE 0 END AS recall_ppm,
-           CASE WHEN COALESCE(p.n_predicted, 0) > 0
-                THEN COALESCE(t.n_correct, 0) * 1000000 // p.n_predicted ELSE 0 END AS precision_ppm
+           CAST(CASE WHEN COALESCE(t.n_docs, 0) > 0
+                THEN COALESCE(t.n_correct, 0) * 1000000 // t.n_docs ELSE 0 END AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN COALESCE(p.n_predicted, 0) > 0
+                THEN COALESCE(t.n_correct, 0) * 1000000 // p.n_predicted ELSE 0 END AS BIGINT) AS precision_ppm
     FROM t FULL OUTER JOIN p ON t.lang = p.pred_lang
     """,
 )

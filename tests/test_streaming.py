@@ -468,3 +468,74 @@ def test_incremental_dedup_retry_idempotent(spark, tmp_path):
     # RETRY the latest batch too
     engine.process_batch(df.filter(F.col("doc_id") == 5), 2)
     assert snapshot() == (sigs_before, pairs_before)
+
+
+def test_incremental_dedup_compaction(spark, tmp_path):
+    """VERDICT r8 directive #4: ``compact`` folds partition-per-batch
+    stores into one consolidated partition without changing any
+    result — pairs byte-identical, each doc still signed once, a
+    retry of the still-live batch id byte-identical, a NEW batch's
+    ``<= batch_id`` clamp still selects the consolidated bands, and a
+    retry of a FOLDED batch id is refused loudly."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.incremental_dedup import IncrementalMinHashDedup
+
+    work = str(tmp_path / "incdedup")
+    engine = IncrementalMinHashDedup(spark, work)
+    base = "the quick brown fox jumps over the lazy dog and then naps "
+    rows = [
+        (1, base * 4),
+        (2, base * 4 + "extra tail"),  # near-dup of 1
+        (3, "completely different content about spark partitions " * 5),
+        (4, base * 4 + "another tail variant"),  # near-dup of 1/2
+        (5, "unrelated text regarding columnar storage layouts " * 5),
+        (6, base * 4 + "late arriving near dup"),  # near-dup, arrives post-compact
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    engine.process_batch(df.filter(F.col("doc_id") <= 2), 0)
+    engine.process_batch(df.filter(F.col("doc_id").between(3, 4)), 1)
+    engine.process_batch(df.filter(F.col("doc_id") == 5), 2)
+
+    def snapshot():
+        sigs = engine.signatures().select("_id").collect()
+        pairs = engine.pairs().collect()
+        return (
+            sorted(r["_id"] for r in sigs),
+            sorted((r["id_a"], r["id_b"], r["est_jaccard"]) for r in pairs),
+        )
+
+    before = snapshot()
+    engine.compact(1)  # batches 0-1 committed; 2 is the live batch
+    # one consolidated partition + the live batch's partition remain
+    for store in ("sigs", "bands", "pairs"):
+        parts = sorted(
+            d for d in os.listdir(os.path.join(work, store)) if d.startswith("_batch=")
+        )
+        assert parts == ["_batch=1", "_batch=2"], parts
+    assert snapshot() == before  # fold preserves every result
+
+    # the live (uncompacted) batch id retries byte-identically
+    engine.process_batch(df.filter(F.col("doc_id") == 5), 2)
+    assert snapshot() == before
+
+    # a FOLDED batch id can no longer be retried — loud refusal, not
+    # silent duplication against the consolidated partition
+    with pytest.raises(ValueError, match="compacted floor"):
+        engine.process_batch(df.filter(F.col("doc_id").between(3, 4)), 1)
+
+    # a NEW batch joins against the consolidated bands: doc 6 is a
+    # near-dup of 1/2/4, all of whose bands were folded
+    engine.process_batch(df.filter(F.col("doc_id") == 6), 3)
+    _, pairs_after = snapshot()
+    assert {(a, b) for a, b, _ in pairs_after} >= {(1, 6), (2, 6)}
+    assert len(pairs_after) == len({(a, b) for a, b, _ in pairs_after})
+
+    # compact everything: idempotent re-fold, results stable
+    engine.compact(3)
+    sigs_final, pairs_final = snapshot()
+    assert sigs_final == [1, 2, 3, 4, 5, 6]
+    assert pairs_final == pairs_after

@@ -2,7 +2,15 @@
 registry query on Spark AND its DuckDB oracle, compare row count,
 column names, and an order-insensitive value hash.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--strict-types] [sf_dir] [query ...]
+
+``--strict-types`` additionally FAILS any oracle whose DuckDB result
+column type is outside the portable set (BIGINT / DOUBLE / VARCHAR /
+BOOLEAN / TIMESTAMP / DATE). The value-normalizing comparison below
+cannot see HUGEINT / DECIMAL drift (a HUGEINT renders like a BIGINT
+locally but a type-sensitive renderer in the driver's environment may
+not) — round 8 proved that by passing a query the driver failed — so
+the type gate is the local detector for that divergence class.
 """
 
 from __future__ import annotations
@@ -45,9 +53,16 @@ def normalize(v):
     return v
 
 
+#: oracle output types every engine/version renders identically; see
+#: the module docstring (--strict-types).
+PORTABLE_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE"}
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    strict_types = "--strict-types" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     spark = get_session("verify_local")
     con = duckdb.connect()
     for t in TABLES:
@@ -78,6 +93,11 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        if strict_types:
+            dtypes = [str(t) for t in res.types]
+            bad = [f"{c}:{t}" for c, t in zip(dcols, dtypes) if t not in PORTABLE_TYPES]
+            if bad:
+                problems.append(f"non-portable oracle types {bad}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
