@@ -911,3 +911,122 @@ def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("covered * 1000000 div total").alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "sequence_packing_stats",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source, doc_id % 8 AS shard,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id) AS cum
+      FROM d),
+    per_doc AS (
+      SELECT source, shard, n_tok, cum,
+             (cum - 1) // 512 - (cum - n_tok) // 512 AS chops
+      FROM c),
+    per_shard AS (
+      SELECT source, shard, MAX(cum) AS t,
+             SUM(CASE WHEN chops > 0 THEN 1 ELSE 0 END) AS n_chopped,
+             SUM(chops) AS chop_ev
+      FROM per_doc GROUP BY source, shard)
+    SELECT source,
+           CAST(SUM(t) AS BIGINT) AS total_tokens,
+           CAST(SUM((t + 511) // 512) AS BIGINT) AS n_chunks,
+           CAST(SUM((512 - t % 512) % 512) AS BIGINT) AS pad_tokens,
+           CAST(SUM(n_chopped) AS BIGINT) AS n_chopped_docs,
+           CAST(SUM(chop_ev) AS BIGINT) AS chop_events
+    FROM per_shard GROUP BY source
+    """,
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chop sequence-packing audit, fully value-graded
+    (the `sequence_packing` query materializes greedy bins and is
+    rows-only by contract; THIS query expresses the packing that
+    production loaders actually use — concatenate a shard's docs in a
+    deterministic order, chop into fixed 512-token training sequences
+    — in closed form, so DuckDB can replay it exactly): per source,
+    total tokens, the number of emitted chunks, padding wasted in
+    each shard's final partial chunk, and how many documents get
+    CHOPPED across a sequence boundary (a doc occupying token span
+    [prev, cum) is cut by each multiple of 512 strictly inside it:
+    `(cum-1) div 512 - (cum-n_tok) div 512` — integer arithmetic,
+    identical on both engines).
+
+    Scale shape: ONE corpus scan, ONE window per (source, shard =
+    doc_id % 8) — shard count bounds every window partition, and at
+    100 TB you raise the shard count with the data exactly as real
+    packing shards by loader worker. The per-shard rollup groups on
+    the window's own partitioning key (no second exchange of the
+    corpus), then one tiny per-source agg — two exchanges total,
+    plan-tested. No floats anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.pmod("doc_id", F.lit(8)).alias("shard"),
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    per_doc = d.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "chops", F.expr("(cum - 1) div 512 - (cum - n_tok) div 512")
+    )
+    per_shard = per_doc.groupBy("source", "shard").agg(
+        F.max("cum").alias("t"),
+        F.sum((F.col("chops") > 0).cast("bigint")).alias("n_chopped"),
+        F.sum("chops").alias("chop_ev"),
+    )
+    return per_shard.groupBy("source").agg(
+        F.sum("t").cast("bigint").alias("total_tokens"),
+        F.sum(F.expr("(t + 511) div 512")).cast("bigint").alias("n_chunks"),
+        F.sum(F.expr("(512 - t % 512) % 512")).cast("bigint").alias("pad_tokens"),
+        F.sum("n_chopped").cast("bigint").alias("n_chopped_docs"),
+        F.sum("chop_ev").cast("bigint").alias("chop_events"),
+    )
+
+
+@register(
+    "doc_length_histogram",
+    r"""
+    WITH d AS (
+      SELECT source,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents)
+    SELECT source,
+           CAST(length(bin(n_tok)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS token_mass,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok
+    FROM d GROUP BY source, log2_bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram per source — the
+    corpus-health panel behind truncation-limit and chunk-size
+    decisions (how much token mass sits in each length doubling, and
+    where the tail is). The bucket is the BIT LENGTH of the token
+    count (`length(bin(n))` = floor(log2 n)+1) — pure integer, no
+    float log2 on the grading path.
+
+    Scale shape: zero-shuffle codegen'd map on the documents scan,
+    then one partial-agg shuffle on (source, bucket) — bucket
+    cardinality is ~60 rows max regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    return (
+        d.withColumn("log2_bucket", F.length(F.bin("n_tok")).cast("bigint"))
+        .groupBy("source", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("token_mass"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+    )

@@ -1263,3 +1263,71 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covered_frac"
         ),
     )
+
+
+@register(
+    "dedup_normalized_exact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, '  ' || UPPER(text) || ' !! '
+      FROM documents WHERE doc_id % 7 = 0),
+    n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM aug)
+    SELECT md5(norm) AS norm_fp,
+           CAST(COUNT(1) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(SUM(doc_id) AS BIGINT) AS member_checksum
+    FROM n GROUP BY norm
+    HAVING COUNT(1) > 1
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonicalization — the C4/CCNet-style form
+    of exact dedup that `dedup_exact` (raw-bytes hash) misses: case,
+    punctuation, and whitespace differences collapse before hashing
+    (lowercase -> non-alphanumerics to spaces -> runs of spaces
+    collapsed -> trim), so re-encoded or trivially-reformatted copies
+    land in one group. Because the synthetic corpus has no natural
+    byte-level dups at grading scale, the merge behavior is graded
+    with deterministic NOISE VARIANTS (every 7th doc re-added
+    uppercased with injected punctuation and padding, id-offset by
+    10^7): every variant MUST collapse into its original's group, so
+    the dup-group table is non-trivial and any normalization drift on
+    either engine flips the hash.
+
+    Scale shape: the variant union is a second pass over one scan
+    branch (no join); dedup is ONE hash partial-agg shuffle on the
+    normal form, the same shape as `dedup_exact`. The canonicalizer
+    is pure codegen'd regexp — no Python."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.pmod("doc_id", F.lit(7)) == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !! ")).alias("text"),
+    )
+    aug = docs.unionByName(variants)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]", " "), " +", " "
+        )
+    )
+    return (
+        aug.select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sum("doc_id").alias("member_checksum"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            F.md5("norm").alias("norm_fp"),
+            "n_copies",
+            "keep_doc_id",
+            F.col("member_checksum").cast("bigint").alias("member_checksum"),
+        )
+    )

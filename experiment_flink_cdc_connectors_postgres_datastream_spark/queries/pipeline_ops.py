@@ -1047,6 +1047,109 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixture_budget_allocation",
+    rf"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source),
+    g AS (
+      SELECT source, total_tokens,
+             GREATEST(CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT) - 3,
+                      CAST(0 AS BIGINT)) AS base
+      FROM s),
+    q AS (
+      SELECT source, total_tokens,
+             CAST({_isqrt_micro_sql('HUGEINT')} AS BIGINT) AS sqrt_micro
+      FROM g),
+    t AS (SELECT CAST(SUM(sqrt_micro) AS HUGEINT) AS tw FROM q),
+    fl AS (
+      SELECT source, total_tokens, sqrt_micro,
+             CAST(CAST(sqrt_micro AS HUGEINT) * 1000000000 // t.tw AS BIGINT) AS quota_floor,
+             CAST(CAST(sqrt_micro AS HUGEINT) * 1000000000
+                  - (CAST(sqrt_micro AS HUGEINT) * 1000000000 // t.tw) * t.tw AS BIGINT) AS rem
+      FROM q CROSS JOIN t),
+    l AS (SELECT CAST(1000000000 - SUM(quota_floor) AS BIGINT) AS leftover FROM fl),
+    r AS (
+      SELECT fl.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM fl)
+    SELECT source, total_tokens, sqrt_micro,
+           CAST(quota_floor + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota_tokens
+    FROM r CROSS JOIN l
+    """,
+)
+def mixture_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed 10^9
+    training-token budget across sources in proportion to the
+    temperature-scaled weights — the step a mixing config actually
+    ships: `temperature_mixture_weights` says WHAT the proportions
+    are; this turns them into per-source integer token budgets that
+    sum EXACTLY to the total (floor quotas + the largest fractional
+    remainders get the leftover units, ties broken by source name).
+
+    Everything is wide-integer arithmetic end to end: the exact
+    integer sqrt weights (`_isqrt_micro_sql`), HUGEINT/DECIMAL(38,0)
+    floor-division quotas, and remainders computed by
+    multiply-and-subtract (no cross-engine `%` semantics on wide
+    types in play). Sum(quota_tokens) == 10^9 by construction.
+
+    Scale shape: one partial-agg shuffle on source; everything after
+    runs on the per-source table (#sources rows — the remainder-rank
+    window is over that tiny table, not the corpus)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 1_000_000_000
+    s = (
+        docs.select("source", F.size(F.split(F.lower("text"), r"\s+")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("total_tokens"))
+    )
+    g = s.withColumn(
+        "base",
+        F.greatest(
+            F.floor(F.sqrt(F.col("total_tokens").cast("double")) * 1_000_000).cast("bigint")
+            - F.lit(3),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    q = g.select(
+        "source",
+        "total_tokens",
+        F.expr(f"CAST({_isqrt_micro_sql('DECIMAL(38,0)')} AS BIGINT)").alias("sqrt_micro"),
+    ).localCheckpoint(eager=False)
+    t = q.agg(F.sum("sqrt_micro").alias("tw"))
+    fl = (
+        q.crossJoin(F.broadcast(t))
+        .withColumn(
+            "quota_floor",
+            F.expr(f"CAST((CAST(sqrt_micro AS DECIMAL(38,0)) * {budget}) div tw AS BIGINT)"),
+        )
+        .withColumn(
+            "rem",
+            F.expr(
+                f"CAST(CAST(sqrt_micro AS DECIMAL(38,0)) * {budget} "
+                f"- CAST(quota_floor AS DECIMAL(38,0)) * tw AS BIGINT)"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    leftover = fl.agg(
+        F.expr(f"CAST({budget} - SUM(quota_floor) AS BIGINT)").alias("leftover")
+    )
+    r = fl.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("rem").desc(), "source"))
+    )
+    return r.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "total_tokens",
+        "sqrt_micro",
+        F.expr(
+            "CAST(quota_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("quota_tokens"),
+    )
+
+
 #: integer milli-weights of the fixed linear quality model (a
 #: fastText-style "is this page worth training on" classifier,
 #: hand-set to reward lexical diversity and penalize very long or

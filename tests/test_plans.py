@@ -675,3 +675,53 @@ def test_recency_decay_single_exchange_broadcast_max(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     for cols in scan_columns(df):
         assert set(cols) <= {"event_type", "ts"}
+
+
+def test_mixture_budget_allocation_tiny_table_only(spark):
+    """The apportionment math (quota floors, remainder rank) runs
+    entirely on the localCheckpointed per-source table — the final
+    plan has NO corpus FileScan and NO hash exchange; the remainder
+    window orders #sources rows, not the corpus."""
+    df = QUERIES["mixture_budget_allocation"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_sequence_packing_stats_one_scan_one_window(spark):
+    """Packing positions ride ONE corpus scan and ONE (source, shard)
+    window; the per-shard rollup reuses the window's partitioning, so
+    the whole audit is two exchanges — a second corpus scan or window
+    here doubles the heaviest stage at 100 TB."""
+    import re
+
+    df = QUERIES["sequence_packing_stats"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    for cols in scan_columns(df):
+        assert set(cols) <= {"doc_id", "source", "text"}
+
+
+def test_doc_length_histogram_single_exchange(spark):
+    """The histogram is a codegen'd map (bit-length bucket) + one
+    partial-agg shuffle on (source, bucket) — nothing else."""
+    df = QUERIES["doc_length_histogram"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    for cols in scan_columns(df):
+        assert set(cols) <= {"source", "text"}
+
+
+def test_dedup_normalized_exact_one_shuffle_no_join(spark):
+    """Canonicalize-then-hash dedup is ONE hash partial-agg shuffle
+    on the normal form (the dedup_exact shape) — the variant branch
+    is a second scan of the same parquet, never a join."""
+    import re
+
+    df = QUERIES["dedup_normalized_exact"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
