@@ -170,6 +170,16 @@ EXTENDED_QUERIES = [
     "recency_decay_weights",
     "lang_confusion_matrix",
     "xml_roundtrip",
+    # round 9: budget apportionment, closed-form packing audit,
+    # bit-length histogram, canonicalized exact dedup
+    # (cdc_wal_tail_resume is graded for correctness but excluded
+    # like the other streamed round trips: its wall time is dominated
+    # by the deliberate mid-feed stop/restart, not throughput —
+    # cdc_wal_tail already guards the tail's paced throughput)
+    "mixture_budget_allocation",
+    "sequence_packing_stats",
+    "doc_length_histogram",
+    "dedup_normalized_exact",
 ]
 
 

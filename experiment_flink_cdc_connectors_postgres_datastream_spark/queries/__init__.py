@@ -26,71 +26,69 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 
 # The correctness driver grades the FIRST 50 registered queries, in
 # registration order. Cumulative coverage is complete: every query
-# registered through round 7 has a driver CORRECTNESS row in some
-# round (all green at their latest grade). Round-8 window policy
-# (same rotation contract as r4-r7): (1) every query whose code path
-# or oracle changed since the round-7 grade gets a fresh grade — the
-# salted-op degenerate-shape guard, the Spark-side try_cast, the
-# epoch-scoped bus offsets, the collation-pinned CDC source, the
-# O(new) incremental dedup, and the two-phase hard-negative rank;
-# (2) the round-8 additions; (3) the 14 remaining round-3 rows
-# (VERDICT r7 #1 — after this round nothing's latest grade is older
-# than round 4); (4) remaining slots to the oldest round-4 rows in
-# registration order. Everything outside the window stays registered
-# and locally verified via tools/verify_local.py.
+# registered through round 8 has a driver CORRECTNESS row in some
+# round (all green at their latest grade except the round-8 red
+# `temperature_mixture_weights`, reworked this round and graded
+# FIRST per VERDICT r8 #1). Round-9 window policy (same rotation
+# contract as r4-r8): (1) every query whose code path or oracle
+# changed since the round-8 grade gets a fresh grade — the
+# exact-integer-sqrt mixture weights, the CAST-hygiene + clamped
+# coverage curve, the confusion-matrix CAST, the compacted
+# incremental-dedup store, and the shared-helper WAL tail; (2) the
+# round-9 additions; (3) the 23 remaining round-4 rows (VERDICT r8
+# #3 — after this round nothing's latest grade is older than round
+# 5); (4) remaining slots to the oldest round-5 rows in registration
+# order. Everything outside the window stays registered and locally
+# verified via tools/verify_local.py.
 _PRIORITY = [
-    # --- (1) code path changed since the round-7 grade ---
-    # salted ops refuse the key-only-columns degenerate shape
-    "count_live_by_salted", "salted_join_agg", "salted_agg_demo",
-    # Spark-side try_cast so the length fallback fires under ANSI
-    "mixture_sample_hash",
-    # reader-incarnation epoch in the spool offsets
-    "bus_roundtrip_streamed", "bus_table_compact",
-    # COLLATE "C" keyset pin + progress-read loss-window fix
-    "cdc_snapshot_chunked",
-    # O(new) banded store + retry-idempotent batch writes
+    # --- (1) code path or oracle changed since the round-8 grade ---
+    # VERDICT r8 #1: the one red r8 row, reworked to exact integer
+    # sqrt + fully-CAST oracle — graded first
+    "temperature_mixture_weights",
+    # CAST hygiene + k clamped to the corpus vocabulary (was 0 rows
+    # at grading scale)
+    "ngram_coverage_curve",
+    # CAST hygiene on recall/precision ppm
+    "lang_confusion_matrix",
+    # band-store compaction on the graded read path (VERDICT r8 #4)
     "dedup_minhash_streamed",
-    # per-anchor rank through two_phase_topk
-    "hard_negatives_topk",
-    # --- (2) new in round 8 ---
-    # the WAL-tail throughput guard through the engine
+    # compaction helper shared with the new resume twin
     "cdc_wal_tail",
-    # gap sessionization / path mining / temperature mixing /
-    # linear quality gate / Matryoshka truncation audit
-    "sessionization_gap", "event_sequence_ngrams",
-    "temperature_mixture_weights", "quality_logreg_score",
-    "embedding_matryoshka", "ngram_coverage_curve",
-    "recency_decay_weights", "lang_confusion_matrix",
-    "xml_roundtrip",
-    # --- (3) stalest: the 14 remaining round-3 rows (VERDICT r7 #1) ---
-    "orc_roundtrip", "tumbling_window_streamed",
-    "session_window_streamed", "dedup_streamed",
-    "stream_stream_join_streamed", "schema_merge_roundtrip",
-    "stream_static_join_streamed", "funnel_conversion",
-    "retention_cohorts", "mixture_sample", "multi_resolution_rollup",
-    "word_entropy", "zscore_outliers", "curation_pipeline",
-    # --- (4) oldest round-4 rows, registration order (17 of 40; the
-    # displaced 23 lead the next-round rotation, named below) ---
-    "compact_latest", "count_live_by", "tumbling_window",
-    "changelog_diff", "cdc_parse_envelope", "cdc_pipeline",
-    "cdc_pipeline_streamed", "cdc_live_count_stateful",
-    "changelog_agg_multi", "changelog_agg_multi_streamed",
-    "bpe_pair_counts", "bpe_learn_merges", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
-    "dup_degree_histogram",
-    # Still outside the window, all last green in round 4 and
+    # --- (2) new in round 9 ---
+    # exactly-once tail restart under the value hash (VERDICT r8 #5)
+    "cdc_wal_tail_resume",
+    # largest-remainder token-budget apportionment / packing audit /
+    # length histogram / canonicalized exact dedup
+    "mixture_budget_allocation", "sequence_packing_stats",
+    "doc_length_histogram", "dedup_normalized_exact",
+    # --- (3) stalest: the 23 remaining round-4 rows (VERDICT r8 #3) ---
+    "similarity_topk_ivf_sampled", "similarity_topk_pq",
+    "similarity_topk_pq_sampled", "similarity_topk_pq_sampled_rerank",
+    "session_window", "ntile_quartiles", "stratified_sample",
+    "variant_extract", "zorder_layout", "window_running_sum",
+    "window_moving_avg", "window_first_last", "monthly_order_stats",
+    "string_functions", "normalize_text", "epoch_shuffle",
+    "boilerplate_removal", "unigram_kl_by_source", "ngram_novelty",
+    "tumbling_window_late_streamed", "dedup_within_watermark_streamed",
+    "mad_outliers", "winsorized_stats",
+    # --- (4) oldest round-5 rows, registration order (17 of 46; the
+    # displaced 29 lead the next-round rotation, named below) ---
+    "bus_wire_frames", "bus_roundtrip_pipeline", "cdc_scd2_history",
+    "scd2_as_of_state", "cdc_scd2_streamed", "tpch_q3", "tpch_q6",
+    "tpch_q10", "tpch_q14", "tpch_q4", "tpch_q5", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q13", "tpch_q15", "tpch_q16",
+    # Still outside the window, all last green in round 5 and
     # unchanged since (next rotation's front of the line):
-    # similarity_topk_ivf_sampled,
-    # similarity_topk_pq (rows-only by contract; its value-graded
-    # _sampled twins are also in this list),
-    # similarity_topk_pq_sampled, similarity_topk_pq_sampled_rerank,
-    # session_window, ntile_quartiles, stratified_sample,
-    # variant_extract, zorder_layout, window_running_sum,
-    # window_moving_avg, window_first_last, monthly_order_stats,
-    # string_functions, normalize_text, epoch_shuffle,
-    # boilerplate_removal, unigram_kl_by_source, ngram_novelty,
-    # tumbling_window_late_streamed, dedup_within_watermark_streamed,
-    # mad_outliers, winsorized_stats.
+    # tpch_q17, tpch_q18, tpch_q19, tpch_q20, tpch_q21, tpch_q2,
+    # tpch_q11, minhash_calibration, dup_rate_by_source_pair,
+    # dedup_keep_best, ann_recall_lsh, semantic_dedup_reps,
+    # label_centroids, multimodal_decode, multimodal_frames,
+    # multimodal_resize, collect_sorted_ids, approx_distinct_users,
+    # approx_percentile_by_type, heavy_hitters_sketch,
+    # gopher_quality_flags, quality_filter_funnel,
+    # tokenizer_coverage, content_defined_chunks, tfidf_cosine_pairs,
+    # chunk_dedup_stats, stream_stream_left_join_streamed,
+    # sliding_window_streamed, k_anonymity_audit.
 ]
 
 

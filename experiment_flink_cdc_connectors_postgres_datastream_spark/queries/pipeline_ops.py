@@ -348,7 +348,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) AS BIGINT) AS hh
       FROM documents)
-    SELECT doc_id, CAST(hh % 16 AS INT) AS shard,
+    SELECT doc_id, CAST(hh % 16 AS BIGINT) AS shard,
            CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) AS BIGINT)
              AS rank_in_shard
     FROM h
@@ -373,7 +373,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("shard").orderBy("hh", "doc_id")
     return (
-        h.withColumn("shard", F.pmod(F.col("hh"), F.lit(16)).cast("int"))
+        h.withColumn("shard", F.pmod(F.col("hh"), F.lit(16)).cast("bigint"))
         .select(
             "doc_id",
             "shard",

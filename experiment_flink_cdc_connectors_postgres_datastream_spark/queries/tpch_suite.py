@@ -417,7 +417,8 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q16",
     """
-    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
     FROM part JOIN lineitem ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
       AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
