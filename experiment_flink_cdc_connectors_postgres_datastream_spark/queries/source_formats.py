@@ -935,16 +935,19 @@ def stream_stream_full_outer_streamed(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register(
-    "cdc_snapshot_chunked",
-    """
+#: full-table snapshot state — the oracle for `cdc_snapshot_chunked`
+#: AND its restart twin `cdc_snapshot_resume`: both must cover the key
+#: space exactly once no matter where (or whether) the stream stopped.
+_SNAPSHOT_AGG_ORACLE = """
     SELECT event_type,
            CAST(COUNT(1) AS BIGINT) AS n_rows,
            CAST(SUM(event_id) AS BIGINT) AS id_checksum,
            CAST(MAX(user_id) AS BIGINT) AS max_user
     FROM events GROUP BY event_type
-    """,
-)
+    """
+
+
+@register("cdc_snapshot_chunked", _SNAPSHOT_AGG_ORACLE)
 def cdc_snapshot_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CHUNKED SNAPSHOT path at sf scale through the engine's
     source API (round-7 regression guard for the keyset snapshot in
@@ -1131,8 +1134,6 @@ def cdc_wal_tail_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot, bounded spans split into ≤wal_rows_per_partition tasks);
     the poll window is sized to the feed so every scale stops with
     real work left for the resumed incarnation."""
-    import time
-
     from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.snapshot_bench import register_wal_bench
 
     register_wal_bench(spark)
@@ -1145,7 +1146,7 @@ def cdc_wal_tail_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_events = spark.read.parquet(events_path).count()
     poll = max(256, (n_events * 2) // (3 * 5))
 
-    def incarnation():
+    def build_reader():
         return (
             spark.readStream.format("cdc_wal_bench")
             .option("path", events_path)
@@ -1153,6 +1154,30 @@ def cdc_wal_tail_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("poll_batch_size", str(poll))
             .option("state_path", os.path.join(work, "slot_state.json"))
             .load()
+        )
+
+    try:
+        _run_with_restart(spark, build_reader, out, work)
+        # spark.read honors the file sink's _spark_metadata log, so
+        # files from batches the crash abandoned are invisible —
+        # this read IS the exactly-once contract being graded
+        pdf = _wal_envelopes_to_live(spark.read.parquet(out)).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, "event_type string, n_live long, id_checksum long")
+
+
+def _run_with_restart(spark, build_reader, out: str, work: str) -> None:
+    """Start a streaming query, stop it after at least one committed
+    micro-batch (the deliberate 'crash'), then run a second
+    incarnation from the same checkpoint to completion. The stop
+    point is nondeterministic by design — the caller's oracle must be
+    split-invariant, which is exactly the exactly-once claim."""
+    import time
+
+    def incarnation():
+        return (
+            build_reader()
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -1160,21 +1185,141 @@ def cdc_wal_tail_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
 
+    q = incarnation()
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p.get("batchId", -1) >= 1:
+            break  # >=1 batch durably committed: crash now
+        time.sleep(0.05)
+    q.stop()  # the in-flight batch is abandoned mid-write
+    q2 = incarnation()
+    q2.processAllAvailable()
+    q2.stop()
+
+
+@register("cdc_snapshot_resume", _SNAPSHOT_AGG_ORACLE)
+def cdc_snapshot_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once MID-SNAPSHOT restart under the driver hash — the
+    snapshot twin of `cdc_wal_tail_resume` (the live suite restarts a
+    real snapshot at demo scale; this grades the identical triage at
+    sf scale by value): the chunked keyset snapshot is stopped after
+    at least one committed micro-batch, and the second incarnation
+    must resume from the DURABLE progress row (`state_path` — the
+    engineered equivalent of the source-DB progress row a real
+    deployment keeps) at its exact keyset position, replay the
+    abandoned span by literal key bounds, and finish. Every key
+    exactly once across the restart or the id checksum shifts.
+
+    Scale shape: identical to `cdc_snapshot_chunked` (driver holds
+    chunk metadata only; rows read executor-side per chunk); the
+    chunk size adapts to the table so every scale yields several
+    paced batches with real work left after the stop."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.snapshot_bench import register_snapshot_bench
+
+    register_snapshot_bench(spark)
+    work = tempfile.mkdtemp(prefix="snapresume_")
+    out = os.path.join(work, "out")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    n_events = spark.read.parquet(events_path).count()
+    chunk = max(256, n_events // 12)
+
+    def build_reader():
+        return (
+            spark.readStream.format("cdc_snapshot_bench")
+            .option("path", events_path)
+            .option("table", "events")
+            .option("pk", "event_id")
+            .option("snapshotChunkSize", str(chunk))
+            .option("snapshot_chunks_per_trigger", "2")
+            .option("state_path", os.path.join(work, "slot_state.json"))
+            .load()
+        )
+
     try:
-        q = incarnation()
-        deadline = time.time() + 180
-        while time.time() < deadline:
-            p = q.lastProgress
-            if p is not None and p.get("batchId", -1) >= 1:
-                break  # >=1 batch durably committed: crash now
-            time.sleep(0.05)
-        q.stop()  # mid-feed stop — the in-flight batch is abandoned
-        q2 = incarnation()
-        q2.processAllAvailable()
-        q2.stop()
-        # spark.read honors the file sink's _spark_metadata log, so
-        # files from batches the crash abandoned are invisible —
-        # this read IS the exactly-once contract being graded
+        _run_with_restart(spark, build_reader, out, work)
+        parsed = spark.read.parquet(out).select(
+            F.from_json(
+                "value",
+                "struct<after: struct<event_id: bigint, user_id: bigint, event_type: string>>",
+            ).alias("e")
+        )
+        pdf = (
+            parsed.groupBy(F.col("e.after.event_type").alias("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("e.after.event_id").alias("id_checksum"),
+                F.max("e.after.user_id").alias("max_user"),
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "event_type string, n_rows long, id_checksum long, max_user long"
+    )
+
+
+@register(
+    "cdc_snapshot_tail_handoff",
+    """
+    WITH final AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 0 THEN 'updated' ELSE event_type END AS event_type
+      FROM events
+      WHERE event_id % 14 <> 0
+    )
+    SELECT event_type,
+           CAST(COUNT(1) AS BIGINT) AS n_live,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM final GROUP BY event_type
+    """,
+)
+def cdc_snapshot_tail_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production pipeline at sf scale under one value hash —
+    chunked keyset snapshot, snapshot->WAL handoff, tail translation,
+    AND a restart, in a single graded stream (`cdc_snapshot_chunked`
+    and `cdc_wal_tail` guard the phases separately; the live suite
+    drives the handoff at demo scale; this grades it at sf scale):
+    the two-phase bench client snapshots every event, then serves
+    updates (%10 -> 'updated') and deletes (%14) as the WAL tail. The
+    stream is stopped after >=1 committed batch — with several paced
+    snapshot batches the stop normally lands MID-SNAPSHOT — and the
+    second incarnation resumes through the durable progress row,
+    finishes the snapshot, crosses into the tail (first WAL advance
+    clears the progress row), and drains the feed. Changelog
+    compaction (last per key by LSN; snapshot rows carry lsn 0 so any
+    tail record for the same key wins) then one partial agg; a lost,
+    duplicated, or double-applied record anywhere — either phase,
+    either incarnation — shifts the checksum.
+
+    Scale shape: snapshot rows ride executor-side chunk reads; tail
+    volume rides bounded spans split into <=wal_rows_per_partition
+    tasks; compaction is one max_by shuffle on the key."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.snapshot_bench import register_full_bench
+
+    register_full_bench(spark)
+    work = tempfile.mkdtemp(prefix="handoff_")
+    out = os.path.join(work, "out")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    n_events = spark.read.parquet(events_path).count()
+    chunk = max(256, n_events // 12)
+
+    def build_reader():
+        return (
+            spark.readStream.format("cdc_full_bench")
+            .option("path", events_path)
+            .option("table", "events")
+            .option("pk", "event_id")
+            .option("snapshotChunkSize", str(chunk))
+            .option("snapshot_chunks_per_trigger", "2")
+            .option("poll_batch_size", str(max(256, n_events // 10)))
+            .option("state_path", os.path.join(work, "slot_state.json"))
+            .load()
+        )
+
+    try:
+        _run_with_restart(spark, build_reader, out, work)
         pdf = _wal_envelopes_to_live(spark.read.parquet(out)).toPandas()
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -53,23 +53,67 @@ def _lit(v: Any) -> str:
     raise TypeError(f"unsupported keyset bound type: {type(v).__name__}")
 
 
-class ParquetSnapshotClient:
-    """Snapshot-only replication client over one parquet table: no WAL
-    (``peek_changes`` is always empty, the slot is always 'fresh'), so
-    a stream over it is exactly the snapshot phase followed by a quiet
-    tail — which is the phase being benched."""
+class _DurableBenchState:
+    """Optional file-backed slot/progress state for the bench clients.
+    A real deployment's restart authority is SERVER-side (the slot's
+    confirmed position, the durable progress row); ``state_path``
+    gives the parquet-backed clients the same durability so restarted
+    streams exercise the production triage paths (progress-row
+    resume, snapshot->wal handoff) instead of always starting fresh.
+    Writes are atomic (tmp + rename) — a kill mid-write leaves the
+    previous state, exactly like a server that never saw the txn."""
 
-    def __init__(self, path: str, table: str, pk_cols: list[str]):
+    state_path: str | None
+
+    def _load_state(self) -> dict[str, Any]:
+        if not self.state_path:
+            return {}
+        import os  # noqa: PLC0415
+
+        if not os.path.exists(self.state_path):
+            return {}
+        with open(self.state_path) as f:
+            return json.load(f)
+
+    def _merge_state(self, **kv: Any) -> None:
+        if not self.state_path:
+            return
+        import os  # noqa: PLC0415
+
+        state = self._load_state()
+        state.update(kv)
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.state_path)
+
+
+class ParquetSnapshotClient(_DurableBenchState):
+    """Snapshot-only replication client over one parquet table: no WAL
+    (``peek_changes`` is always empty), so a stream over it is exactly
+    the snapshot phase followed by a quiet tail — which is the phase
+    being benched. With ``state_path`` the snapshot progress row and
+    the created-slot marker survive restarts, so a stopped stream
+    resumes at its durable keyset position through the production
+    triage (``cdc_snapshot_resume``)."""
+
+    def __init__(self, path: str, table: str, pk_cols: list[str], state_path: str | None = None):
         if not path:
             raise ValueError("cdc_snapshot_bench requires option 'path' (a parquet file)")
         self.path = path
         self.table = table
         self.pk_cols = list(pk_cols)
-        self.progress: str | None = None
+        self.state_path = state_path
+        self.progress: str | None = self._load_state().get("progress")
 
     # -- slot / progress surface (no server: snapshot-only) ------------
     def ensure_slot(self) -> bool:
-        return True  # always a fresh start
+        if not self.state_path:
+            return True  # always a fresh start
+        created = not self._load_state().get("slot_exists", False)
+        if created:
+            self._merge_state(slot_exists=True)
+        return created
 
     def slot_confirmed_lsn(self) -> int:
         return 0
@@ -82,6 +126,7 @@ class ParquetSnapshotClient:
 
     def save_snapshot_progress(self, pos_json: str) -> None:
         self.progress = pos_json
+        self._merge_state(progress=pos_json)
 
     def load_snapshot_progress(self) -> tuple | None:
         if self.progress is None:
@@ -91,6 +136,7 @@ class ParquetSnapshotClient:
 
     def clear_snapshot_progress(self) -> None:
         self.progress = None
+        self._merge_state(progress=None)
 
     # -- catalog + keyset surface ---------------------------------------
     def list_tables(self) -> list[tuple[str, str]]:
@@ -237,56 +283,106 @@ class ParquetWalClient:
         doubling window relies on. Each peek re-reads from the slot
         position (peeks are non-destructive), which is also why the
         production planner grows its window instead of paging."""
-        import duckdb  # noqa: PLC0415
+        return _synthetic_feed_peek(
+            self.path, self.table, self.confirmed, limit, include_inserts=True
+        )
 
-        con = duckdb.connect()
-        try:
-            rows = con.sql(
-                f"""
-                WITH feed AS (
+
+def _synthetic_feed_peek(
+    path: str, table: str, confirmed: int, limit: int, *, include_inserts: bool
+) -> list[dict[str, Any]]:
+    """The deterministic synthetic change feed shared by the bench
+    slots: an INSERT per even ``event_id`` (lsn = 4*id+4; only when
+    ``include_inserts`` — the two-phase client's inserts ride the
+    SNAPSHOT instead), an UPDATE per ``%10`` row (event_type ->
+    'updated', lsn = 4*id+5), a DELETE per ``%14`` row (lsn =
+    4*id+6), in LSN order, strictly after ``confirmed``."""
+    import duckdb  # noqa: PLC0415
+
+    insert_branch = (
+        f"""
                   SELECT event_id * 4 + 4 AS lsn, 'I' AS action, event_id, user_id, event_type
-                  FROM '{self.path}' WHERE event_id % 2 = 0
-                  UNION ALL
-                  SELECT event_id * 4 + 5, 'U', event_id, user_id, event_type
-                  FROM '{self.path}' WHERE event_id % 10 = 0
+                  FROM '{path}' WHERE event_id % 2 = 0
+                  UNION ALL"""
+        if include_inserts
+        else ""
+    )
+    con = duckdb.connect()
+    try:
+        rows = con.sql(
+            f"""
+                WITH feed AS ({insert_branch}
+                  SELECT event_id * 4 + 5 AS lsn, 'U' AS action, event_id, user_id, event_type
+                  FROM '{path}' WHERE event_id % 10 = 0
                   UNION ALL
                   SELECT event_id * 4 + 6, 'D', event_id, user_id, event_type
-                  FROM '{self.path}' WHERE event_id % 14 = 0
+                  FROM '{path}' WHERE event_id % 14 = 0
                 )
                 SELECT lsn, action, event_id, user_id, event_type FROM feed
-                WHERE lsn > {int(self.confirmed)} ORDER BY lsn LIMIT {int(limit)}
+                WHERE lsn > {int(confirmed)} ORDER BY lsn LIMIT {int(limit)}
                 """
-            ).fetchall()
-        finally:
-            con.close()
-        out: list[dict[str, Any]] = []
-        for lsn, action, eid, uid, etype in rows:
-            cols = [
+        ).fetchall()
+    finally:
+        con.close()
+    out: list[dict[str, Any]] = []
+    for lsn, action, eid, uid, etype in rows:
+        cols = [
+            {"name": "event_id", "value": int(eid)},
+            {"name": "user_id", "value": _jsonable(uid)},
+            {"name": "event_type", "value": _jsonable(etype)},
+        ]
+        rec: dict[str, Any] = {
+            "action": action,
+            "schema": "parquet",
+            "table": table,
+            "timestamp_ms": int(lsn),
+            "lsn_int": int(lsn),
+            "xid": int(eid),
+        }
+        if action == "I":
+            rec["columns"] = cols
+        elif action == "U":
+            rec["columns"] = [
                 {"name": "event_id", "value": int(eid)},
                 {"name": "user_id", "value": _jsonable(uid)},
-                {"name": "event_type", "value": _jsonable(etype)},
+                {"name": "event_type", "value": "updated"},
             ]
-            rec: dict[str, Any] = {
-                "action": action,
-                "schema": "parquet",
-                "table": self.table,
-                "timestamp_ms": int(lsn),
-                "lsn_int": int(lsn),
-                "xid": int(eid),
-            }
-            if action == "I":
-                rec["columns"] = cols
-            elif action == "U":
-                rec["columns"] = [
-                    {"name": "event_id", "value": int(eid)},
-                    {"name": "user_id", "value": _jsonable(uid)},
-                    {"name": "event_type", "value": "updated"},
-                ]
-                rec["identity"] = cols
-            else:  # D
-                rec["identity"] = cols
-            out.append(rec)
-        return out
+            rec["identity"] = cols
+        else:  # D
+            rec["identity"] = cols
+        out.append(rec)
+    return out
+
+
+class ParquetCdcBenchClient(ParquetSnapshotClient):
+    """BOTH phases over one parquet table — the full production
+    pipeline with no server: a chunked keyset SNAPSHOT of every row,
+    then the synthetic U/D change feed as the WAL tail (inserts ride
+    the snapshot; updates flip ``event_type`` to 'updated' for every
+    ``event_id % 10`` row, deletes remove every ``%14`` row). The
+    slot's confirmed position, the created marker, and the snapshot
+    progress row are all durable under ``state_path``, so a restart —
+    including one MID-SNAPSHOT — goes through the production triage:
+    progress row present -> resume the snapshot at its keyset
+    position; first WAL advance clears it. Live state afterward:
+    every event, %10 updated, %14 gone (`cdc_snapshot_tail_handoff`'s
+    oracle)."""
+
+    def __init__(self, path: str, table: str, pk_cols: list[str], state_path: str | None = None):
+        super().__init__(path, table, pk_cols, state_path)
+        self.confirmed = int(self._load_state().get("confirmed", 0))
+
+    def slot_confirmed_lsn(self) -> int:
+        return self.confirmed
+
+    def advance_slot(self, lsn_int: int) -> None:
+        self.confirmed = max(self.confirmed, lsn_int)
+        self._merge_state(confirmed=self.confirmed)
+
+    def peek_changes(self, limit: int) -> list[dict[str, Any]]:
+        return _synthetic_feed_peek(
+            self.path, self.table, self.confirmed, limit, include_inserts=False
+        )
 
 
 if _HAS_DATASOURCE_API:
@@ -313,6 +409,33 @@ if _HAS_DATASOURCE_API:
                 opts.get("path", ""),
                 opts.get("table", "events"),
                 [c.strip() for c in opts.get("pk", "event_id").split(",") if c.strip()],
+                state_path=opts.get("state_path") or None,
+            )
+            return PostgresCDCStreamReader(cfg, client=client)
+
+    class ParquetCdcBenchDataSource(DataSource):
+        """``spark.readStream.format("cdc_full_bench")`` — the full
+        snapshot->tail pipeline (production reader, two-phase bench
+        client). Options: path, table, pk, state_path (durable slot +
+        progress — required for restart scenarios), plus the
+        postgres_cdc pacing options (snapshotChunkSize,
+        snapshot_chunks_per_trigger, poll_batch_size)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "cdc_full_bench"
+
+        def schema(self):
+            return RAW_CDC_SCHEMA
+
+        def streamReader(self, schema) -> PostgresCDCStreamReader:
+            opts = {k.lower(): v for k, v in dict(self.options).items()}
+            cfg = PostgresCDCConfig.from_options(opts)
+            client = ParquetCdcBenchClient(
+                opts.get("path", ""),
+                opts.get("table", "events"),
+                [c.strip() for c in opts.get("pk", "event_id").split(",") if c.strip()],
+                state_path=opts.get("state_path") or None,
             )
             return PostgresCDCStreamReader(cfg, client=client)
 
@@ -347,6 +470,9 @@ if _HAS_DATASOURCE_API:
     def register_wal_bench(spark) -> None:
         spark.dataSource.register(ParquetWalDataSource)
 
+    def register_full_bench(spark) -> None:
+        spark.dataSource.register(ParquetCdcBenchDataSource)
+
 else:  # pragma: no cover
 
     def register_snapshot_bench(spark) -> None:
@@ -354,3 +480,6 @@ else:  # pragma: no cover
 
     def register_wal_bench(spark) -> None:
         raise ImportError("cdc_wal_bench requires the Spark 4 Python DataSource API")
+
+    def register_full_bench(spark) -> None:
+        raise ImportError("cdc_full_bench requires the Spark 4 Python DataSource API")

@@ -695,6 +695,70 @@ def test_parquet_wal_client_slot_semantics(tmp_path):
     assert env_d["before"]["event_id"] == 0
 
 
+def test_bench_clients_durable_state(tmp_path):
+    """``state_path`` must give the parquet bench clients a real
+    server's restart durability: the WAL slot's confirmed position,
+    the snapshot progress row, and the created-slot marker all
+    survive a NEW client instance (a restarted stream builds a fresh
+    reader+client; only the state file carries over) — and the
+    two-phase client's feed serves no inserts (those ride the
+    snapshot), so snapshot+tail never double-deliver a row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.snapshot_bench import (
+        ParquetCdcBenchClient,
+        ParquetSnapshotClient,
+        ParquetWalClient,
+    )
+
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": list(range(20)),
+                "user_id": [i * 10 for i in range(20)],
+                "event_type": ["view"] * 20,
+            }
+        ),
+        path,
+    )
+
+    # WAL slot: confirmed survives reincarnation; peeks resume after it
+    wal_state = str(tmp_path / "wal_state.json")
+    w1 = ParquetWalClient(path, "events", state_path=wal_state)
+    lsns = [r["lsn_int"] for r in w1.peek_changes(100)]
+    w1.advance_slot(lsns[4])
+    w2 = ParquetWalClient(path, "events", state_path=wal_state)
+    assert w2.slot_confirmed_lsn() == lsns[4]
+    assert [r["lsn_int"] for r in w2.peek_changes(100)] == lsns[5:]
+    assert w2.ensure_slot() is False  # slot already exists
+
+    # snapshot progress: created-once marker + durable keyset position
+    snap_state = str(tmp_path / "snap_state.json")
+    s1 = ParquetSnapshotClient(path, "events", ["event_id"], state_path=snap_state)
+    assert s1.ensure_slot() is True
+    s1.save_snapshot_progress(json.dumps([["parquet", "events"], [7]]))
+    s2 = ParquetSnapshotClient(path, "events", ["event_id"], state_path=snap_state)
+    assert s2.ensure_slot() is False  # restart, not creation
+    assert s2.load_snapshot_progress() == (["parquet", "events"], [7])
+    s2.clear_snapshot_progress()
+    s3 = ParquetSnapshotClient(path, "events", ["event_id"], state_path=snap_state)
+    assert s3.load_snapshot_progress() is None
+
+    # two-phase client: snapshot catalog + insert-free feed + durable slot
+    full_state = str(tmp_path / "full_state.json")
+    f1 = ParquetCdcBenchClient(path, "events", ["event_id"], state_path=full_state)
+    assert f1.list_tables() == [("parquet", "events")]
+    actions = {r["action"] for r in f1.peek_changes(100)}
+    assert actions == {"U", "D"}  # inserts ride the snapshot
+    feed = [r["lsn_int"] for r in f1.peek_changes(100)]
+    f1.advance_slot(feed[1])
+    f2 = ParquetCdcBenchClient(path, "events", ["event_id"], state_path=full_state)
+    assert f2.slot_confirmed_lsn() == feed[1]
+    assert [r["lsn_int"] for r in f2.peek_changes(100)] == feed[2:]
+
+
 def test_wal_batch_splits_into_bounded_partitions():
     """A large tail span splits into ceil(n/wal_rows_per_partition)
     tasks (parallel downstream consumption for catch-up batches) with
