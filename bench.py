@@ -172,10 +172,11 @@ EXTENDED_QUERIES = [
     "xml_roundtrip",
     # round 9: budget apportionment, closed-form packing audit,
     # bit-length histogram, canonicalized exact dedup
-    # (cdc_wal_tail_resume is graded for correctness but excluded
-    # like the other streamed round trips: its wall time is dominated
-    # by the deliberate mid-feed stop/restart, not throughput —
-    # cdc_wal_tail already guards the tail's paced throughput)
+    # (the three restart queries — cdc_wal_tail_resume,
+    # cdc_snapshot_resume, cdc_snapshot_tail_handoff — are graded for
+    # correctness but excluded here: their wall time is dominated by
+    # the deliberate stop/restart, not throughput, which
+    # cdc_snapshot_chunked and cdc_wal_tail already guard)
     "mixture_budget_allocation",
     "sequence_packing_stats",
     "doc_length_histogram",
