@@ -116,15 +116,23 @@ def test_boilerplate_removal_drops_common_segments_preserves_order(spark):
 def test_ngram_coverage_curve_cumulative_math(spark, tmp_path):
     """Coverage at k is the cumulative count of the top-k types under
     the (count desc, token asc) order: 150 distinct tokens with
-    counts 150..1 -> top-100 covers sum(51..150)=10050 of 11325."""
+    counts 150..1 -> top-10 covers sum(141..150), top-100 covers
+    sum(51..150)=10050 of 11325, and every k PAST the vocabulary is
+    clamped to it (round-9 semantics: all four curve points exist at
+    every scale; a k beyond the whole vocab covers 100%)."""
     rows = [(i, (f"t{i:03d} " * (150 - i)).strip(), "s") for i in range(150)]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     df.write.parquet(str(tmp_path / "documents.parquet"))
 
     from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.corpus_ops import ngram_coverage_curve
 
+    total = sum(range(1, 151))
     out = {r["vocab_size"]: r for r in ngram_coverage_curve(spark, str(tmp_path)).collect()}
-    assert set(out) == {100}  # vocab (150) < 1000: larger ks are absent
+    assert set(out) == {10, 100, 1000, 5000}
+    assert out[10]["covered_tokens"] == sum(range(141, 151))
     assert out[100]["covered_tokens"] == sum(range(51, 151))
-    assert out[100]["total_tokens"] == sum(range(1, 151))
-    assert out[100]["coverage_ppm"] == sum(range(51, 151)) * 1_000_000 // sum(range(1, 151))
+    assert out[100]["total_tokens"] == total
+    assert out[100]["coverage_ppm"] == sum(range(51, 151)) * 1_000_000 // total
+    for k in (1000, 5000):  # clamped to the 150-type vocab: full coverage
+        assert out[k]["covered_tokens"] == total
+        assert out[k]["coverage_ppm"] == 1_000_000
