@@ -181,6 +181,13 @@ EXTENDED_QUERIES = [
     "sequence_packing_stats",
     "doc_length_histogram",
     "dedup_normalized_exact",
+    # round 9, second batch: schema-drift CDC parse+compact,
+    # edit-distance verification, quantile calibration, stride
+    # interleaving
+    "cdc_schema_evolution",
+    "dedup_edit_distance",
+    "quality_quantile_calibration",
+    "mixture_interleave_schedule",
 ]
 
 

@@ -64,6 +64,11 @@ _PRIORITY = [
     # length histogram / canonicalized exact dedup
     "mixture_budget_allocation", "sequence_packing_stats",
     "doc_length_histogram", "dedup_normalized_exact",
+    # schema-drift parse+compact under the value hash, edit-distance
+    # near-dup verification, per-source quantile calibration,
+    # stride-scheduled mixture interleaving
+    "cdc_schema_evolution", "dedup_edit_distance",
+    "quality_quantile_calibration", "mixture_interleave_schedule",
     # --- (3) stalest: the 23 remaining round-4 rows (VERDICT r8 #3) ---
     "similarity_topk_ivf_sampled", "similarity_topk_pq",
     "similarity_topk_pq_sampled", "similarity_topk_pq_sampled_rerank",
@@ -74,19 +79,19 @@ _PRIORITY = [
     "boilerplate_removal", "unigram_kl_by_source", "ngram_novelty",
     "tumbling_window_late_streamed", "dedup_within_watermark_streamed",
     "mad_outliers", "winsorized_stats",
-    # --- (4) oldest round-5 rows, registration order (15 of 46; the
-    # displaced 31 lead the next-round rotation, named below —
+    # --- (4) oldest round-5 rows, registration order (11 of 46; the
+    # displaced 35 lead the next-round rotation, named below —
     # tpch_q16 stays IN because its oracle gained the BIGINT CAST
     # this round and a changed oracle must regrade; tpch_q13/q15 are
     # byte-unchanged and yield their slots to the two extra restart
-    # queries) ---
+    # queries; tpch_q4/q7/q8/q9 likewise yield theirs to the four
+    # newest additions above) ---
     "bus_wire_frames", "bus_roundtrip_pipeline", "cdc_scd2_history",
     "scd2_as_of_state", "cdc_scd2_streamed", "tpch_q3", "tpch_q6",
-    "tpch_q10", "tpch_q14", "tpch_q4", "tpch_q5", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q16",
+    "tpch_q10", "tpch_q14", "tpch_q5", "tpch_q16",
     # Still outside the window, all last green in round 5 and
     # unchanged since (next rotation's front of the line):
-    # tpch_q13, tpch_q15,
+    # tpch_q4, tpch_q7, tpch_q8, tpch_q9, tpch_q13, tpch_q15,
     # tpch_q17, tpch_q18, tpch_q19, tpch_q20, tpch_q21, tpch_q2,
     # tpch_q11, minhash_calibration, dup_rate_by_source_pair,
     # dedup_keep_best, ann_recall_lsh, semantic_dedup_reps,

@@ -1331,3 +1331,88 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("member_checksum").cast("bigint").alias("member_checksum"),
         )
     )
+
+
+@register(
+    "dedup_edit_distance",
+    r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 20000000,
+             substr(text, 1, 19) || 'Q' || substr(text, 21)
+      FROM documents WHERE doc_id % 13 = 0 AND length(text) >= 40
+      UNION ALL
+      SELECT doc_id + 30000000,
+             substr(text, 1, 24) || substr(text, 28)
+      FROM documents WHERE doc_id % 17 = 0 AND length(text) >= 40),
+    keyed AS (SELECT doc_id, text, substr(text, 1, 16) AS bk FROM aug),
+    caps AS (SELECT bk FROM keyed GROUP BY bk HAVING COUNT(1) <= 1000),
+    k AS (SELECT keyed.* FROM keyed JOIN caps USING (bk))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+    FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    WHERE abs(length(a.text) - length(b.text)) <= 4
+      AND levenshtein(a.text, b.text) <= 4
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification: block candidates on a
+    cheap deterministic key, then CONFIRM each candidate pair with a
+    bounded Levenshtein — the verify stage a production dedup pipeline
+    runs on LSH/blocking survivors before acting on them (MinHash
+    estimates set overlap; edit distance is the guarantee for
+    re-typed / OCR-jittered copies that differ by a few characters).
+
+    The synthetic corpus has no natural near-identical pairs at
+    grading scale, so near-variants are injected deterministically
+    (the `dedup_normalized_exact` pattern): every 13th doc re-added
+    with ONE substituted character at position 20, every 17th with
+    three characters deleted at position 25 — both edits land PAST
+    the 16-char blocking prefix, so variant and original share a
+    block by construction while the block key stays a real
+    first-16-chars prefix (over the small-vocabulary corpus it also
+    pulls in unrelated same-prefix docs — true-negative candidates
+    the verifier must reject).
+
+    Scale shape: blocking is one equi-join on the prefix key with a
+    df<=1000 hot-bucket cap (the MinHash-family cap, applied in BOTH
+    engines) — never all-pairs; the length pre-filter (|len diff| <=
+    4) discards cross-length candidates before any string compare;
+    the Levenshtein runs THRESHOLDED (Spark's 3-arg form, O(k*n)
+    banded instead of O(n^2) full matrix) and only on surviving
+    same-bucket pairs. All JVM built-ins, zero Python UDFs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eligible = (F.col("doc_id") % 13 == 0) & (F.length("text") >= 40)
+    var_a = docs.filter(eligible).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 19), F.lit("Q"), F.expr("substr(text, 21)")
+        ).alias("text"),
+    )
+    var_b = docs.filter((F.col("doc_id") % 17 == 0) & (F.length("text") >= 40)).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"),
+        F.concat(F.substring("text", 1, 24), F.expr("substr(text, 28)")).alias("text"),
+    )
+    aug = docs.unionByName(var_a).unionByName(var_b)
+    keyed = aug.select("doc_id", "text", F.substring("text", 1, 16).alias("bk"))
+    caps = keyed.groupBy("bk").count().filter(F.col("count") <= 1000).select("bk")
+    # the capped table feeds BOTH sides of the self-join: cut lineage
+    # so the corpus scan + cap aggregate run once, not once per side
+    # (the `ngram_jaccard_pairs` reuse pattern). Partition it by the
+    # JOIN key before materializing — the checkpoint otherwise
+    # inherits the scan's few-file split count (the Levenshtein
+    # verify stage then runs on 3 tasks at sf0.1), and bk-partitioned
+    # sides make the self-join itself exchange-free
+    parallelism = spark.sparkContext.defaultParallelism
+    k = keyed.join(caps, "bk").repartition(parallelism, "bk").localCheckpoint(eager=False)
+    a = k.select(F.col("bk"), F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = k.select(F.col("bk"), F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.length("text_a") - F.length("text_b")) <= 4)
+        .withColumn("dist", F.levenshtein(F.col("text_a"), F.col("text_b"), 4).cast("bigint"))
+        .filter(F.col("dist") >= 0)
+    )
+    return pairs.select("id_a", "id_b", "dist")

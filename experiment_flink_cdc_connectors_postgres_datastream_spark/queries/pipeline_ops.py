@@ -1270,3 +1270,161 @@ def recency_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("weight_ppm").alias("replay_weight_sum"),
     )
+
+
+@register(
+    "quality_quantile_calibration",
+    r"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rk,
+             COUNT(1) OVER (PARTITION BY source) AS n_src
+      FROM s)
+    SELECT doc_id, source, n_tok,
+           CAST((rk - 1) * 1000000 // GREATEST(n_src - 1, 1) AS BIGINT) AS calib_ppm
+    FROM r
+    """,
+)
+def quality_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank calibration of a quality signal: a raw score's
+    scale drifts across domains (a "good" web page and a "good" code
+    file score differently), so a global keep-threshold over-prunes
+    some sources and under-prunes others. The standard fix is
+    quantile normalization WITHIN each source — map every doc to its
+    per-source rank quantile, then threshold the calibrated score
+    globally (each source then sheds the same fraction).
+
+    Exactness: the quantile is pure integer arithmetic —
+    (rank-1)·10^6 // max(n-1, 1) with rank ties broken by doc_id —
+    so min maps to 0, max to exactly 10^6, and both engines floor
+    identically (BIGINT·BIGINT stays BIGINT; no HUGEINT promotion on
+    this path, CAST pinned anyway). The signal here is the token
+    count; swapping in any integer score (`quality_logreg_score`'s
+    milli-score) is a column substitution.
+
+    Scale shape: the rank and the per-source count share ONE
+    exchange on source (both windows partition identically,
+    plan-tested); no global sort, no second shuffle. Per-source rank
+    at 100 TB is the same single-key window `sessionization_gap`
+    runs per user — bounded by the largest source, which is exactly
+    the thing mixture weighting already requires you to bound."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "source", F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_tok")
+    )
+    by_src = Window.partitionBy("source")
+    r = s.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.row_number().over(by_src.orderBy("n_tok", "doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(by_src).alias("n_src"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr("CAST((rk - 1) * 1000000 DIV GREATEST(n_src - 1, 1) AS BIGINT)").alias(
+            "calib_ppm"
+        ),
+    )
+
+
+@register(
+    "mixture_interleave_schedule",
+    rf"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source),
+    g AS (
+      SELECT source, total_tokens,
+             GREATEST(CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT) - 3,
+                      CAST(0 AS BIGINT)) AS base
+      FROM s),
+    q AS (
+      SELECT source, CAST({_isqrt_micro_sql('HUGEINT')} AS BIGINT) AS sqrt_micro
+      FROM g),
+    d AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS k
+      FROM documents),
+    v AS (
+      SELECT d.doc_id, d.source, d.k,
+             CAST(CAST(d.k AS HUGEINT) * 1000000000000 // q.sqrt_micro AS BIGINT) AS vtime
+      FROM d JOIN q USING (source))
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vtime, source, k) AS BIGINT) AS pos,
+           doc_id, source, CAST(k AS BIGINT) AS k, vtime
+    FROM v ORDER BY vtime, source, k LIMIT 500
+    """,
+)
+def mixture_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride-scheduled interleaving of the mixture: the
+    trainer wants ONE global document order in which each source
+    appears at its temperature weight CONTINUOUSLY (not "all of
+    source A, then B" — that's curriculum skew, and not i.i.d.
+    shuffle — that loses the weighting). Stride scheduling does it:
+    source s's k-th document gets virtual time k/w_s and the schedule
+    is ascending virtual time — the classic lottery/stride scheduler
+    and exactly how multi-source samplers interleave shards.
+
+    Exactness: weights are the exact-integer-sqrt micro-units
+    (`_isqrt_micro_sql`, the `temperature_mixture_weights` CTE
+    verbatim); virtual time is floor(k·10^12 / sqrt_micro) in
+    HUGEINT/DECIMAL(38,0) — both engines floor the same integer
+    ratio, and ties (equal vtime) break on (source, k). The graded
+    head is the first 500 schedule positions.
+
+    Scale shape: per-source k is one window exchange; the weight
+    join is a broadcast (#sources rows); the global head is
+    TakeOrdered (plan-tested) — top-500 by (vtime, source, k) with
+    NO global sort materialized. The position column is numbered
+    AFTER the take, over 500 rows, where a 1-partition window is
+    free."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.size(F.split(F.lower("text"), r"\s+")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("total_tokens"))
+    )
+    g = s.withColumn(
+        "base",
+        F.greatest(
+            F.floor(F.sqrt(F.col("total_tokens").cast("double")) * 1_000_000).cast("bigint")
+            - F.lit(3),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    q = g.select(
+        "source",
+        F.expr(f"CAST({_isqrt_micro_sql('DECIMAL(38,0)')} AS BIGINT)").alias("sqrt_micro"),
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(Window.partitionBy("source").orderBy("doc_id")).alias("k"),
+    )
+    v = d.join(F.broadcast(q), "source").select(
+        "doc_id",
+        "source",
+        "k",
+        F.expr(
+            "CAST((CAST(k AS DECIMAL(38,0)) * 1000000000000) div sqrt_micro AS BIGINT)"
+        ).alias("vtime"),
+    )
+    head = v.orderBy("vtime", "source", "k").limit(500)
+    return head.select(
+        F.row_number().over(Window.orderBy("vtime", "source", "k")).cast("bigint").alias("pos"),
+        "doc_id",
+        "source",
+        F.col("k").cast("bigint").alias("k"),
+        "vtime",
+    )

@@ -725,3 +725,56 @@ def test_dedup_normalized_exact_one_shuffle_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_cdc_schema_evolution_parse_once_two_exchanges(spark):
+    """The widened-schema feed parses ONCE behind the checkpoint
+    barrier (ExistingRDD, no duplicated JSON chain, no FileScan in
+    the final plan); after it: exactly the compaction exchange on the
+    upsert key and the per-schema agg exchange."""
+    import re
+
+    df = QUERIES["cdc_schema_evolution"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+def test_dedup_edit_distance_blocked_join_no_cartesian(spark):
+    """Candidate generation is an equi-join on the blocking key —
+    never a cartesian/nested-loop pair fan-out; the Levenshtein runs
+    THRESHOLDED (banded O(k*n), the 3-arg form); the capped-keyed
+    table materializes once (checkpoint) and feeds both join sides."""
+    df = QUERIES["dedup_edit_distance"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan and "Some(4)" in plan, plan
+    assert "FileScan" not in plan and "Scan ExistingRDD" in plan, plan
+
+
+def test_quality_quantile_calibration_shared_window_exchange(spark):
+    """Per-source rank and per-source count share ONE hash exchange
+    on source (both windows partition identically); the scan reads
+    only the three referenced columns."""
+    df = QUERIES["quality_quantile_calibration"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    for cols in scan_columns(df):
+        assert set(cols) <= {"doc_id", "text", "source"}
+
+
+def test_mixture_interleave_schedule_takeordered_broadcast(spark):
+    """The schedule head is TakeOrdered (never a materialized global
+    sort of the corpus); the per-source weights broadcast back; the
+    position numbering rides the take's single output partition with
+    NO additional exchange."""
+    import re
+
+    df = QUERIES["mixture_interleave_schedule"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
