@@ -11,6 +11,7 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog imp
     count_live_by,
     agg_live_by,
     changelog_diff,
+    resolve_unavailable,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "count_live_by",
     "agg_live_by",
     "changelog_diff",
+    "resolve_unavailable",
 ]

@@ -168,3 +168,67 @@ def scd2_history(
         .withColumn(valid_to_col, nxt)
         .withColumn(current_col, nxt.isNull())
     )
+
+
+def resolve_unavailable(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    value_cols: list[str],
+    unavailable_col: str = "unavailable",
+) -> DataFrame:
+    """Resolve TOAST-unavailable column values by carrying the last
+    AVAILABLE value forward within each key's change history.
+
+    Postgres does not ship an out-of-line (TOASTed) value on the WAL
+    when an UPDATE leaves it unchanged — pgoutput marks the column
+    'u' instead (the decoder surfaces those names in the envelope's
+    ``unavailable`` list). Without resolution, materializing such a
+    stream overwrites the stored value with NULL: update any OTHER
+    column of a row holding a 100 KB text and the text silently
+    vanishes from the live table. (Debezium ships the same hazard to
+    its consumers as ``unavailable.value.placeholder``; this operator
+    is the consumer-side fix, done once, inside the engine.)
+
+    Semantics per value column c, per key, in ``seq_cols`` order:
+    - row does NOT list c as unavailable → keep the row's own value
+      (including a real NULL — NULLing a TOAST column is a genuine
+      state change and must win);
+    - row lists c → take the most recent prior value from a row that
+      did not list it (INSERT/snapshot rows never list columns, so a
+      key's history always starts available; a stream consumed
+      WITHOUT a snapshot can start on an unavailable row, which
+      resolves to NULL — the value genuinely never appeared on the
+      wire).
+
+    The real-NULL-vs-carry distinction is why this is NOT
+    ``last(c, ignorenulls=True)``: each value is wrapped in a 1-field
+    struct that is NULL only when the row marks the column
+    unavailable, so ``last(_, ignorenulls=True)`` skips exactly the
+    unavailable rows and nothing else.
+
+    Run BEFORE ``compact_latest`` (compaction keeps one row per key —
+    the carry-forward needs the history). Scale shape: all value
+    columns resolve in ONE window over ONE exchange on the key — the
+    same partitioning compaction needs next, so AQE/ENSURE_REQUIREMENTS
+    reuses it; nothing here adds a second shuffle to the pipeline.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(s).asc() for s in seq_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in value_cols:
+        marked = F.when(
+            ~F.coalesce(
+                F.array_contains(F.col(unavailable_col), F.lit(c)), F.lit(False)
+            ),
+            F.struct(F.col(c).alias("v")),
+        )
+        out = out.withColumn(c, F.last(marked, ignorenulls=True).over(w).getField("v"))
+    # markers are consumed: every listed column now holds a
+    # materialized value, and a cleared list is what lets resolved
+    # rows seed the NEXT resolution when state tables round-trip
+    # through this operator incrementally
+    return out.withColumn(unavailable_col, F.lit(None).cast("array<string>"))

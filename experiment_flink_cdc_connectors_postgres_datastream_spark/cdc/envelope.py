@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 #: Debezium `source` block (StreamingJob.java:84-87 dumps).
 SOURCE_SCHEMA = StructType(
@@ -46,7 +46,15 @@ OPS = ("r", "c", "u", "d")
 
 
 def envelope_schema(row_schema: StructType) -> StructType:
-    """Full Debezium envelope for a table with the given row schema."""
+    """Full Debezium envelope for a table with the given row schema.
+
+    ``unavailable`` lists the after-image columns whose values were
+    NOT on the wire (pgoutput's unchanged-TOAST tuple kind 'u' — the
+    column is out-of-line and the UPDATE did not rewrite it). Most
+    envelopes omit the key entirely (``from_json`` then yields NULL);
+    consumers that materialize state must treat a listed column as
+    "keep the prior value", not as NULL — see
+    ``changelog.resolve_unavailable``."""
     return StructType(
         [
             StructField("before", row_schema),
@@ -54,6 +62,7 @@ def envelope_schema(row_schema: StructType) -> StructType:
             StructField("source", SOURCE_SCHEMA),
             StructField("op", StringType()),
             StructField("ts_ms", LongType()),
+            StructField("unavailable", ArrayType(StringType())),
         ]
     )
 
@@ -75,6 +84,7 @@ def parse_cdc(df: DataFrame, row_schema: StructType, value_col: str = "value") -
         F.col("_env.source").alias("source"),
         F.col("_env.op").alias("op"),
         F.col("_env.ts_ms").alias("ts_ms"),
+        F.col("_env.unavailable").alias("unavailable"),
     )
 
 
@@ -86,7 +96,9 @@ def with_key(df: DataFrame, *parts: str | Column, key_col: str = "key", sep: str
     return df.withColumn(key_col, F.concat_ws(sep, *[c.cast("string") for c in cols]))
 
 
-def project_flat(df: DataFrame, table: str, fields: list[str]) -> DataFrame:
+def project_flat(
+    df: DataFrame, table: str, fields: list[str], keep_unavailable: bool = False
+) -> DataFrame:
     """Typed flat event for one table: keep ``op``, ``schema``,
     ``table`` and the requested ``after.*`` fields; on deletes
     (``after`` is null) fall back to ``before.*`` so the key columns
@@ -95,8 +107,13 @@ def project_flat(df: DataFrame, table: str, fields: list[str]) -> DataFrame:
     Mirrors the per-table case branches of the custom deserializer
     (StreamingJobWithCustomDeserializer.java:247-264): unmatched
     tables are dropped (implicit filter — no default branch).
-    """
+
+    ``keep_unavailable=True`` carries the envelope's TOAST
+    ``unavailable`` column-name list through — required input for
+    ``changelog.resolve_unavailable`` when the table has columns
+    large enough to be TOASTed."""
     row = F.when(F.col("after").isNotNull(), F.col("after")).otherwise(F.col("before"))
+    extra = [F.col("unavailable")] if keep_unavailable else []
     return df.filter(F.col("source.table") == F.lit(table)).select(
         F.col("op"),
         F.col("source.schema").alias("schema"),
@@ -104,6 +121,7 @@ def project_flat(df: DataFrame, table: str, fields: list[str]) -> DataFrame:
         F.col("ts_ms"),
         F.col("source.lsn").alias("lsn"),
         *[row.getField(f).alias(f) for f in fields],
+        *extra,
     )
 
 

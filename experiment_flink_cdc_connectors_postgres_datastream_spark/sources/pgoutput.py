@@ -172,8 +172,16 @@ class PgOutputDecoder:
             name, type_oid = rel["cols"][i]
             if kind == b"n":          # SQL NULL
                 out.append({"name": name, "value": None})
-            elif kind == b"u":        # unchanged TOAST value (not sent)
-                continue
+            elif kind == b"u":
+                # unchanged TOAST value: the server does NOT send the
+                # bytes (the column is out-of-line and the UPDATE did
+                # not touch it). Dropping the column here silently
+                # turned such updates into NULL overwrites downstream
+                # — the classic CDC TOAST trap. Mark it instead; the
+                # envelope translation surfaces the marked names so
+                # consumers can carry the last available value
+                # forward (cdc.changelog.resolve_unavailable).
+                out.append({"name": name, "value": None, "unavailable": True})
             elif kind == b"t":        # text-mode value
                 raw = r.take(r.u32()).decode("utf-8")
                 out.append({"name": name, "value": _convert(raw, type_oid)})

@@ -223,6 +223,15 @@ def wal2json_to_envelope(change: dict[str, Any], database: str) -> str | None:
 
     after = row_of(change.get("columns"))
     before = row_of(change.get("identity"))
+    # TOAST-unchanged columns (pgoutput tuple kind 'u'): the value is
+    # NOT on the wire, only the fact that it is unchanged. Surface the
+    # column names so consumers can distinguish "unavailable" from a
+    # real NULL and carry the prior value forward
+    # (cdc.changelog.resolve_unavailable). Omitted when empty — the
+    # wire bytes of ordinary changes are unchanged.
+    unavailable = [
+        c["name"] for c in (change.get("columns") or []) if c.get("unavailable")
+    ]
     ts_ms = change.get("timestamp_ms", 0)
     lsn = change.get("lsn_int", 0)
     envelope = {
@@ -242,6 +251,8 @@ def wal2json_to_envelope(change: dict[str, Any], database: str) -> str | None:
         "op": ops[action],
         "ts_ms": ts_ms,
     }
+    if unavailable:
+        envelope["unavailable"] = unavailable
     return json.dumps(envelope)
 
 

@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
-from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import DELETE_OP, compact_latest
+from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import (
+    DELETE_OP,
+    compact_latest,
+    resolve_unavailable,
+)
 from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import BUCKET_COL, GenerationalStateStore
 
 
@@ -43,13 +47,34 @@ def merge_latest(
     prev: tuple | None,
     cols: list[str],
     seq_cols: list[str],
+    unavailable_col: str | None = None,
 ) -> pd.Series:
     """Latest-row merge shared by both stateful backends: restored
     state (if any) sorts FIRST under a stable sort, so an equal seq
-    from the new batch wins (arrival order within a batch)."""
+    from the new batch wins (arrival order within a batch).
+
+    ``unavailable_col`` names the envelope's TOAST column-name list
+    (see ``cdc.changelog.resolve_unavailable``): a row listing a
+    column there did NOT carry that value on the wire, so the merge
+    folds forward in seq order, filling each marked column from the
+    previous resolved row. The returned winner is fully resolved and
+    its marker list cleared — state then always stores materialized
+    values, which is exactly what makes the carry work ACROSS
+    micro-batches (the restored state row is the fold's seed)."""
     if prev is not None:
         batch = pd.concat([pd.DataFrame([prev], columns=cols), batch], ignore_index=True)
-    return batch.sort_values(seq_cols, kind="mergesort").iloc[-1]
+    batch = batch.sort_values(seq_cols, kind="mergesort")
+    if unavailable_col is None or unavailable_col not in batch.columns:
+        return batch.iloc[-1]
+    rows = batch.to_dict("records")
+    prev_row: dict | None = None
+    for r in rows:
+        ua = r.get(unavailable_col)
+        for name in list(ua) if ua is not None else []:
+            r[name] = prev_row[name] if prev_row is not None else None
+        r[unavailable_col] = None
+        prev_row = r
+    return pd.Series([rows[-1][c] for c in cols], index=cols)
 
 
 def stream_compact_latest(
@@ -57,6 +82,7 @@ def stream_compact_latest(
     key_cols: list[str],
     seq_cols: list[str],
     op_col: str | None = None,
+    unavailable_col: str | None = None,
 ) -> DataFrame:
     """Continuous latest-per-key compaction over a CDC stream.
 
@@ -65,6 +91,12 @@ def stream_compact_latest(
     Tombstones: when the latest event for a key has op 'd', the key's
     row is emitted with ``_live = false`` so downstream can retract;
     live rows carry ``_live = true``.
+
+    ``unavailable_col``: pass the envelope's TOAST marker list column
+    when the table has TOAST-able columns — marked columns resolve
+    from per-key state instead of overwriting with NULL (see
+    ``merge_latest``); state stores resolved rows, so the carry holds
+    across micro-batches and restarts.
     """
     out_schema = StructType.fromJson(df.schema.jsonValue())
     out_schema = out_schema.add("_live", "boolean")
@@ -73,7 +105,13 @@ def stream_compact_latest(
 
     def update(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         batch = pd.concat(list(pdfs), ignore_index=True)
-        latest = merge_latest(batch, tuple(state.get) if state.exists else None, cols, seq_cols)
+        latest = merge_latest(
+            batch,
+            tuple(state.get) if state.exists else None,
+            cols,
+            seq_cols,
+            unavailable_col=unavailable_col,
+        )
         state.update(tuple(latest[c] for c in cols))
         out = pd.DataFrame([tuple(latest[c] for c in cols)], columns=cols)
         out["_live"] = bool(op_col is None or latest[op_col] != DELETE_OP)
@@ -101,6 +139,7 @@ def run_compacted_aggregate(
     checkpoint_dir: str | None = None,
     query_name: str = "compacted_aggregate",
     n_buckets: int = 64,
+    unavailable_col: str | None = None,
 ):
     """The reference's full stage-2 (upsert table → GROUP BY count →
     JDBC upsert, StreamingJobWithCustomDeserializer.java:156-194) as a
@@ -130,6 +169,19 @@ def run_compacted_aggregate(
         scope = None if full_compaction else touched
         prev = store.read(buckets=scope)
         merged = batch if prev is None else prev.unionByName(batch)
+        if unavailable_col is not None and unavailable_col in merged.columns:
+            # TOAST resolution over state ∪ batch: committed state
+            # rows are already resolved (markers cleared below), so
+            # they seed the per-key carry-forward for this batch's
+            # marked columns — cross-batch semantics without keeping
+            # history
+            reserved = set(key_cols) | set(seq_cols) | {unavailable_col, BUCKET_COL}
+            if op_col is not None:
+                reserved.add(op_col)
+            value_cols = [c for c in merged.columns if c not in reserved]
+            merged = resolve_unavailable(
+                merged, key_cols, seq_cols, value_cols, unavailable_col
+            )
         compacted = compact_latest(merged, key_cols, seq_cols, op_col=op_col, drop_deletes=False)
         store.commit(
             compacted,

@@ -184,3 +184,102 @@ def test_agg_live_by_retracts_superseded_values(spark):
         ).collect()
     }
     assert got == {"a": (1, 2.0, 2.0, 2.0), "b": (1, 7.0, 7.0, 7.0)}
+
+
+def test_resolve_unavailable_carries_toast_values_forward(spark):
+    """TOAST semantics end to end at the operator level: an UPDATE
+    whose envelope lists a column as unavailable keeps the prior
+    value; a REAL null update still wins; a key whose history starts
+    unavailable (slot-only consumption) resolves to NULL."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import resolve_unavailable
+
+    rows = [
+        # key 1: insert big value, unrelated update (toast 'u'),
+        # real NULL overwrite, then another toast 'u'
+        (1, 1, "c", "BIG" * 3, None),
+        (1, 2, "u", None, ["body"]),
+        (1, 3, "u", None, None),
+        (1, 4, "u", None, ["body"]),
+        # key 2: history STARTS unavailable
+        (2, 1, "u", None, ["body"]),
+        # key 3: unaffected ordinary history
+        (3, 1, "c", "x", None),
+        (3, 2, "u", "y", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, lsn long, op string, body string, unavailable array<string>"
+    )
+    resolved = resolve_unavailable(df, ["id"], ["lsn"], ["body"])
+    got = {
+        (r["id"], r["lsn"]): r["body"]
+        for r in resolved.collect()
+    }
+    assert got[(1, 1)] == "BIGBIGBIG"
+    assert got[(1, 2)] == "BIGBIGBIG"   # carried forward
+    assert got[(1, 3)] is None          # real NULL wins
+    assert got[(1, 4)] is None          # carries the real NULL, not BIG
+    assert got[(2, 1)] is None          # nothing to carry
+    assert got[(3, 2)] == "y"
+
+    # compaction over the resolved history materializes correct state
+    live = compact_latest(resolved, ["id"], ["lsn"], op_col="op")
+    state = {r["id"]: r["body"] for r in live.collect()}
+    assert state == {1: None, 2: None, 3: "y"}
+
+
+def test_resolve_unavailable_through_envelope_parse(spark):
+    """Wire-level round trip: a pgoutput-decoded change with an
+    unchanged-TOAST column flows decoder -> envelope JSON ->
+    parse_cdc -> project_flat(keep_unavailable) -> resolve ->
+    compact, and the materialized row keeps the original value."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import resolve_unavailable
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import wal2json_to_envelope
+
+    big = "Z" * 64
+    changes = [
+        {
+            "action": "I",
+            "schema": "public",
+            "table": "docs",
+            "lsn_int": 10,
+            "timestamp_ms": 1,
+            "columns": [
+                {"name": "id", "value": 1},
+                {"name": "n", "value": 1},
+                {"name": "body", "value": big},
+            ],
+        },
+        {
+            "action": "U",
+            "schema": "public",
+            "table": "docs",
+            "lsn_int": 20,
+            "timestamp_ms": 2,
+            "columns": [
+                {"name": "id", "value": 1},
+                {"name": "n", "value": 2},
+                {"name": "body", "value": None, "unavailable": True},
+            ],
+        },
+    ]
+    payloads = [wal2json_to_envelope(c, "postgres") for c in changes]
+    assert "unavailable" in payloads[1] and _json.loads(payloads[1])["unavailable"] == ["body"]
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("n", LongType()),
+            StructField("body", StringType()),
+        ]
+    )
+    df = spark.createDataFrame([(p,) for p in payloads], "value string")
+    flat = project_flat(
+        parse_cdc(df, schema), "docs", ["id", "n", "body"], keep_unavailable=True
+    )
+    resolved = resolve_unavailable(flat, ["id"], ["lsn"], ["body"])
+    live = compact_latest(resolved, ["id"], ["lsn"], op_col="op")
+    row = live.collect()[0]
+    assert row["n"] == 2 and row["body"] == big

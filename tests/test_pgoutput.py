@@ -135,13 +135,19 @@ def test_null_and_unchanged_toast_values():
     d = PgOutputDecoder()
     d.decode(0, msg_begin(xid=1, ts_unix_ms=0))
     d.decode(0, msg_relation(7, "s", "t", [("a", 23), ("b", 25), ("c", 25)]))
-    # column b carries an unchanged TOAST marker ('u'): not re-sent
+    # column b carries an unchanged TOAST marker ('u'): not re-sent —
+    # surfaced as an explicitly MARKED null (dropping it silently read
+    # as "column gone" downstream and nulled materialized state)
     buf = b"I" + struct.pack(">I", 7) + b"N" + struct.pack(">H", 3)
     buf += b"t" + struct.pack(">I", 1) + b"5"
     buf += b"u"
     buf += b"n"
     rec = d.decode(5, buf)
-    assert rec["columns"] == [{"name": "a", "value": 5}, {"name": "c", "value": None}]
+    assert rec["columns"] == [
+        {"name": "a", "value": 5},
+        {"name": "b", "value": None, "unavailable": True},
+        {"name": "c", "value": None},
+    ]
 
 
 def test_type_conversion_families():
@@ -182,3 +188,61 @@ def test_config_parses_publication_and_plugin():
         {"plugin_name": "pgoutput", "publication_names": "my_pub"}
     )
     assert cfg.plugin_name == "pgoutput" and cfg.publication_names == "my_pub"
+
+
+def test_unchanged_toast_marked_and_enveloped():
+    """pgoutput tuple kind 'u' (unchanged TOAST value, bytes not on
+    the wire) must NOT silently vanish: the decoder marks the column,
+    the envelope lists it under `unavailable`, and the after-image
+    carries NULL (distinguishable from a real NULL precisely via the
+    list)."""
+
+    def _tuple_with_u(values):
+        out = struct.pack(">H", len(values))
+        for v in values:
+            if v == "__U__":
+                out += b"u"
+            elif v is None:
+                out += b"n"
+            else:
+                raw = v.encode()
+                out += b"t" + struct.pack(">I", len(raw)) + raw
+        return out
+
+    upd = (
+        b"U"
+        + struct.pack(">I", USERS_OID)
+        + b"K"
+        + _tuple_with_u(["7", None])
+        + b"N"
+        + _tuple_with_u(["7", "__U__"])
+    )
+    recs = _decode_stream(
+        [
+            (0, msg_begin(9, 1_700_000_000_000)),
+            (0, msg_relation(USERS_OID, "public", "users", USERS_COLS)),
+            (105, upd),
+            (0, msg_commit(106, 1_700_000_000_000)),
+        ]
+    )
+    assert len(recs) == 1
+    cols = {c["name"]: c for c in recs[0]["columns"]}
+    assert cols["full_name"]["value"] is None
+    assert cols["full_name"].get("unavailable") is True
+    assert "unavailable" not in cols["id"]
+
+    env = json.loads(wal2json_to_envelope(recs[0], "postgres"))
+    assert env["unavailable"] == ["full_name"]
+    assert env["after"]["full_name"] is None
+    assert env["after"]["id"] == 7
+
+    # ordinary changes keep their old wire bytes: no unavailable key
+    ins = _decode_stream(
+        [
+            (0, msg_begin(10, 1_700_000_000_000)),
+            (0, msg_relation(USERS_OID, "public", "users", USERS_COLS)),
+            (107, msg_insert(USERS_OID, ["8", "bob"])),
+        ]
+    )
+    env2 = json.loads(wal2json_to_envelope(ins[0], "postgres"))
+    assert "unavailable" not in env2

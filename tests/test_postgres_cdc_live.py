@@ -1279,3 +1279,77 @@ def test_wal_batch_split_live(scratch):
     ids = sorted(json.loads(v)["after"]["id"] for v, _l, _t in rows)
     assert ids == list(range(10, 20))  # exactly once across the seams
     r.commit(end2)
+
+
+def test_toast_unchanged_value_resolution_live(scratch, spark):
+    """The TOAST trap, against a real server: a text value big enough
+    to be stored out of line (STORAGE EXTERNAL, > 2 KB) is NOT re-sent
+    on the WAL when an UPDATE touches only another column — pgoutput
+    marks it 'u'. Before round 9 the decoder dropped the column and a
+    materializing consumer overwrote the stored 100 KB value with
+    NULL. Now: the envelope lists the column under `unavailable`, and
+    resolve_unavailable carries the last available value forward — the
+    compacted table must match SELECT * from the live table exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import (
+        compact_latest,
+        parse_cdc,
+        project_flat,
+        resolve_unavailable,
+    )
+
+    cur = scratch["cur"]
+    sch = scratch["schema"]
+    cur.execute(
+        f'CREATE TABLE "{sch}".docs (id integer PRIMARY KEY, n integer, body text)'
+    )
+    # EXTERNAL = out-of-line, uncompressed: guarantees TOAST for >2KB
+    cur.execute(f'ALTER TABLE "{sch}".docs ALTER COLUMN body SET STORAGE EXTERNAL')
+    _setup_plugin(scratch, "pgoutput")
+    try:
+        cur.execute(f'ALTER PUBLICATION "{scratch["pub"]}" ADD TABLE "{sch}".docs')
+    except Exception:
+        pass  # already covered by FOR TABLES IN SCHEMA
+
+    cfg = _config(scratch, plugin="pgoutput")
+    reader = PostgresCDCStreamReader(cfg)
+    envs, end = _drain(reader, reader.initialOffset())
+    reader.commit(end)
+
+    big = "deadbeefcafe0123" * 512  # 8 KB, incompressible enough either way
+    cur.execute(f'INSERT INTO "{sch}".docs VALUES (1, 1, %s)' % f"'{big}'")
+    cur.execute(f'UPDATE "{sch}".docs SET n = 2 WHERE id = 1')
+
+    envs, end2 = _drain(reader, end)
+    reader.commit(end2)
+    docs = [e for e in envs if e["source"]["table"] == "docs"]
+    assert [e["op"] for e in docs] == ["c", "u"]
+    assert docs[0]["after"]["body"] == big
+    # the update did NOT ship the unchanged 8KB value — and said so
+    assert docs[1]["after"]["n"] == 2
+    assert docs[1]["after"]["body"] is None
+    assert docs[1]["unavailable"] == ["body"]
+
+    # consumer side: parse -> project(keep_unavailable) -> resolve ->
+    # compact must reproduce the live table
+    row_schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("n", IntegerType()),
+            StructField("body", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(json.dumps(e), e["source"]["lsn"]) for e in docs], "value string, lsn long"
+    )
+    flat = project_flat(
+        parse_cdc(df, row_schema), "docs", ["id", "n", "body"], keep_unavailable=True
+    ).withColumn("seq", F.col("lsn"))
+    resolved = resolve_unavailable(flat, ["id"], ["seq"], ["body"])
+    live = compact_latest(resolved, ["id"], ["seq"], op_col="op")
+    got = live.select("id", "n", "body").collect()[0]
+    cur.execute(f'SELECT id, n, body FROM "{sch}".docs')
+    want = cur.fetchall()[0]
+    assert (got["id"], got["n"], got["body"]) == tuple(want)

@@ -539,3 +539,126 @@ def test_incremental_dedup_compaction(spark, tmp_path):
     sigs_final, pairs_final = snapshot()
     assert sigs_final == [1, 2, 3, 4, 5, 6]
     assert pairs_final == pairs_after
+
+
+@pytest.fixture()
+def toast_cdc_dir(tmp_path):
+    """TOAST scenario across TWO micro-batches: insert with a big
+    value, then (in a later batch) an update whose envelope marks the
+    value unavailable — the carry must cross the batch boundary via
+    state."""
+    import json as _json
+
+    def env(op, lsn, row, unavailable=None):
+        e = {
+            "before": None,
+            "after": row,
+            "source": {
+                "version": "t",
+                "connector": "postgresql",
+                "name": "t",
+                "ts_ms": lsn,
+                "db": "d",
+                "schema": "s1",
+                "table": "docs",
+                "txId": lsn,
+                "lsn": lsn,
+            },
+            "op": op,
+            "ts_ms": lsn,
+        }
+        if unavailable:
+            e["unavailable"] = unavailable
+        return _json.dumps(e)
+
+    d = tmp_path / "toast_cdc"
+    d.mkdir()
+    big = "B" * 100
+    (d / "part1.json").write_text(
+        env("c", 1, {"id": 1, "n": 1, "body": big})
+        + "\n"
+        + env("c", 2, {"id": 2, "n": 1, "body": "small"})
+        + "\n"
+    )
+    (d / "part2.json").write_text(
+        env("u", 3, {"id": 1, "n": 2, "body": None}, unavailable=["body"])
+        + "\n"
+        + env("u", 4, {"id": 2, "n": 2, "body": None})  # REAL null overwrite
+        + "\n"
+    )
+    # the file source orders batches by modification time; equal
+    # mtimes make batch order (and this test) nondeterministic
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(d / "part1.json", (now - 60, now - 60))
+    _os.utime(d / "part2.json", (now, now))
+    return str(d), big
+
+
+def _toast_flat(spark, path):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("n", IntegerType()),
+            StructField("body", StringType()),
+        ]
+    )
+    stream = read_cdc_file_stream(spark, path, max_files_per_trigger=1)
+    return project_flat(
+        parse_cdc(stream, schema), "docs", ["id", "n", "body"], keep_unavailable=True
+    )
+
+
+def test_stream_compact_latest_resolves_toast_across_batches(spark, toast_cdc_dir):
+    path, big = toast_cdc_dir
+    flat = _toast_flat(spark, path)
+    compacted = stream_compact_latest(
+        flat, ["id"], ["ts_ms", "lsn"], op_col="op", unavailable_col="unavailable"
+    )
+    q = (
+        compacted.writeStream.format("memory")
+        .queryName("toast_mem")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for r in spark.sql("SELECT * FROM toast_mem ORDER BY lsn").collect():
+        final[r["id"]] = (r["n"], r["body"])
+    # id 1: update marked body unavailable -> carried from batch-1 state
+    assert final[1] == (2, big)
+    # id 2: REAL null update must still win (not resurrected)
+    assert final[2] == (2, None)
+
+
+def test_compacted_aggregate_resolves_toast_across_batches(spark, toast_cdc_dir, tmp_path):
+    path, big = toast_cdc_dir
+    flat = _toast_flat(spark, path)
+
+    q = run_compacted_aggregate(
+        flat,
+        state_dir=str(tmp_path / "state"),
+        key_cols=["id"],
+        seq_cols=["ts_ms", "lsn"],
+        group_cols=["id"],
+        op_col="op",
+        query_name="toast_agg",
+        unavailable_col="unavailable",
+    )
+    q.processAllAvailable()
+    q.stop()
+    # the materialized state table is the thing under test
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import GenerationalStateStore
+
+    store = GenerationalStateStore(
+        spark, str(tmp_path / "state" / "state"), ["id"], n_buckets=64
+    )
+    live = store.read()
+    state = {r["id"]: (r["n"], r["body"]) for r in live.collect()}
+    assert state[1] == (2, big)
+    assert state[2] == (2, None)
