@@ -921,7 +921,22 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
                 ):
                     self._snapshot_done = True
                     self._last_lsn = max(self._last_lsn, 1)
-                return {"phase": "snapshot", "table": new_pos[0], "key": new_pos[1]}
+                if chunks or not self._snapshot_done:
+                    return {"phase": "snapshot", "table": new_pos[0], "key": new_pos[1]}
+                # Snapshot just completed with NOTHING left to emit —
+                # fall through to wal planning in THIS call instead of
+                # returning the snapshot-end offset. A reader restarted
+                # exactly at snapshot completion would otherwise return
+                # an offset equal to the last committed one, which
+                # availableNow / processAllAvailable reads as "caught
+                # up": the stream stops with the whole tail one trigger
+                # away (observed at sf0.001, where the pre-stop
+                # incarnation finishes the 2-batch snapshot and the
+                # resumed one stranded the tail). Falling through only
+                # when chunks is empty preserves the "latestOffset
+                # never jumps MID-snapshot → wal" partition invariant:
+                # a snapshot→wal span can exist only with zero
+                # unsnapshotted rows behind it.
         # Grow the peek window until it yields at least one
         # TRANSLATABLE row or the slot is exhausted. Covering
         # `_last_lsn` alone is not enough: the window must also grow

@@ -778,3 +778,28 @@ def test_mixture_interleave_schedule_takeordered_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+def test_resolve_unavailable_shares_compaction_exchange(spark):
+    """TOAST resolution must not add a shuffle: the carry-forward
+    window partitions by the SAME upsert key the downstream
+    compaction aggregates on, so the whole resolve->compact pipeline
+    is one hash exchange."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import compact_latest, resolve_unavailable
+
+    df = spark.createDataFrame(
+        [(1, 1, "c", "x", None)],
+        "id long, lsn long, op string, body string, unavailable array<string>",
+    )
+    out = compact_latest(
+        resolve_unavailable(df, ["id"], ["lsn"], ["body"]),
+        ["id"],
+        ["lsn"],
+        op_col="op",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan

@@ -870,3 +870,24 @@ def test_planning_grows_past_filtered_record_runs():
     envs = [json.loads(v) for v, _l, _t in rows]
     assert any(e["op"] == "c" and e["after"] == {"id": 42} for e in envs)
     assert all(e["source"]["table"] != "_spark_cdc_snapshot_progress" for e in envs)
+
+
+def test_restart_at_snapshot_completion_plans_tail_immediately():
+    """Restart landing EXACTLY at snapshot completion (round-9 find,
+    caught by the sf0.001 full-registry sweep): the resumed reader's
+    first latestOffset used to return the snapshot-end offset — equal
+    to the last committed one — which availableNow /
+    processAllAvailable reads as "caught up", stranding the whole WAL
+    tail one trigger away. Snapshot-done planning with zero remaining
+    chunks must fall through to wal planning in the SAME call."""
+    client = FakeClient()
+    r1 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    snap = r1.latestOffset()
+    assert snap["phase"] == "snapshot"
+    r1.commit(snap)                 # snapshot fully committed; crash here
+    r2 = PostgresCDCStreamReader(PostgresCDCConfig(), client=client)
+    off = r2.latestOffset()
+    assert off["phase"] == "wal" and off["lsn"] > 1, off
+    rows = [r for p in r2.partitions(snap, off) for r in r2.read(p)]
+    envs = [json.loads(v) for v, _, _ in rows]
+    assert [e["op"] for e in envs] == ["c"]   # first tail change served

@@ -54,8 +54,22 @@ def normalize(v):
 
 
 #: oracle output types every engine/version renders identically; see
-#: the module docstring (--strict-types).
-PORTABLE_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE"}
+#: the module docstring (--strict-types). Fixed-width exact integers
+#: (TINYINT/SMALLINT/INTEGER/BIGINT) are all portable — the drift
+#: class this gate exists for is WIDE/VARIABLE types (HUGEINT,
+#: DECIMAL) that a type-sensitive renderer can print differently
+#: across DuckDB versions (the round-8 red row).
+PORTABLE_TYPES = {
+    "TINYINT",
+    "SMALLINT",
+    "INTEGER",
+    "BIGINT",
+    "DOUBLE",
+    "VARCHAR",
+    "BOOLEAN",
+    "TIMESTAMP",
+    "DATE",
+}
 
 
 def main() -> int:
