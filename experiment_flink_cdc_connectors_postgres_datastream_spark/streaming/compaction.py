@@ -211,6 +211,7 @@ def stream_compact_latest_tws(
     key_cols: list[str],
     seq_cols: list[str],
     op_col: str | None = None,
+    unavailable_col: str | None = None,
 ) -> DataFrame:
     """:func:`stream_compact_latest` on the Spark 4 ``StatefulProcessor``
     API (``transformWithStateInPandas``) — the forward path for custom
@@ -251,7 +252,9 @@ def stream_compact_latest_tws(
                 if prev is not None and self._changes.exists()
                 else 0
             )
-            latest = merge_latest(batch, prev, cols, seq_cols)
+            latest = merge_latest(
+                batch, prev, cols, seq_cols, unavailable_col=unavailable_col
+            )
             self._latest.update(tuple(latest[c] for c in cols))
             self._changes.update((n_before + n_new,))
             out = pd.DataFrame([tuple(latest[c] for c in cols)], columns=cols)
