@@ -54,6 +54,14 @@ _PRIORITY = [
     "dedup_minhash_streamed",
     # compaction helper shared with the new resume twin
     "cdc_wal_tail",
+    # the snapshot-completion fall-through (the sf0.001 stall fix)
+    # touches the shared planner, and parse_cdc gained the TOAST
+    # `unavailable` column — every graded consumer of either path
+    # regrades (contract: changed code path since last grade)
+    "cdc_snapshot_chunked", "cdc_parse_envelope", "cdc_pipeline",
+    "cdc_pipeline_streamed", "cdc_live_count_stateful",
+    "cdc_two_table_join", "bus_roundtrip_streamed",
+    "bus_table_compact",
     # --- (2) new in round 9 ---
     # exactly-once tail restart under the value hash (VERDICT r8 #5),
     # its mid-snapshot twin, and the full snapshot->tail handoff with
@@ -79,18 +87,19 @@ _PRIORITY = [
     "boilerplate_removal", "unigram_kl_by_source", "ngram_novelty",
     "tumbling_window_late_streamed", "dedup_within_watermark_streamed",
     "mad_outliers", "winsorized_stats",
-    # --- (4) oldest round-5 rows, registration order (11 of 46; the
-    # displaced 35 lead the next-round rotation, named below —
-    # tpch_q16 stays IN because its oracle gained the BIGINT CAST
-    # this round and a changed oracle must regrade; tpch_q13/q15 are
-    # byte-unchanged and yield their slots to the two extra restart
-    # queries; tpch_q4/q7/q8/q9 likewise yield theirs to the four
-    # newest additions above) ---
-    "bus_wire_frames", "bus_roundtrip_pipeline", "cdc_scd2_history",
-    "scd2_as_of_state", "cdc_scd2_streamed", "tpch_q3", "tpch_q6",
-    "tpch_q10", "tpch_q14", "tpch_q5", "tpch_q16",
+    # --- (4) oldest round-5 rows, registration order (3 of 46; the
+    # displaced lead the next-round rotation, named below —
+    # bus_wire_frames / bus_roundtrip_pipeline stay IN because their
+    # code path (parse_cdc) changed, tpch_q16 because its oracle
+    # gained the BIGINT CAST; the byte-unchanged round-5 rows
+    # (tpch_q3/q5/q6/q10/q14, the SCD2 trio, tpch_q4/q7/q8/q9,
+    # tpch_q13/q15) yield their slots to the round-9 additions and
+    # the changed-path regrades above) ---
+    "bus_wire_frames", "bus_roundtrip_pipeline", "tpch_q16",
     # Still outside the window, all last green in round 5 and
     # unchanged since (next rotation's front of the line):
+    # cdc_scd2_history, scd2_as_of_state, cdc_scd2_streamed,
+    # tpch_q3, tpch_q5, tpch_q6, tpch_q10, tpch_q14,
     # tpch_q4, tpch_q7, tpch_q8, tpch_q9, tpch_q13, tpch_q15,
     # tpch_q17, tpch_q18, tpch_q19, tpch_q20, tpch_q21, tpch_q2,
     # tpch_q11, minhash_calibration, dup_rate_by_source_pair,
