@@ -1353,3 +1353,37 @@ def test_toast_unchanged_value_resolution_live(scratch, spark):
     cur.execute(f'SELECT id, n, body FROM "{sch}".docs')
     want = cur.fetchall()[0]
     assert (got["id"], got["n"], got["body"]) == tuple(want)
+
+
+def test_restart_at_snapshot_completion_plans_tail_live(scratch):
+    """The round-9 stall fix against a real server: drive ONLY the
+    snapshot phase to completion (committing every span — the durable
+    progress row now sits at the table's end, the slot never
+    advanced), crash, queue a change, and restart. The resumed
+    reader's FIRST latestOffset must come back in the wal phase and
+    serve the queued change — before the fix it returned the
+    snapshot-end offset (equal to the last committed one), which
+    availableNow / processAllAvailable reads as "caught up",
+    stranding the tail."""
+    _setup_plugin(scratch, "pgoutput")
+    cfg = _config(scratch, plugin="pgoutput")
+    r1 = PostgresCDCStreamReader(cfg)
+    cur_off = r1.initialOffset()
+    while True:
+        off = r1.latestOffset()
+        if off.get("phase") != "snapshot":
+            break  # snapshot complete; deliberately do NOT commit wal
+        list(r for p in r1.partitions(cur_off, off) for r in r1.read(p))
+        r1.commit(off)
+        cur_off = off
+
+    cur = scratch["cur"]
+    cur.execute(f'INSERT INTO "{scratch["schema"]}".users VALUES (42, \'late arrival\')')
+
+    r2 = PostgresCDCStreamReader(cfg)
+    off2 = r2.latestOffset()
+    assert off2.get("phase") == "wal" and off2.get("lsn", 0) > 1, off2
+    rows = [r for p in r2.partitions(cur_off, off2) for r in r2.read(p)]
+    envs = [json.loads(v) for v, _lsn, _ts in rows]
+    assert any(e["op"] == "c" and e["after"]["id"] == 42 for e in envs)
+    r2.commit(off2)
