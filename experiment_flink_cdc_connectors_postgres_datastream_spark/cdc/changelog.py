@@ -158,6 +158,11 @@ def scd2_history(
     `compact_latest`'s sort-free ``max_by``). At 100 TB this
     partitions by key exactly like the compaction, so the two can
     share a co-partitioned exchange.
+
+    TOAST-able source tables: run ``resolve_unavailable`` FIRST —
+    an envelope that marks a column TOAST-unavailable would otherwise
+    write a NULL into that history version. The resolution window
+    partitions by the same key, so it shares this exchange too.
     """
     w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
         *[F.col(s) for s in seq_cols]
