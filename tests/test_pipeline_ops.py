@@ -480,3 +480,48 @@ def test_recency_decay_halves_per_week(spark, tmp_path):
     assert out["a"]["replay_weight_sum"] == 1_000_000 + 500_000
     assert out["b"]["replay_weight_sum"] == 250_000 + 0
     assert out["a"]["n_events"] == 2 and out["b"]["n_events"] == 2
+
+
+def test_isqrt_micro_sql_exact_on_both_engines(spark):
+    """The ±3-window integer-sqrt correction (`_isqrt_micro_sql`) must
+    equal math.isqrt(n·10¹²) exactly — brute-forced over adversarial
+    token counts (perfect squares of the micro grid, off-by-one
+    neighbors, primes, and values where floor(float-sqrt) rounds the
+    wrong way) on BOTH engines."""
+    import math
+
+    import duckdb
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.pipeline_ops import _isqrt_micro_sql
+
+    # adversarial n: perfect squares in micro units land exactly on
+    # the grid; 4503599761588224 = (2**26 + 1)**2 / 4-ish float-error
+    # magnet; large primes; the float-sqrt double-rounding zone ~1e15
+    ns = [0, 1, 2, 3, 4, 999, 1000, 10**6, 10**6 + 1,
+          4503599761588223, 4503599761588224, 4503599761588225,
+          10**15 - 1, 10**15, 10**15 + 1, 2**52 + 1, 999999999999989]
+    want = {n: math.isqrt(n * 10**12) for n in ns}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(total_tokens BIGINT)")
+    con.executemany("INSERT INTO s VALUES (?)", [(n,) for n in ns])
+    duck = dict(
+        con.sql(
+            "WITH g AS (SELECT total_tokens, GREATEST(CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT) - 3, CAST(0 AS BIGINT)) AS base FROM s) "
+            f"SELECT total_tokens, CAST({_isqrt_micro_sql('HUGEINT')} AS BIGINT) FROM g"
+        ).fetchall()
+    )
+    assert duck == want
+
+    df = spark.createDataFrame([(n,) for n in ns], "total_tokens long")
+    g = df.selectExpr(
+        "total_tokens",
+        "GREATEST(CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT) - 3, CAST(0 AS BIGINT)) AS base",
+    )
+    got = {
+        r[0]: r[1]
+        for r in g.selectExpr(
+            "total_tokens", f"CAST({_isqrt_micro_sql('DECIMAL(38,0)')} AS BIGINT)"
+        ).collect()
+    }
+    assert got == want
