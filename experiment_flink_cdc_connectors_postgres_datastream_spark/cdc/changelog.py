@@ -181,6 +181,7 @@ def resolve_unavailable(
     seq_cols: list[str],
     value_cols: list[str],
     unavailable_col: str = "unavailable",
+    op_col: str | None = None,
 ) -> DataFrame:
     """Resolve TOAST-unavailable column values by carrying the last
     AVAILABLE value forward within each key's change history.
@@ -212,6 +213,20 @@ def resolve_unavailable(
     unavailable, so ``last(_, ignorenulls=True)`` skips exactly the
     unavailable rows and nothing else.
 
+    ``op_col``: delete tombstones carry real NULLs, so they must not
+    seed the carry (a marked update right after a delete would resolve
+    to NULL; unreachable on a real Postgres stream — the intervening
+    INSERT never marks columns — but guarded). When given, rows whose
+    op is ``DELETE_OP`` keep their own values and are skipped as carry
+    sources, mirroring ``streaming.compaction.merge_latest``.
+
+    Ordering: ``seq_cols`` must totally order each key's history —
+    rows that TIE on every seq column resolve in nondeterministic
+    order (a window has no stable-sort arrival order to fall back on,
+    unlike ``merge_latest``'s mergesort). Callers unioning restored
+    state with a batch append a state-first rank column
+    (``run_compacted_aggregate`` does).
+
     Run BEFORE ``compact_latest`` (compaction keeps one row per key —
     the carry-forward needs the history). Scale shape: all value
     columns resolve in ONE window over ONE exchange on the key — the
@@ -223,15 +238,23 @@ def resolve_unavailable(
         .orderBy(*[F.col(s).asc() for s in seq_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    can_seed = (
+        F.lit(True)
+        if op_col is None
+        else ~F.col(op_col).eqNullSafe(F.lit(DELETE_OP))
+    )
     out = df
     for c in value_cols:
-        marked = F.when(
-            ~F.coalesce(
-                F.array_contains(F.col(unavailable_col), F.lit(c)), F.lit(False)
-            ),
-            F.struct(F.col(c).alias("v")),
+        is_marked = F.coalesce(
+            F.array_contains(F.col(unavailable_col), F.lit(c)), F.lit(False)
         )
-        out = out.withColumn(c, F.last(marked, ignorenulls=True).over(w).getField("v"))
+        seed = F.when(~is_marked & can_seed, F.struct(F.col(c).alias("v")))
+        out = out.withColumn(
+            c,
+            F.when(
+                is_marked, F.last(seed, ignorenulls=True).over(w).getField("v")
+            ).otherwise(F.col(c)),
+        )
     # markers are consumed: every listed column now holds a
     # materialized value, and a cleared list is what lets resolved
     # rows seed the NEXT resolution when state tables round-trip

@@ -130,6 +130,12 @@ class PostgresCDCConfig:
     schema_list: list[str] = field(default_factory=lambda: ["public"])
     table_list: list[str] = field(default_factory=list)  # empty = all
     slot_name: str = "experiment_flink_cdc_connectors_postgres_datastream_spark_slot"
+    #: logical decoding plugin. 'pgoutput' (the reference's plugin,
+    #: docker-compose.yaml / SJCD:67, built into every Postgres) fully
+    #: supports TOAST unchanged-value detection via its 'u' tuple kind;
+    #: 'wal2json' detects it only on REPLICA IDENTITY FULL tables (see
+    #: wal2json_to_envelope) — prefer pgoutput when capturing tables
+    #: with TOAST-able (large text/bytea/jsonb) columns.
     plugin_name: str = "wal2json"
     publication_names: str = "experiment_flink_cdc_connectors_postgres_datastream_spark_pub"
     poll_batch_size: int = 1000
@@ -210,7 +216,20 @@ class PostgresCDCConfig:
 def wal2json_to_envelope(change: dict[str, Any], database: str) -> str | None:
     """Translate one wal2json (format-version 2) change record into a
     Debezium-style envelope JSON string. Returns None for records that
-    carry no row change (BEGIN/COMMIT/TRUNCATE/message)."""
+    carry no row change (BEGIN/COMMIT/TRUNCATE/message).
+
+    TOAST caveat: real wal2json output simply OMITS an unchanged
+    out-of-line (TOASTed) column from an UPDATE's new-tuple list —
+    there is no in-band marker like pgoutput's 'u' tuple kind. The
+    omission is only detectable when the old-tuple identity names the
+    full column set, i.e. the table has REPLICA IDENTITY FULL (the
+    reference provisions exactly that, setup_source_db1.sql:11,17):
+    columns present in ``identity`` but absent from ``columns`` are
+    unchanged-TOAST and get marked ``unavailable``. Under the default
+    (primary-key) replica identity the omission is invisible here and
+    a marked-column UPDATE materializes as NULL downstream — use
+    ``plugin_name='pgoutput'`` (the reference's own plugin) for
+    TOAST-able tables without FULL identity."""
     action = change.get("action")
     ops = {"I": "c", "U": "u", "D": "d"}
     if action not in ops:
@@ -223,15 +242,23 @@ def wal2json_to_envelope(change: dict[str, Any], database: str) -> str | None:
 
     after = row_of(change.get("columns"))
     before = row_of(change.get("identity"))
-    # TOAST-unchanged columns (pgoutput tuple kind 'u'): the value is
-    # NOT on the wire, only the fact that it is unchanged. Surface the
-    # column names so consumers can distinguish "unavailable" from a
-    # real NULL and carry the prior value forward
-    # (cdc.changelog.resolve_unavailable). Omitted when empty — the
-    # wire bytes of ordinary changes are unchanged.
+    # TOAST-unchanged columns: the value is NOT on the wire, only the
+    # fact that it is unchanged. Surface the column names so consumers
+    # can distinguish "unavailable" from a real NULL and carry the
+    # prior value forward (cdc.changelog.resolve_unavailable). Two
+    # detection paths: an explicit per-column flag (the shape the
+    # pgoutput decoder emits), and — wal2json's actual wire behavior —
+    # a column the UPDATE's new tuple omits while the REPLICA IDENTITY
+    # FULL old tuple still names it. Omitted when empty — the wire
+    # bytes of ordinary changes are unchanged.
     unavailable = [
         c["name"] for c in (change.get("columns") or []) if c.get("unavailable")
     ]
+    if action == "U" and after is not None and before is not None:
+        omitted = [n for n in before if n not in after]
+        unavailable += omitted
+        for n in omitted:  # same envelope shape as the pgoutput path
+            after[n] = None
     ts_ms = change.get("timestamp_ms", 0)
     lsn = change.get("lsn_int", 0)
     envelope = {

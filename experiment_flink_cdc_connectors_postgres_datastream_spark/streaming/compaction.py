@@ -48,6 +48,7 @@ def merge_latest(
     cols: list[str],
     seq_cols: list[str],
     unavailable_col: str | None = None,
+    op_col: str | None = None,
 ) -> pd.Series:
     """Latest-row merge shared by both stateful backends: restored
     state (if any) sorts FIRST under a stable sort, so an equal seq
@@ -60,7 +61,14 @@ def merge_latest(
     previous resolved row. The returned winner is fully resolved and
     its marker list cleared — state then always stores materialized
     values, which is exactly what makes the carry work ACROSS
-    micro-batches (the restored state row is the fold's seed)."""
+    micro-batches (the restored state row is the fold's seed).
+
+    ``op_col``: delete tombstones carry real NULLs in their value
+    columns, so they must not seed the carry — a marked update
+    following a delete would silently resolve to NULL. Unreachable on
+    a real Postgres stream (the INSERT that must intervene never marks
+    columns), but guarded: when ``op_col`` is given, rows whose op is
+    ``DELETE_OP`` keep the carry seed from the last non-delete row."""
     if prev is not None:
         batch = pd.concat([pd.DataFrame([prev], columns=cols), batch], ignore_index=True)
     batch = batch.sort_values(seq_cols, kind="mergesort")
@@ -73,7 +81,8 @@ def merge_latest(
         for name in list(ua) if ua is not None else []:
             r[name] = prev_row[name] if prev_row is not None else None
         r[unavailable_col] = None
-        prev_row = r
+        if op_col is None or r.get(op_col) != DELETE_OP:
+            prev_row = r
     return pd.Series([rows[-1][c] for c in cols], index=cols)
 
 
@@ -111,6 +120,7 @@ def stream_compact_latest(
             cols,
             seq_cols,
             unavailable_col=unavailable_col,
+            op_col=op_col,
         )
         state.update(tuple(latest[c] for c in cols))
         out = pd.DataFrame([tuple(latest[c] for c in cols)], columns=cols)
@@ -168,21 +178,33 @@ def run_compacted_aggregate(
         full_compaction = store.gen_count() >= store.max_generations
         scope = None if full_compaction else touched
         prev = store.read(buckets=scope)
-        merged = batch if prev is None else prev.unionByName(batch)
+        # `_src_rank` makes state-vs-batch seq ties deterministic
+        # (state first, so an equal seq from the new batch wins) —
+        # the SQL-path mirror of merge_latest's stable-sort contract.
+        # Ranks: restored state 0, batch 1.
+        batch = batch.withColumn("_src_rank", F.lit(1))
+        merged = (
+            batch
+            if prev is None
+            else prev.withColumn("_src_rank", F.lit(0)).unionByName(batch)
+        )
+        tie_seq = [*seq_cols, "_src_rank"]
         if unavailable_col is not None and unavailable_col in merged.columns:
             # TOAST resolution over state ∪ batch: committed state
             # rows are already resolved (markers cleared below), so
             # they seed the per-key carry-forward for this batch's
             # marked columns — cross-batch semantics without keeping
             # history
-            reserved = set(key_cols) | set(seq_cols) | {unavailable_col, BUCKET_COL}
+            reserved = set(key_cols) | set(seq_cols) | {unavailable_col, BUCKET_COL, "_src_rank"}
             if op_col is not None:
                 reserved.add(op_col)
             value_cols = [c for c in merged.columns if c not in reserved]
             merged = resolve_unavailable(
-                merged, key_cols, seq_cols, value_cols, unavailable_col
+                merged, key_cols, tie_seq, value_cols, unavailable_col, op_col=op_col
             )
-        compacted = compact_latest(merged, key_cols, seq_cols, op_col=op_col, drop_deletes=False)
+        compacted = compact_latest(
+            merged, key_cols, tie_seq, op_col=op_col, drop_deletes=False
+        ).drop("_src_rank")
         store.commit(
             compacted,
             list(range(store.n_buckets)) if full_compaction else touched,
@@ -253,7 +275,8 @@ def stream_compact_latest_tws(
                 else 0
             )
             latest = merge_latest(
-                batch, prev, cols, seq_cols, unavailable_col=unavailable_col
+                batch, prev, cols, seq_cols,
+                unavailable_col=unavailable_col, op_col=op_col,
             )
             self._latest.update(tuple(latest[c] for c in cols))
             self._changes.update((n_before + n_new,))

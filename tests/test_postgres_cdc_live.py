@@ -1319,7 +1319,7 @@ def test_toast_unchanged_value_resolution_live(scratch, spark):
     reader.commit(end)
 
     big = "deadbeefcafe0123" * 512  # 8 KB, incompressible enough either way
-    cur.execute(f'INSERT INTO "{sch}".docs VALUES (1, 1, %s)' % f"'{big}'")
+    cur.execute(f'INSERT INTO "{sch}".docs VALUES (1, 1, %s)', (big,))
     cur.execute(f'UPDATE "{sch}".docs SET n = 2 WHERE id = 1')
 
     envs, end2 = _drain(reader, end)
