@@ -227,6 +227,35 @@ def test_resolve_unavailable_carries_toast_values_forward(spark):
     assert state == {1: None, 2: None, 3: "y"}
 
 
+def test_resolve_unavailable_skips_delete_tombstones(spark):
+    """With op_col given, a delete tombstone neither seeds the carry
+    (its NULLs are absence, not history) nor loses its own NULLs; a
+    marked row right after a delete carries from the last live row."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import resolve_unavailable
+
+    rows = [
+        (1, 1, "c", "BIG", None),
+        (1, 2, "d", None, None),
+        (1, 3, "u", None, ["body"]),  # unreachable on real PG; guarded
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, lsn long, op string, body string, unavailable array<string>"
+    )
+    got = {
+        r["lsn"]: r["body"]
+        for r in resolve_unavailable(
+            df, ["id"], ["lsn"], ["body"], op_col="op"
+        ).collect()
+    }
+    assert got == {1: "BIG", 2: None, 3: "BIG"}
+    # without op_col the tombstone seeds (documented legacy shape)
+    got = {
+        r["lsn"]: r["body"]
+        for r in resolve_unavailable(df, ["id"], ["lsn"], ["body"]).collect()
+    }
+    assert got == {1: "BIG", 2: None, 3: None}
+
+
 def test_resolve_unavailable_through_envelope_parse(spark):
     """Wire-level round trip: a pgoutput-decoded change with an
     unchanged-TOAST column flows decoder -> envelope JSON ->

@@ -182,6 +182,52 @@ def test_wal2json_translation_skips_non_row_actions():
     assert env["source"]["lsn"] == 99
 
 
+def test_wal2json_update_marks_omitted_toast_columns():
+    """Real wal2json output OMITS an unchanged-TOAST column from the
+    new tuple (no in-band marker, unlike pgoutput's 'u' kind). Under
+    REPLICA IDENTITY FULL the old tuple still names it — the diff is
+    the unavailable list. PK-identity updates (identity ⊆ columns)
+    must stay markerless: their wire bytes are unchanged."""
+    env = json.loads(
+        wal2json_to_envelope(
+            {
+                "action": "U",
+                "schema": "s",
+                "table": "docs",
+                # new tuple omits `body` — unchanged TOAST
+                "columns": [{"name": "id", "value": 1}, {"name": "n", "value": 2}],
+                # REPLICA IDENTITY FULL old tuple has the full column set
+                "identity": [
+                    {"name": "id", "value": 1},
+                    {"name": "n", "value": 1},
+                    {"name": "body", "value": "BIG" * 100},
+                ],
+                "timestamp_ms": 5,
+                "lsn_int": 100,
+            },
+            "db",
+        )
+    )
+    assert env["unavailable"] == ["body"]
+    assert env["after"] == {"id": 1, "n": 2, "body": None}  # pgoutput envelope shape
+    # default (PK) replica identity: no omission detectable, no marker
+    env = json.loads(
+        wal2json_to_envelope(
+            {
+                "action": "U",
+                "schema": "s",
+                "table": "docs",
+                "columns": [{"name": "id", "value": 1}, {"name": "n", "value": 2}],
+                "identity": [{"name": "id", "value": 1}],
+                "timestamp_ms": 5,
+                "lsn_int": 101,
+            },
+            "db",
+        )
+    )
+    assert "unavailable" not in env
+
+
 def test_source_rows_flow_through_engine_pipeline(spark, reader):
     rows = _drain(reader)
     df = spark.createDataFrame(rows, "value string, lsn long, ts_ms long")
