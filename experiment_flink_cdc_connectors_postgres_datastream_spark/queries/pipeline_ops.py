@@ -975,7 +975,7 @@ def _isqrt_micro_sql(big: str) -> str:
       SELECT source, total_tokens,
              GREATEST(CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT) - 3,
                       CAST(0 AS BIGINT)) AS base
-      FROM s),
+      FROM s WHERE total_tokens > 0),
     q AS (
       SELECT source, total_tokens,
              CAST({_isqrt_micro_sql('HUGEINT')} AS BIGINT) AS sqrt_micro
@@ -1011,12 +1011,19 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals (map-side combine does the heavy lifting); the ppm
     normalization joins the per-source rows against a 1-row broadcast
     total — no second full shuffle. The DECIMAL(38,0) ppm scaling
-    holds to ~10^25, far past any per-source bigint token count."""
+    holds to ~10^25, far past any per-source bigint token count.
+
+    Degenerate input: a source whose documents tokenize to zero (or
+    all-NULL) total tokens is excluded up front (total_tokens > 0 in
+    both engines) — it has nothing to weight, and keeping it would
+    put sqrt_micro = 0 on later division paths where DuckDB errors
+    on // 0 while Spark's div returns NULL."""
     docs = load_table(spark, sf_dir, "documents")
     s = (
         docs.select("source", F.size(F.split(F.lower("text"), r"\s+")).alias("n_tok"))
         .groupBy("source")
         .agg(F.sum("n_tok").cast("bigint").alias("total_tokens"))
+        .filter(F.col("total_tokens") > 0)
     )
     g = s.withColumn(
         "base",
@@ -1058,7 +1065,7 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, total_tokens,
              GREATEST(CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT) - 3,
                       CAST(0 AS BIGINT)) AS base
-      FROM s),
+      FROM s WHERE total_tokens > 0),
     q AS (
       SELECT source, total_tokens,
              CAST({_isqrt_micro_sql('HUGEINT')} AS BIGINT) AS sqrt_micro
@@ -1095,7 +1102,12 @@ def mixture_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one partial-agg shuffle on source; everything after
     runs on the per-source table (#sources rows — the remainder-rank
-    window is over that tiny table, not the corpus)."""
+    window is over that tiny table, not the corpus).
+
+    Zero-token sources are excluded up front (total_tokens > 0, both
+    engines): they earn no budget, and excluding them keeps the
+    quota divisions off sqrt_micro = 0 (DuckDB errors on integer
+    // 0; Spark returns NULL — a latent cross-engine divergence)."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1104,6 +1116,7 @@ def mixture_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.size(F.split(F.lower("text"), r"\s+")).alias("n_tok"))
         .groupBy("source")
         .agg(F.sum("n_tok").cast("bigint").alias("total_tokens"))
+        .filter(F.col("total_tokens") > 0)
     )
     g = s.withColumn(
         "base",
@@ -1347,7 +1360,7 @@ def quality_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, total_tokens,
              GREATEST(CAST(FLOOR(SQRT(CAST(total_tokens AS DOUBLE)) * 1000000) AS BIGINT) - 3,
                       CAST(0 AS BIGINT)) AS base
-      FROM s),
+      FROM s WHERE total_tokens > 0),
     q AS (
       SELECT source, CAST({_isqrt_micro_sql('HUGEINT')} AS BIGINT) AS sqrt_micro
       FROM g),
@@ -1386,7 +1399,12 @@ def mixture_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered (plan-tested) — top-500 by (vtime, source, k) with
     NO global sort materialized. The position column is numbered
     AFTER the take, over 500 rows, where a 1-partition window is
-    free."""
+    free.
+
+    Zero-token sources are excluded (total_tokens > 0, both
+    engines): vtime divides by sqrt_micro, and 0 there errors in
+    DuckDB but NULLs in Spark — and a weightless source has no
+    place in the schedule anyway."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1394,6 +1412,7 @@ def mixture_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.size(F.split(F.lower("text"), r"\s+")).alias("n_tok"))
         .groupBy("source")
         .agg(F.sum("n_tok").cast("bigint").alias("total_tokens"))
+        .filter(F.col("total_tokens") > 0)
     )
     g = s.withColumn(
         "base",

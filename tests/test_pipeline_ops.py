@@ -428,6 +428,46 @@ def test_temperature_mixture_sqrt_flattening(spark, tmp_path):
     assert sum(r["weight_ppm"] for r in out.values()) <= 1_000_000
 
 
+def test_isqrt_family_excludes_zero_token_sources(spark, tmp_path):
+    """Degenerate input the fixtures never produce: a source whose
+    total_tokens is NULL/zero (all-NULL text). Before the guard,
+    sqrt_micro = 0 reached division — DuckDB errors on integer // 0
+    while Spark's div returns NULL (and a NULL vtime sorts opposite
+    ways in the two engines). Both engines must now agree: the source
+    is excluded, every other row unchanged."""
+    import duckdb
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import ORACLES
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.pipeline_ops import (
+        mixture_budget_allocation,
+        mixture_interleave_schedule,
+        temperature_mixture_weights,
+    )
+
+    rows = [(i, "w " * (i + 1), "ok_a" if i % 2 else "ok_b") for i in range(10)]
+    rows += [(100 + i, None, "ghost") for i in range(3)]  # tokenizes to NULL
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    for name, fn in [
+        ("temperature_mixture_weights", temperature_mixture_weights),
+        ("mixture_budget_allocation", mixture_budget_allocation),
+        ("mixture_interleave_schedule", mixture_interleave_schedule),
+    ]:
+        sdf = fn(spark, str(tmp_path))
+        srows = sorted(tuple(r) for r in sdf.collect())
+        drows = sorted(tuple(r) for r in con.sql(ORACLES[name]).fetchall())
+        assert srows == drows, name
+        assert srows, name  # the live sources still produce output
+        src_idx = sdf.columns.index("source")
+        assert all(r[src_idx] != "ghost" for r in srows), name
+
+
 def test_quality_logreg_score_hand_computed(spark, tmp_path):
     """The linear gate scores w.x exactly: hand-computed milli-score
     for a two-doc corpus."""
