@@ -25,6 +25,7 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import (
     changelog_diff,
     parse_cdc,
     project_flat,
+    resolve_unavailable,
     with_key,
 )
 from experiment_flink_cdc_connectors_postgres_datastream_spark.io import load_table, register_views
@@ -1391,3 +1392,243 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("email").isNull(), 1).otherwise(0)).cast("bigint").alias("pre_ddl_only"),
         F.coalesce(F.sum(F.length("email")), F.lit(0)).cast("bigint").alias("email_chars"),
     )
+
+
+# ------------------------------------------------------ A3 TOAST resolve
+
+#: shared oracle for the TOAST-resolution pipeline and its streamed
+#: twin: reconstruct the synthesized per-document change history
+#: relationally, replay the carry-forward with a window (the struct
+#: wrap keeps a REAL null distinguishable from "unavailable", exactly
+#: like resolve_unavailable's 1-field struct), then latest-per-key.
+_TOAST_PIPELINE_ORACLE = """
+    WITH ev AS (
+      SELECT doc_id AS id, doc_id * 10 + 1 AS lsn, 'c' AS op,
+             lang, text AS body, FALSE AS marked
+      FROM documents
+      UNION ALL
+      SELECT doc_id, doc_id * 10 + 2, 'u', lang || ' v2',
+             CASE WHEN doc_id % 4 = 2
+                  THEN 'rewritten-' || CAST(doc_id AS VARCHAR) END,
+             doc_id % 4 IN (0, 3)
+      FROM documents
+      UNION ALL
+      SELECT doc_id, doc_id * 10 + 3, 'u', lang || ' v3',
+             NULL, TRUE
+      FROM documents WHERE doc_id % 4 IN (0, 1)
+      UNION ALL
+      SELECT doc_id, doc_id * 10 + 3, 'd', NULL, NULL, FALSE
+      FROM documents WHERE doc_id % 4 = 3
+    ),
+    resolved AS (
+      SELECT id, lsn, op, lang,
+             CASE WHEN marked THEN
+               (LAST_VALUE(CASE WHEN NOT marked AND op <> 'd'
+                                THEN {'v': body} END IGNORE NULLS)
+                  OVER (PARTITION BY id ORDER BY lsn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v
+             ELSE body END AS body
+      FROM ev),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+        FROM resolved) WHERE rn = 1)
+    SELECT CAST(id AS BIGINT) AS id, lang, body
+    FROM latest WHERE op <> 'd'
+"""
+
+
+def _toast_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the synthesized TOAST change history as Debezium JSON.
+
+    Per document key (group g = doc_id % 4; `text` plays the
+    out-of-line column, `lang` the small always-shipped one):
+    insert with the full body, then — g0: two updates both marking
+    `body` TOAST-unavailable (double carry); g1: a REAL NULL
+    overwrite then a marked update (the carry must preserve the real
+    NULL, not resurrect the insert's value); g2: an ordinary rewrite;
+    g3: a marked update then a delete tombstone. `to_json`'s
+    ignoreNullFields keeps the wire honest: a marked column is ABSENT
+    from the after image, exactly like pgoutput's 'u' tuple kind
+    (pgoutput.py:171-185), with the envelope's `unavailable` list the
+    only trace — the same shape the live suite sees from a real 8 KB
+    STORAGE EXTERNAL value (test_postgres_cdc_live.py)."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    ck = F.col("doc_id")
+    grp = ck % 4
+    lang = F.col("lang")
+
+    def event(lsn, op, nm, body, marked):
+        return F.struct(
+            lsn.cast("long").alias("lsn"),
+            F.lit(op).alias("op"),
+            nm.alias("lang"),
+            body.alias("body"),
+            marked.alias("marked"),
+        )
+
+    e1 = event(ck * 10 + 1, "c", lang, F.col("text"), F.lit(False))
+    e2 = event(
+        ck * 10 + 2,
+        "u",
+        F.concat(lang, F.lit(" v2")),
+        F.when(grp == 2, F.concat(F.lit("rewritten-"), ck.cast("string"))),
+        grp.isin(0, 3),
+    )
+    e3u = event(
+        ck * 10 + 3, "u", F.concat(lang, F.lit(" v3")),
+        F.lit(None).cast("string"), F.lit(True),
+    )
+    e3d = event(
+        ck * 10 + 3, "d", F.lit(None).cast("string"),
+        F.lit(None).cast("string"), F.lit(False),
+    )
+    ev = docs.select(
+        ck.alias("id"),
+        F.explode(
+            F.array(e1, e2, F.when(grp.isin(0, 1), e3u).when(grp == 3, e3d))
+        ).alias("e"),
+    ).filter(F.col("e").isNotNull())
+
+    row = F.struct(
+        F.col("id").alias("id"),
+        F.col("e.lang").alias("lang"),
+        F.col("e.body").alias("body"),
+    )
+    op = F.col("e.op")
+    ts_ms = (F.lit(1_700_000_000_000) + F.col("e.lsn")).cast("long")
+    env = F.struct(
+        F.when(op.isin("u", "d"), row).alias("before"),
+        F.when(op != F.lit("d"), row).alias("after"),
+        F.struct(
+            F.lit("1.4.0").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("dbserver1").alias("name"),
+            ts_ms.alias("ts_ms"),
+            F.lit("experiment").alias("db"),
+            F.lit("public").alias("schema"),
+            F.lit("documents").alias("table"),
+            F.col("e.lsn").alias("txId"),
+            F.col("e.lsn").alias("lsn"),
+        ).alias("source"),
+        op.alias("op"),
+        ts_ms.alias("ts_ms"),
+        F.when(F.col("e.marked"), F.array(F.lit("body"))).alias("unavailable"),
+    )
+    return ev.select(F.col("e.lsn").alias("_lsn"), F.to_json(env).alias("value"))
+
+
+#: TOAST-able documents row (body plays the out-of-line column)
+_TOAST_ROW_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("lang", StringType()),
+        StructField("body", StringType()),
+    ]
+)
+
+
+@register("cdc_toast_pipeline", _TOAST_PIPELINE_ORACLE)
+def cdc_toast_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 under the TOAST trap, value-graded per key (VERDICT r9 #1):
+    parse a feed whose TOAST-able column goes unavailable mid-history
+    (pgoutput omits unchanged out-of-line values — the 'u' tuple
+    kind, pgoutput.py:171-185; the reference's REPLICA IDENTITY FULL
+    tables with VARCHAR columns, setup_source_db1.sql:11,17, are
+    exactly this shape), resolve the markers with the last-available
+    carry (`cdc.changelog.resolve_unavailable`), compact to the live
+    table, and hash-match every key's resolved (lang, body)
+    against a DuckDB window-function replay.
+
+    Covers all four semantics in one grade: double-marked carry (g0),
+    a REAL NULL surviving a later marked update (g1 — the reason the
+    carry is a 1-field struct, not last(ignorenulls) on the bare
+    column), ordinary rewrites untouched (g2), and tombstones
+    dropping marked keys (g3).
+
+    Scale shape: parse once behind a lazy localCheckpoint (the
+    `_flat_users` double-parse note), then ONE exchange on the key —
+    the resolution window partitions by id and the compaction reuses
+    that partitioning (plan-tested shape, `resolve_unavailable`
+    docstring)."""
+    wire = _toast_wire(spark, sf_dir).select("value")
+    parsed = parse_cdc(wire, _TOAST_ROW_SCHEMA).localCheckpoint(eager=False)
+    flat = project_flat(
+        parsed, "documents", ["id", "lang", "body"], keep_unavailable=True
+    )
+    resolved = resolve_unavailable(
+        flat, ["id"], ["ts_ms", "lsn"], ["lang", "body"], op_col="op"
+    )
+    latest = compact_latest(resolved, ["id"], ["ts_ms", "lsn"], op_col="op")
+    return latest.select(F.col("id").cast("bigint").alias("id"), "lang", "body")
+
+
+@register("cdc_toast_pipeline_streamed", _TOAST_PIPELINE_ORACLE)
+def cdc_toast_pipeline_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOAST pipeline through the STREAMING stateful backend: the
+    same wire feed split into three mtime-ordered files consumed one
+    per micro-batch (maxFilesPerTrigger=1), so every marked update
+    arrives in a LATER batch than the value it must resolve from —
+    the carry is served by `run_compacted_aggregate`'s committed
+    state (resolve-in-merge over state ∪ batch, with the state-first
+    `_src_rank` tiebreak), not by intra-batch history. The
+    materialized generational state table is the result; matching
+    the SAME per-key oracle as the batch twin is the stream-batch
+    consistency claim for TOAST resolution."""
+    import os
+    import shutil
+    import tempfile
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import DELETE_OP
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources import read_cdc_file_stream
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming import run_compacted_aggregate
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import GenerationalStateStore
+
+    wire = _toast_wire(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_toast_streamed_")
+    try:
+        src_dir = os.path.join(work, "src")
+        os.makedirs(src_dir)
+        # one file per history step, mtime-ordered so the file source
+        # serves them as three successive micro-batches (distinct
+        # mtimes are load-bearing: equal mtimes make batch order
+        # nondeterministic)
+        now = 1_700_000_000
+        for step in (1, 2, 3):
+            step_dir = os.path.join(work, f"w{step}")
+            wire.filter(F.col("_lsn") % 10 == step).select("value").coalesce(
+                1
+            ).write.mode("overwrite").text(step_dir)
+            part = next(
+                p for p in os.listdir(step_dir) if p.startswith("part-")
+            )
+            dst = os.path.join(src_dir, f"batch{step}.txt")
+            shutil.move(os.path.join(step_dir, part), dst)
+            os.utime(dst, (now + step * 60, now + step * 60))
+        stream = read_cdc_file_stream(spark, src_dir, max_files_per_trigger=1)
+        parsed = parse_cdc(stream, _TOAST_ROW_SCHEMA)
+        flat = project_flat(
+            parsed, "documents", ["id", "lang", "body"], keep_unavailable=True
+        )
+        q = run_compacted_aggregate(
+            flat,
+            state_dir=os.path.join(work, "state"),
+            key_cols=["id"],
+            seq_cols=["ts_ms", "lsn"],
+            group_cols=["id"],
+            op_col="op",
+            query_name="cdc_toast_pipeline_streamed",
+            unavailable_col="unavailable",
+        )
+        q.processAllAvailable()
+        q.stop()
+        store = GenerationalStateStore(
+            spark, os.path.join(work, "state", "state"), ["id"], n_buckets=64
+        )
+        live = store.read().filter(~F.col("op").eqNullSafe(F.lit(DELETE_OP)))
+        pdf = live.select(
+            F.col("id").cast("bigint").alias("id"), "lang", "body"
+        ).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pdf, "id bigint, lang string, body string")
