@@ -1632,3 +1632,167 @@ def cdc_toast_pipeline_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(pdf, "id bigint, lang string, body string")
+
+
+# ------------------------------------------------- S3 + A3 drift breadth
+
+@register(
+    "cdc_schema_drop_column",
+    f"""
+    WITH src AS (
+      SELECT {_OP_SQL} AS op,
+             'schema' || CAST(user_id % 4 + 1 AS VARCHAR) AS pgschema,
+             epoch_ms(ts) AS ts_ms,
+             event_id AS lsn,
+             user_id AS id,
+             props AS full_name
+      FROM events),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pgschema, id ORDER BY ts_ms DESC, lsn DESC) AS rn
+        FROM src) WHERE rn = 1)
+    SELECT pgschema,
+           CAST(COUNT(1) AS BIGINT) AS live_users,
+           CAST(COALESCE(SUM(length(full_name)), 0) AS BIGINT) AS name_chars
+    FROM latest WHERE op <> 'd'
+    GROUP BY pgschema
+    """,
+)
+def cdc_schema_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+A3 under the SECOND drift shape the reference leaves TODO
+    (SJCD:200 handles no DDL at all; `cdc_schema_evolution` grades
+    ADD COLUMN): a column DROPPED mid-stream. Pre-DDL envelopes
+    genuinely CARRY the dead key (`legacy_flag`, rendered on the wire
+    for early rows only); the consumer parses the WHOLE feed with the
+    narrowed post-DDL schema. The contract under the hash: unknown
+    keys are ignored — never an error, never a dropped record — and
+    every surviving column's values ride through compaction intact
+    (live count + exact name-length checksum per pg-schema).
+
+    Scale shape: identical to `cdc_pipeline` — parse once behind a
+    lazy localCheckpoint, one compaction shuffle, tiny final agg.
+    Narrowing is free at 100 TB: `from_json` skips unmatched keys at
+    parse time; nothing is rewritten."""
+    ev = spread_scan(load_table(spark, sf_dir, "events"))
+    op = _op_col()
+    pgschema = F.concat(F.lit("schema"), (F.col("user_id") % 4 + 1).cast("string"))
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    # the dropped column: on the wire pre-DDL, absent post-DDL
+    legacy = F.when(F.col("ts") < cutoff, (F.col("user_id") % 2 == 0))
+    row = F.struct(
+        F.col("user_id").alias("id"),
+        F.col("props").alias("full_name"),
+        legacy.alias("legacy_flag"),
+    )
+    ts_ms = F.unix_millis(F.col("ts"))
+    env = F.struct(
+        F.when(op.isin("u", "d"), row).alias("before"),
+        F.when(op != F.lit("d"), row).alias("after"),
+        F.struct(
+            F.lit("1.4.0").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("dbserver1").alias("name"),
+            ts_ms.alias("ts_ms"),
+            F.lit("experiment").alias("db"),
+            pgschema.alias("schema"),
+            F.lit("users").alias("table"),
+            F.col("event_id").alias("txId"),
+            F.col("event_id").alias("lsn"),
+        ).alias("source"),
+        op.alias("op"),
+        ts_ms.alias("ts_ms"),
+    )
+    wire = ev.select(F.to_json(env).alias("value"))
+    # post-DDL (narrowed) schema: legacy_flag is GONE — USERS_ROW_SCHEMA
+    parsed = parse_cdc(wire, USERS_ROW_SCHEMA).localCheckpoint(eager=False)
+    flat = with_key(project_flat(parsed, "users", ["id", "full_name"]), "schema", "id")
+    latest = compact_latest(flat, ["key"], ["ts_ms", "lsn"])
+    live = latest.filter(F.col("op") != "d")
+    return live.groupBy(F.col("schema").alias("pgschema")).agg(
+        F.count(F.lit(1)).alias("live_users"),
+        F.coalesce(F.sum(F.length("full_name")), F.lit(0)).cast("bigint").alias("name_chars"),
+    )
+
+
+@register(
+    "cdc_schema_widen_type",
+    f"""
+    WITH src AS (
+      SELECT {_OP_SQL} AS op,
+             'schema' || CAST(user_id % 4 + 1 AS VARCHAR) AS pgschema,
+             epoch_ms(ts) AS ts_ms,
+             event_id AS lsn,
+             user_id AS id,
+             CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                  THEN user_id * 1000 + 3000000000
+                  ELSE user_id * 1000 END AS balance
+      FROM events),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY pgschema, id ORDER BY ts_ms DESC, lsn DESC) AS rn
+        FROM src) WHERE rn = 1)
+    SELECT pgschema,
+           CAST(COUNT(1) AS BIGINT) AS live_users,
+           CAST(SUM(CASE WHEN balance > 2147483647 THEN 1 ELSE 0 END) AS BIGINT) AS widened_rows,
+           CAST(SUM(balance) AS BIGINT) AS balance_sum
+    FROM latest WHERE op <> 'd'
+    GROUP BY pgschema
+    """,
+)
+def cdc_schema_widen_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+A3 under the THIRD drift shape: a column's type WIDENED
+    mid-stream (ALTER TABLE ... ALTER COLUMN balance TYPE BIGINT).
+    Pre-DDL envelopes carry int32-range values; post-DDL values
+    exceed 2^31, which would overflow the old parse schema. The
+    consumer parses the WHOLE feed with the widened LongType — int32
+    literals widen losslessly, no record errors — and compaction
+    across the boundary proves the merge with an exact BIGINT sum
+    (`balance_sum` includes both populations; `widened_rows` counts
+    the post-DDL ones per pg-schema).
+
+    Scale shape: identical to `cdc_pipeline`. Widening is a parse-
+    schema change only — nothing is rewritten at 100 TB."""
+    ev = spread_scan(load_table(spark, sf_dir, "events"))
+    op = _op_col()
+    pgschema = F.concat(F.lit("schema"), (F.col("user_id") % 4 + 1).cast("string"))
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    balance = F.when(
+        F.col("ts") >= cutoff, F.col("user_id") * 1000 + F.lit(3_000_000_000)
+    ).otherwise(F.col("user_id") * 1000)
+    row = F.struct(
+        F.col("user_id").alias("id"),
+        balance.cast("long").alias("balance"),
+    )
+    ts_ms = F.unix_millis(F.col("ts"))
+    env = F.struct(
+        F.when(op.isin("u", "d"), row).alias("before"),
+        F.when(op != F.lit("d"), row).alias("after"),
+        F.struct(
+            F.lit("1.4.0").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("dbserver1").alias("name"),
+            ts_ms.alias("ts_ms"),
+            F.lit("experiment").alias("db"),
+            pgschema.alias("schema"),
+            F.lit("users").alias("table"),
+            F.col("event_id").alias("txId"),
+            F.col("event_id").alias("lsn"),
+        ).alias("source"),
+        op.alias("op"),
+        ts_ms.alias("ts_ms"),
+    )
+    wire = ev.select(F.to_json(env).alias("value"))
+    widened_schema = StructType(
+        [StructField("id", LongType()), StructField("balance", LongType())]
+    )
+    parsed = parse_cdc(wire, widened_schema).localCheckpoint(eager=False)
+    flat = with_key(project_flat(parsed, "users", ["id", "balance"]), "schema", "id")
+    latest = compact_latest(flat, ["key"], ["ts_ms", "lsn"])
+    live = latest.filter(F.col("op") != "d")
+    return live.groupBy(F.col("schema").alias("pgschema")).agg(
+        F.count(F.lit(1)).alias("live_users"),
+        F.sum(F.when(F.col("balance") > 2_147_483_647, 1).otherwise(0))
+        .cast("bigint")
+        .alias("widened_rows"),
+        F.sum("balance").cast("bigint").alias("balance_sum"),
+    )
