@@ -178,6 +178,57 @@ class IncrementalMinHashDedup:
         with open(self._floor_path, "w") as f:
             json.dump({"floor": floor}, f)
 
+    @staticmethod
+    def last_committed(checkpoint_dir: str) -> int:
+        """Highest batch id the streaming engine has COMMITTED, read
+        from the checkpoint's ``commits/`` metadata log (one file per
+        committed batch, named by id). -1 before the first commit.
+        This is the only safe compaction bound: a committed batch is
+        never retried, so folding it cannot collide with an
+        overwrite-by-batch-id replay."""
+        d = os.path.join(checkpoint_dir, "commits")
+        ids = []
+        try:
+            for f in os.listdir(d):
+                try:
+                    ids.append(int(f))
+                except ValueError:
+                    pass  # .compact / metadata artifacts
+        except OSError:
+            pass
+        return max(ids, default=-1)
+
+    def foreach_batch(
+        self,
+        checkpoint_dir: str,
+        *,
+        compact_every: int | None = None,
+        compact_lag: int = 0,
+    ):
+        """The engine's ``foreachBatch`` callable, with OPTIONAL
+        automatic store compaction so a long-running crawl never
+        needs operator intervention (VERDICT r9 #5): every
+        ``compact_every`` batches, fold partitions up to
+        ``last_committed(checkpoint_dir) - compact_lag``.
+
+        Safety: the bound comes from the engine's OWN commit log —
+        while batch N runs, ``commits/`` holds at most N-1, so the
+        running (retry-able) batch is never folded; a crash between
+        the fold and batch N's commit retries N against the
+        compacted layout, which ``process_batch``'s ``<= batch_id``
+        clamp reads identically. ``compact_lag`` keeps the most
+        recent ``lag`` committed batches unfolded (useful when an
+        external consumer tails per-batch partitions)."""
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            self.process_batch(batch_df, batch_id)
+            if compact_every and batch_id % compact_every == 0:
+                floor = self.last_committed(checkpoint_dir) - compact_lag
+                if floor > self.compacted_floor():
+                    self.compact(floor)
+
+        return handle
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Sign + band THIS batch's documents (each doc exactly once,
         ever), join new bands against all accumulated bands, and
