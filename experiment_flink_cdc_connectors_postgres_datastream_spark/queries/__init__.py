@@ -25,92 +25,66 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import be
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import governance_ops  # noqa: F401
 
 # The correctness driver grades the FIRST 50 registered queries, in
-# registration order. Cumulative coverage is complete: every query
-# registered through round 8 has a driver CORRECTNESS row in some
-# round (all green at their latest grade except the round-8 red
-# `temperature_mixture_weights`, reworked this round and graded
-# FIRST per VERDICT r8 #1). Round-9 window policy (same rotation
-# contract as r4-r8): (1) every query whose code path or oracle
-# changed since the round-8 grade gets a fresh grade — the
-# exact-integer-sqrt mixture weights, the CAST-hygiene + clamped
-# coverage curve, the confusion-matrix CAST, the compacted
-# incremental-dedup store, and the shared-helper WAL tail; (2) the
-# round-9 additions; (3) the 23 remaining round-4 rows (VERDICT r8
-# #3 — after this round nothing's latest grade is older than round
-# 5); (4) remaining slots to the oldest round-5 rows in registration
-# order. Everything outside the window stays registered and locally
-# verified via tools/verify_local.py.
+# registration order. Cumulative coverage is complete: every
+# registered query has a green driver CORRECTNESS row at its latest
+# grade (round-9 window: 49 green + 1 rows-only by documented
+# contract). Round-10 window policy (same rotation contract as
+# r4-r9): (1) every query whose code path OR oracle changed since its
+# last grade re-enters — the zero-token guard on the isqrt mixture
+# family (code+oracle), the auto-compaction foreachBatch path under
+# dedup_minhash_streamed, the wal2json TOAST omission diff on the
+# shared envelope translation (all five CDC source-family rows ride
+# postgres_cdc.py:862), and the state-first _src_rank tiebreak inside
+# run_compacted_aggregate (its three graded wrappers); (2) the
+# round-10 additions (TOAST resolution batch+streamed — VERDICT r9
+# #1 — and the two drift-breadth queries); (3) remaining slots to the
+# stalest round-5 rows in the order named by the r9 comment (VERDICT
+# r9 #4) — 34 of 43 fit; the 9 displaced lead the r11 rotation and
+# are named at the end. Everything outside the window stays
+# registered and locally verified via tools/verify_local.py.
 _PRIORITY = [
-    # --- (1) code path or oracle changed since the round-8 grade ---
-    # VERDICT r8 #1: the one red r8 row, reworked to exact integer
-    # sqrt + fully-CAST oracle — graded first
-    "temperature_mixture_weights",
-    # CAST hygiene + k clamped to the corpus vocabulary (was 0 rows
-    # at grading scale)
-    "ngram_coverage_curve",
-    # CAST hygiene on recall/precision ppm
-    "lang_confusion_matrix",
-    # band-store compaction on the graded read path (VERDICT r8 #4)
+    # --- (1) code path or oracle changed since the last grade ---
+    # zero-token-source guard (VERDICT r9 #3): code + oracle changed
+    "temperature_mixture_weights", "mixture_budget_allocation",
+    "mixture_interleave_schedule",
+    # automatic store compaction now on the graded read path
+    # (VERDICT r9 #5)
     "dedup_minhash_streamed",
-    # compaction helper shared with the new resume twin
-    "cdc_wal_tail",
-    # the snapshot-completion fall-through (the sf0.001 stall fix)
-    # touches the shared planner, and parse_cdc gained the TOAST
-    # `unavailable` column — every graded consumer of either path
-    # regrades (contract: changed code path since last grade)
-    "cdc_snapshot_chunked", "cdc_parse_envelope", "cdc_pipeline",
-    "cdc_pipeline_streamed", "cdc_live_count_stateful",
-    "cdc_two_table_join", "bus_roundtrip_streamed",
-    "bus_table_compact",
-    # --- (2) new in round 9 ---
-    # exactly-once tail restart under the value hash (VERDICT r8 #5),
-    # its mid-snapshot twin, and the full snapshot->tail handoff with
-    # restart — all at sf scale under the driver hash
-    "cdc_wal_tail_resume", "cdc_snapshot_resume",
-    "cdc_snapshot_tail_handoff",
-    # largest-remainder token-budget apportionment / packing audit /
-    # length histogram / canonicalized exact dedup
-    "mixture_budget_allocation", "sequence_packing_stats",
-    "doc_length_histogram", "dedup_normalized_exact",
-    # schema-drift parse+compact under the value hash, edit-distance
-    # near-dup verification, per-source quantile calibration,
-    # stride-scheduled mixture interleaving
-    "cdc_schema_evolution", "dedup_edit_distance",
-    "quality_quantile_calibration", "mixture_interleave_schedule",
-    # --- (3) stalest: the 23 remaining round-4 rows (VERDICT r8 #3) ---
-    "similarity_topk_ivf_sampled", "similarity_topk_pq",
-    "similarity_topk_pq_sampled", "similarity_topk_pq_sampled_rerank",
-    "session_window", "ntile_quartiles", "stratified_sample",
-    "variant_extract", "zorder_layout", "window_running_sum",
-    "window_moving_avg", "window_first_last", "monthly_order_stats",
-    "string_functions", "normalize_text", "epoch_shuffle",
-    "boilerplate_removal", "unigram_kl_by_source", "ngram_novelty",
-    "tumbling_window_late_streamed", "dedup_within_watermark_streamed",
-    "mad_outliers", "winsorized_stats",
-    # --- (4) oldest round-5 rows, registration order (3 of 46; the
-    # displaced lead the next-round rotation, named below —
-    # bus_wire_frames / bus_roundtrip_pipeline stay IN because their
-    # code path (parse_cdc) changed, tpch_q16 because its oracle
-    # gained the BIGINT CAST; the byte-unchanged round-5 rows
-    # (tpch_q3/q5/q6/q10/q14, the SCD2 trio, tpch_q4/q7/q8/q9,
-    # tpch_q13/q15) yield their slots to the round-9 additions and
-    # the changed-path regrades above) ---
-    "bus_wire_frames", "bus_roundtrip_pipeline", "tpch_q16",
-    # Still outside the window, all last green in round 5 and
-    # unchanged since (next rotation's front of the line):
-    # cdc_scd2_history, scd2_as_of_state, cdc_scd2_streamed,
-    # tpch_q3, tpch_q5, tpch_q6, tpch_q10, tpch_q14,
-    # tpch_q4, tpch_q7, tpch_q8, tpch_q9, tpch_q13, tpch_q15,
-    # tpch_q17, tpch_q18, tpch_q19, tpch_q20, tpch_q21, tpch_q2,
-    # tpch_q11, minhash_calibration, dup_rate_by_source_pair,
-    # dedup_keep_best, ann_recall_lsh, semantic_dedup_reps,
-    # label_centroids, multimodal_decode, multimodal_frames,
-    # multimodal_resize, collect_sorted_ids, approx_distinct_users,
-    # approx_percentile_by_type, heavy_hitters_sketch,
-    # gopher_quality_flags, quality_filter_funnel,
-    # tokenizer_coverage, content_defined_chunks, tfidf_cosine_pairs,
-    # chunk_dedup_stats, stream_stream_left_join_streamed,
-    # sliding_window_streamed, k_anonymity_audit.
+    # wal2json_to_envelope gained the identity-vs-columns TOAST
+    # omission diff — every graded consumer of the envelope
+    # translation regrades (byte-identical on these feeds: their
+    # synthetic identity sets equal their column sets)
+    "cdc_wal_tail", "cdc_wal_tail_resume", "cdc_snapshot_chunked",
+    "cdc_snapshot_resume", "cdc_snapshot_tail_handoff",
+    # run_compacted_aggregate gained the state-first _src_rank seq
+    # tiebreak (+ op-aware TOAST resolution seeding) — its graded
+    # wrappers regrade
+    "cdc_pipeline_streamed", "bus_roundtrip_streamed",
+    "changelog_agg_multi_streamed",
+    # --- (2) new in round 10 ---
+    # TOAST resolution under the value hash, batch + streaming
+    # stateful backend (VERDICT r9 #1)
+    "cdc_toast_pipeline", "cdc_toast_pipeline_streamed",
+    # schema-drift breadth: DROP COLUMN + INT->BIGINT widening
+    "cdc_schema_drop_column", "cdc_schema_widen_type",
+    # --- (3) stalest: round-5 rows, 34 of 43 in the named order ---
+    "cdc_scd2_history", "scd2_as_of_state", "cdc_scd2_streamed",
+    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
+    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q13",
+    "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+    "tpch_q21", "tpch_q2", "tpch_q11",
+    "minhash_calibration", "dup_rate_by_source_pair",
+    "dedup_keep_best", "ann_recall_lsh", "semantic_dedup_reps",
+    "label_centroids", "multimodal_decode", "multimodal_frames",
+    "multimodal_resize", "collect_sorted_ids",
+    "approx_distinct_users", "approx_percentile_by_type",
+    "heavy_hitters_sketch",
+    # Still outside the window, last green in round 5, displaced to
+    # the FRONT of the r11 rotation: gopher_quality_flags,
+    # quality_filter_funnel, tokenizer_coverage,
+    # content_defined_chunks, tfidf_cosine_pairs, chunk_dedup_stats,
+    # stream_stream_left_join_streamed, sliding_window_streamed,
+    # k_anonymity_audit.
 ]
 
 

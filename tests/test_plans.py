@@ -803,3 +803,33 @@ def test_resolve_unavailable_shares_compaction_exchange(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_cdc_toast_pipeline_one_key_exchange(spark):
+    """The graded TOAST pipeline parses once behind the checkpoint
+    barrier and then runs resolve->compact on ONE hash exchange: the
+    carry-forward window partitions by the upsert key and the
+    compaction reuses that partitioning (the
+    resolve_unavailable docstring's scale claim, now pinned on the
+    value-graded query itself)."""
+    import re
+
+    df = QUERIES["cdc_toast_pipeline"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan          # parse-once barrier
+    assert "Scan ExistingRDD" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_cdc_schema_drift_breadth_parse_once_two_exchanges(spark):
+    """DROP COLUMN and widened-type drift queries keep the
+    cdc_pipeline shape: one parse behind the barrier, then exactly
+    the compaction exchange and the per-schema agg exchange."""
+    import re
+
+    for name in ("cdc_schema_drop_column", "cdc_schema_widen_type"):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" not in plan, (name, plan)
+        assert "Scan ExistingRDD" in plan, (name, plan)
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, (name, plan)
