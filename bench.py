@@ -188,6 +188,13 @@ EXTENDED_QUERIES = [
     "dedup_edit_distance",
     "quality_quantile_calibration",
     "mixture_interleave_schedule",
+    # round 10: TOAST resolution pipeline (batch; the streamed twin is
+    # graded for correctness but excluded like the other streaming
+    # round trips — micro-batch startup, not operator throughput) and
+    # the two drift-breadth parses
+    "cdc_toast_pipeline",
+    "cdc_schema_drop_column",
+    "cdc_schema_widen_type",
 ]
 
 

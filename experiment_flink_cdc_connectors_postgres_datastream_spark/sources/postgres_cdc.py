@@ -715,6 +715,17 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
 
     def __init__(self, config: PostgresCDCConfig, client: PostgresReplicationClient | None = None):
         self.config = config
+        if config.plugin_name == "wal2json":
+            import logging  # noqa: PLC0415
+
+            logging.getLogger(__name__).warning(
+                "plugin_name='wal2json': unchanged-TOAST column detection "
+                "relies on REPLICA IDENTITY FULL (wal2json omits such "
+                "columns with no marker; only an identity-vs-columns diff "
+                "can see it). For TOAST-able tables without FULL identity "
+                "use plugin_name='pgoutput' or stored large values can be "
+                "overwritten with NULL on unrelated updates."
+            )
         self.client = client or PostgresReplicationClient(config)
         self._pending: dict[tuple[int, int], list[tuple]] = {}
         self._snapshot_done = False
