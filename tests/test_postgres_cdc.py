@@ -368,6 +368,23 @@ def test_catalog_ddl_registration(spark):
         register_cdc_table(spark, "bad name; drop")
 
 
+def test_wal2json_reader_warns_about_toast_blind_spot(caplog):
+    """The default plugin cannot see unchanged-TOAST omissions on
+    tables without REPLICA IDENTITY FULL — the reader says so once at
+    construction; pgoutput stays silent."""
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        PostgresCDCStreamReader(PostgresCDCConfig(), client=FakeClient())
+    assert any("REPLICA IDENTITY FULL" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        PostgresCDCStreamReader(
+            PostgresCDCConfig(plugin_name="pgoutput"), client=FakeClient()
+        )
+    assert not any("REPLICA IDENTITY FULL" in r.message for r in caplog.records)
+
+
 def test_config_from_options_parses_lists():
     cfg = PostgresCDCConfig.from_options(
         {"schema_list": "schema1, schema2", "table_list": "users", "port": "5434"}
