@@ -893,6 +893,76 @@ def test_schema_drift_add_column_live(scratch):
     reader.commit(end3)
 
 
+def test_schema_drift_widen_type_live(scratch):
+    """Mid-stream ALTER COLUMN TYPE int->bigint (the live twin of the
+    graded `cdc_schema_widen_type`): Postgres re-sends the Relation
+    message with the new type oid before the next change, the decoder
+    re-registers idempotently, and a post-DDL value beyond int32
+    decodes exactly — the consumer's widened LongType parse schema is
+    lossless for both populations."""
+    _setup_plugin(scratch, "pgoutput")
+    cfg = _config(scratch, plugin="pgoutput")
+    reader = PostgresCDCStreamReader(cfg)
+    envs, end = _drain(reader, reader.initialOffset())
+    reader.commit(end)
+
+    cur = scratch["cur"]
+    sch = scratch["schema"]
+    cur.execute(f'ALTER TABLE "{sch}".users ADD COLUMN balance integer')
+    cur.execute(
+        f'INSERT INTO "{sch}".users (id, full_name, balance) '
+        "VALUES (20, 'narrow', 2000000000)"
+    )
+    cur.execute(f'ALTER TABLE "{sch}".users ALTER COLUMN balance TYPE bigint')
+    cur.execute(
+        f'INSERT INTO "{sch}".users (id, full_name, balance) '
+        "VALUES (21, 'wide', 3000000000)"
+    )
+    envs, end2 = _drain(reader, end)
+    reader.commit(end2)
+    by_id = {e["after"]["id"]: e for e in envs}
+    assert by_id[20]["after"]["balance"] == 2_000_000_000  # int4 era
+    assert by_id[21]["after"]["balance"] == 3_000_000_000  # int8, > 2^31
+
+
+def test_schema_drift_drop_column_live(scratch):
+    """Mid-stream ALTER TABLE DROP COLUMN (the live twin of the graded
+    `cdc_schema_drop_column`): pre-DDL envelopes genuinely carry the
+    doomed key; after the drop the re-sent Relation message narrows
+    the tuple and subsequent changes — including UPDATE images of
+    PRE-DDL rows — decode with the narrowed shape, no errors."""
+    _setup_plugin(scratch, "pgoutput")
+    cfg = _config(scratch, plugin="pgoutput")
+    reader = PostgresCDCStreamReader(cfg)
+    envs, end = _drain(reader, reader.initialOffset())
+    reader.commit(end)
+
+    cur = scratch["cur"]
+    sch = scratch["schema"]
+    cur.execute(f'ALTER TABLE "{sch}".users ADD COLUMN legacy text')
+    cur.execute(
+        f'INSERT INTO "{sch}".users (id, full_name, legacy) '
+        "VALUES (30, 'with legacy', 'junk')"
+    )
+    envs, end2 = _drain(reader, end)
+    reader.commit(end2)
+    assert {e["after"]["id"] for e in envs} == {30}
+    assert envs[0]["after"]["legacy"] == "junk"  # the key really shipped
+
+    cur.execute(f'ALTER TABLE "{sch}".users DROP COLUMN legacy')
+    cur.execute(f'INSERT INTO "{sch}".users (id, full_name) VALUES (31, \'post drop\')')
+    # an update of a PRE-DDL row decodes under the narrowed relation
+    cur.execute(f'UPDATE "{sch}".users SET full_name = \'renamed\' WHERE id = 30')
+    envs, end3 = _drain(reader, end2)
+    reader.commit(end3)
+    by_key = {(e["after"]["id"], e["op"]): e for e in envs}
+    assert set(by_key) == {(31, "c"), (30, "u")}
+    for e in by_key.values():
+        assert "legacy" not in e["after"]
+    assert by_key[(30, "u")]["after"]["full_name"] == "renamed"
+    assert "legacy" not in (by_key[(30, "u")]["before"] or {})
+
+
 def test_chunked_snapshot_multibatch_and_restart_live(scratch):
     """Round-7 scale fix, LIVE: a table bigger than one snapshot chunk
     arrives over MULTIPLE paced micro-batches — keyset boundaries
