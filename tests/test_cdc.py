@@ -125,6 +125,59 @@ def test_compaction_is_last_write_wins(spark, ops):
     assert got == {k: v for k, (_, v) in expected.items() if k in live}
 
 
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),              # key
+            st.sampled_from(["c", "u", "d"]),                   # op
+            st.one_of(st.none(), st.integers(0, 99)),           # value / real NULL
+            st.booleans(),                                      # TOAST-marked
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_resolve_paths_agree_on_random_histories(spark, ops):
+    """The SQL carry (resolve_unavailable + compact_latest) and the
+    pandas fold (merge_latest) are independent implementations of the
+    same TOAST semantics — on ANY history, incl. marked deletes,
+    real-NULL overwrites, and histories that START marked, both must
+    land the identical final (op, value) per key."""
+    import pandas as pd
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import resolve_unavailable
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import merge_latest
+
+    rows = [
+        (i, k, op, v, ["v"] if marked else None)
+        for i, (k, op, v, marked) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, key long, op string, v long, unavailable array<string>"
+    )
+    resolved = resolve_unavailable(df, ["key"], ["seq"], ["v"], op_col="op")
+    sql_final = {
+        r["key"]: (r["op"], r["v"])
+        for r in compact_latest(
+            resolved, ["key"], ["seq"], op_col="op", drop_deletes=False
+        ).collect()
+    }
+
+    cols = ["seq", "key", "op", "v", "unavailable"]
+    pandas_final = {}
+    for k in {r[1] for r in rows}:
+        batch = pd.DataFrame([r for r in rows if r[1] == k], columns=cols)
+        # object dtype keeps ints ints (float64 NaN coercion would
+        # diverge from the long column on the Spark side)
+        batch = batch.astype(object).where(pd.notna(batch), None)
+        latest = merge_latest(
+            batch, None, cols, ["seq"], unavailable_col="unavailable", op_col="op"
+        )
+        pandas_final[k] = (latest["op"], latest["v"])
+    assert sql_final == pandas_final
+
+
 def test_parse_cdc_dead_letter_routing(spark):
     """Malformed envelopes land in the dead-letter frame with the raw
     payload intact; valid ones parse; neither is silently dropped."""
