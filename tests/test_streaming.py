@@ -806,3 +806,45 @@ def test_compacted_aggregate_resolves_toast_across_batches(spark, toast_cdc_dir,
     state = {r["id"]: (r["n"], r["body"]) for r in live.collect()}
     assert state[1] == (2, big)
     assert state[2] == (2, None)
+
+
+def test_compacted_aggregate_equal_seq_batch_beats_state(spark, tmp_path):
+    """ADVICE r9: when a later micro-batch delivers a row whose seq
+    EQUALS the restored state row's, the winner used to be
+    nondeterministic (compact over state ∪ batch had no tiebreak).
+    The `_src_rank` column makes the batch row win — the SQL-path
+    mirror of merge_latest's stable-sort arrival-order contract."""
+    import json as _json
+    import os
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import run_compacted_aggregate
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import GenerationalStateStore
+
+    d = tmp_path / "tie_src"
+    d.mkdir()
+    (d / "b1.json").write_text(_json.dumps({"id": 1, "seq": 5, "v": "stale"}) + "\n")
+    (d / "b2.json").write_text(_json.dumps({"id": 1, "seq": 5, "v": "fresh"}) + "\n")
+    now = 1_700_000_000
+    os.utime(d / "b1.json", (now - 60, now - 60))
+    os.utime(d / "b2.json", (now, now))
+
+    stream = (
+        spark.readStream.schema("id long, seq long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_compacted_aggregate(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        key_cols=["id"],
+        seq_cols=["seq"],
+        group_cols=["id"],
+        query_name="tie_src_rank",
+    )
+    q.processAllAvailable()
+    q.stop()
+    store = GenerationalStateStore(
+        spark, str(tmp_path / "state" / "state"), ["id"], n_buckets=64
+    )
+    rows = store.read().collect()
+    assert [(r["id"], r["seq"], r["v"]) for r in rows] == [(1, 5, "fresh")]
