@@ -1634,6 +1634,155 @@ def cdc_toast_pipeline_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, "id bigint, lang string, body string")
 
 
+def _toast_wal2json_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed per-event rows for the wal2json TOAST history — the same
+    four-group semantics as `_toast_wire` (shared oracle), but carrying
+    the WIRE-LEVEL facts a wal2json format-v2 record needs: whether the
+    UPDATE's new tuple carries `body` at all (``body_on_wire`` — real
+    wal2json simply OMITS an unchanged-TOAST column, no marker), plus
+    the REPLICA IDENTITY FULL old-tuple images (``ident_*`` — FULL
+    identity logs the complete old row, which is the only reason the
+    omission is detectable; the reference provisions exactly FULL,
+    setup_source_db1.sql:11,17).
+
+    Wire facts per group (g = doc_id % 4): g0 — both updates omit
+    `body` (double carry); g1 — e2 ships body as an EXPLICIT null
+    (real overwrite; its e3 omits body while the identity still names
+    the column, value null); g2 — ordinary rewrite ships the value;
+    g3 — e2 omits body, e3 is a DELETE (identity only, no columns)."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    ck = F.col("doc_id")
+    grp = ck % 4
+    lang = F.col("lang")
+    text = F.col("text")
+    null_s = F.lit(None).cast("string")
+
+    def event(lsn, action, new_lang, new_body, body_on_wire, ident_lang, ident_body):
+        return F.struct(
+            lsn.cast("long").alias("lsn"),
+            F.lit(action).alias("action"),
+            new_lang.alias("new_lang"),
+            new_body.alias("new_body"),
+            body_on_wire.alias("body_on_wire"),
+            ident_lang.alias("ident_lang"),
+            ident_body.alias("ident_body"),
+        )
+
+    e1 = event(ck * 10 + 1, "I", lang, text, F.lit(True), null_s, null_s)
+    e2 = event(
+        ck * 10 + 2,
+        "U",
+        F.concat(lang, F.lit(" v2")),
+        F.when(grp == 2, F.concat(F.lit("rewritten-"), ck.cast("string"))),
+        grp.isin(1, 2),  # g1 explicit null / g2 rewrite ride the wire; g0, g3 omit
+        lang,
+        text,
+    )
+    e3u = event(
+        ck * 10 + 3,
+        "U",
+        F.concat(lang, F.lit(" v3")),
+        null_s,
+        F.lit(False),  # omitted: unchanged-TOAST
+        F.concat(lang, F.lit(" v2")),
+        F.when(grp == 0, text),  # g1's old body is the REAL NULL e2 wrote
+    )
+    e3d = event(
+        ck * 10 + 3, "D", null_s, null_s, F.lit(False),
+        F.concat(lang, F.lit(" v2")), text,
+    )
+    return docs.select(
+        ck.alias("id"),
+        F.explode(
+            F.array(e1, e2, F.when(grp.isin(0, 1), e3u).when(grp == 3, e3d))
+        ).alias("e"),
+    ).filter(F.col("e").isNotNull()).select("id", "e.*")
+
+
+def _translate_wal2json_records(batches):
+    """mapInPandas kernel: render each event as a real wal2json
+    format-version-2 record (JSON round-tripped, exactly the dict
+    shape `peek_changes` json.loads from the slot) and translate it
+    through the PRODUCTION `wal2json_to_envelope`
+    (sources/postgres_cdc.py:216-262) — the identity-vs-columns
+    omission diff FIRES here on every update whose new tuple omits
+    `body`. Stateless per record, so it parallelizes Arrow-batched."""
+    import json as _json
+
+    import pandas as _pd
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import wal2json_to_envelope
+
+    def s(v):  # Arrow/pandas null → None
+        return None if v is None or (isinstance(v, float) and _pd.isna(v)) else v
+
+    for pdf in batches:
+        out = []
+        for r in pdf.itertuples(index=False):
+            lsn = int(r.lsn)
+            rec: dict = {
+                "action": r.action,
+                "schema": "public",
+                "table": "documents",
+                "lsn_int": lsn,
+                "timestamp_ms": 1_700_000_000_000 + lsn,
+            }
+            if r.action != "D":
+                cols = [
+                    {"name": "id", "type": "bigint", "value": int(r.id)},
+                    {"name": "lang", "type": "text", "value": s(r.new_lang)},
+                ]
+                if bool(r.body_on_wire):
+                    cols.append({"name": "body", "type": "text", "value": s(r.new_body)})
+                rec["columns"] = cols
+            if r.action != "I":  # REPLICA IDENTITY FULL: complete old row
+                rec["identity"] = [
+                    {"name": "id", "type": "bigint", "value": int(r.id)},
+                    {"name": "lang", "type": "text", "value": s(r.ident_lang)},
+                    {"name": "body", "type": "text", "value": s(r.ident_body)},
+                ]
+            env = wal2json_to_envelope(_json.loads(_json.dumps(rec)), "experiment")
+            out.append(env)
+        yield _pd.DataFrame({"value": out})
+
+
+@register("cdc_toast_wal2json", _TOAST_PIPELINE_ORACLE)
+def cdc_toast_wal2json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wal2json TOAST omission diff graded WHERE IT FIRES
+    (VERDICT r10 #2): every prior graded consumer of
+    `wal2json_to_envelope` feeds records whose identity equals the
+    column set, so the round-10 identity-vs-columns diff
+    (postgres_cdc.py:216-262) was green by inactivity. Here the feed
+    is the real wire shape: UPDATE new tuples that OMIT the unchanged
+    TOAST column while the REPLICA IDENTITY FULL old tuple still
+    names it — no in-band marker exists in wal2json, the diff is the
+    ONLY detection — then the standard resolve→compact pipeline must
+    hash-match the same carry-replay oracle as `cdc_toast_pipeline`
+    (double-marked carry, real-NULL survival, rewrites, tombstones).
+    wal2json cannot run live in this sandbox (stock Postgres ships
+    without it), so this synthetic graded row is the only value-level
+    evidence the firing branch can get.
+
+    Scale shape: the translation is stateless per record → one
+    Arrow-batched mapInPandas (the same per-record work the tail
+    planner does driver-side on a real slot, here spread across
+    executors), then parse once behind a lazy localCheckpoint and ONE
+    key exchange shared by the resolution window and compaction (the
+    `cdc_toast_pipeline` plan shape)."""
+    wire = _toast_wal2json_feed(spark, sf_dir).mapInPandas(
+        _translate_wal2json_records, "value string"
+    )
+    parsed = parse_cdc(wire, _TOAST_ROW_SCHEMA).localCheckpoint(eager=False)
+    flat = project_flat(
+        parsed, "documents", ["id", "lang", "body"], keep_unavailable=True
+    )
+    resolved = resolve_unavailable(
+        flat, ["id"], ["ts_ms", "lsn"], ["lang", "body"], op_col="op"
+    )
+    latest = compact_latest(resolved, ["id"], ["ts_ms", "lsn"], op_col="op")
+    return latest.select(F.col("id").cast("bigint").alias("id"), "lang", "body")
+
+
 # ------------------------------------------------- S3 + A3 drift breadth
 
 @register(

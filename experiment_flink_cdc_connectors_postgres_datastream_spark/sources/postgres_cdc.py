@@ -130,13 +130,14 @@ class PostgresCDCConfig:
     schema_list: list[str] = field(default_factory=lambda: ["public"])
     table_list: list[str] = field(default_factory=list)  # empty = all
     slot_name: str = "experiment_flink_cdc_connectors_postgres_datastream_spark_slot"
-    #: logical decoding plugin. 'pgoutput' (the reference's plugin,
-    #: docker-compose.yaml / SJCD:67, built into every Postgres) fully
-    #: supports TOAST unchanged-value detection via its 'u' tuple kind;
-    #: 'wal2json' detects it only on REPLICA IDENTITY FULL tables (see
-    #: wal2json_to_envelope) — prefer pgoutput when capturing tables
-    #: with TOAST-able (large text/bytea/jsonb) columns.
-    plugin_name: str = "wal2json"
+    #: logical decoding plugin. Default 'pgoutput' — the reference's
+    #: own plugin (StreamingJob.java:47/67, built into every Postgres)
+    #: — which fully supports TOAST unchanged-value detection via its
+    #: 'u' tuple kind. 'wal2json' is an explicit opt-in: it detects
+    #: unchanged-TOAST omissions only on REPLICA IDENTITY FULL tables
+    #: (see wal2json_to_envelope), so the reader warns at construction
+    #: when it is selected.
+    plugin_name: str = "pgoutput"
     publication_names: str = "experiment_flink_cdc_connectors_postgres_datastream_spark_pub"
     poll_batch_size: int = 1000
     #: rows per snapshot chunk (one keyset span = one executor task)
@@ -189,7 +190,7 @@ class PostgresCDCConfig:
             schema_list=split(options.get("schema_list", "public")),
             table_list=split(options.get("table_list", "")),
             slot_name=options.get("slot_name", cls.slot_name),
-            plugin_name=options.get("plugin_name", "wal2json"),
+            plugin_name=options.get("plugin_name", cls.plugin_name),
             publication_names=options.get("publication_names", cls.publication_names),
             poll_batch_size=int(options.get("poll_batch_size", "1000")),
             snapshot_chunk_size=int(
@@ -719,7 +720,9 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
             import logging  # noqa: PLC0415
 
             logging.getLogger(__name__).warning(
-                "plugin_name='wal2json': unchanged-TOAST column detection "
+                "plugin_name='wal2json' (non-default; the reference and "
+                "this source default to pgoutput): unchanged-TOAST column "
+                "detection "
                 "relies on REPLICA IDENTITY FULL (wal2json omits such "
                 "columns with no marker; only an identity-vs-columns diff "
                 "can see it). For TOAST-able tables without FULL identity "

@@ -163,6 +163,17 @@ def run_compacted_aggregate(
     the merge is idempotent (last-write-wins by seq), and a replayed
     batch rewrites the same generation.
     """
+    if "_src_rank" in stream.columns:
+        # reserved internal tiebreak name: withColumn below would
+        # silently overwrite (then drop) a caller column of that name,
+        # and the reserved-set exclusion would also hide it from TOAST
+        # value resolution — refuse loudly instead of corrupting it
+        raise ValueError(
+            "run_compacted_aggregate reserves the internal column name "
+            "'_src_rank' for its state-vs-batch seq tiebreak; the input "
+            "stream already carries a column of that name — rename it "
+            "before compacting."
+        )
     spark = stream.sparkSession
     store = GenerationalStateStore(
         spark, os.path.join(state_dir, "state"), key_cols, n_buckets=n_buckets

@@ -213,7 +213,11 @@ class IncrementalMinHashDedup:
 
         Safety: the bound comes from the engine's OWN commit log —
         while batch N runs, ``commits/`` holds at most N-1, so the
-        running (retry-able) batch is never folded; a crash between
+        running (retry-able) batch is never folded — and the bound is
+        additionally CLAMPED to ``batch_id - 1`` so a mismatched or
+        stale ``checkpoint_dir`` (whose commits/ log can name ids at
+        or above the running batch) still cannot fold the batch
+        currently in flight; a crash between
         the fold and batch N's commit retries N against the
         compacted layout, which ``process_batch``'s ``<= batch_id``
         clamp reads identically. ``compact_lag`` keeps the most
@@ -223,7 +227,14 @@ class IncrementalMinHashDedup:
         def handle(batch_df: DataFrame, batch_id: int) -> None:
             self.process_batch(batch_df, batch_id)
             if compact_every and batch_id % compact_every == 0:
-                floor = self.last_committed(checkpoint_dir) - compact_lag
+                # min() restates the invariant the engine provides when
+                # checkpoint_dir is the stream's own checkpointLocation
+                # (commits/ <= batch_id - 1); it holds even if a caller
+                # passes a foreign/stale dir whose log runs ahead
+                floor = (
+                    min(self.last_committed(checkpoint_dir), batch_id - 1)
+                    - compact_lag
+                )
                 if floor > self.compacted_floor():
                     self.compact(floor)
 

@@ -365,3 +365,52 @@ def test_resolve_unavailable_through_envelope_parse(spark):
     live = compact_latest(resolved, ["id"], ["lsn"], op_col="op")
     row = live.collect()[0]
     assert row["n"] == 2 and row["body"] == big
+
+
+def test_cdc_toast_wal2json_feed_fires_omission_diff(spark):
+    """The graded wal2json TOAST query's wire feed genuinely exercises
+    the identity-vs-columns omission diff: marked updates reach
+    `wal2json_to_envelope` with `body` ABSENT from the new tuple while
+    the FULL identity names it, and the translated envelopes carry the
+    `unavailable` marker exactly for those events (g0 e2/e3, g3 e2,
+    g1 e3 — never the insert, the explicit-null write, or the
+    rewrite)."""
+    import json as _json
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.reference_surface import (
+        _toast_wal2json_feed,
+        _translate_wal2json_records,
+    )
+
+    wire = _toast_wal2json_feed(spark, "/root/testdata/sf0.001").mapInPandas(
+        _translate_wal2json_records, "value string"
+    )
+    envs = [_json.loads(r["value"]) for r in wire.collect()]
+    assert envs, "empty feed"
+    marked = {(e["after"]["id"], e["source"]["lsn"]) for e in envs if e.get("unavailable")}
+    for e in envs:
+        key = e["after"]["id"] if e["after"] else e["before"]["id"]
+        g, step = key % 4, e["source"]["lsn"] % 10
+        expect_marked = (g in (0, 3) and step == 2) or (g in (0, 1) and step == 3)
+        assert (e.get("unavailable") == ["body"]) == expect_marked, e
+        if expect_marked:
+            # the marker came from the omission diff: the after image
+            # was backfilled with None, mirroring the pgoutput shape
+            assert e["after"]["body"] is None
+            assert (key, e["source"]["lsn"]) in marked
+    # the explicit-null write (g1 e2) is a REAL null, never marked
+    g1e2 = [e for e in envs if e["after"] and e["after"]["id"] % 4 == 1 and e["source"]["lsn"] % 10 == 2]
+    assert g1e2 and all(e["after"]["body"] is None and not e.get("unavailable") for e in g1e2)
+
+
+def test_cdc_toast_wal2json_matches_batch_twin(spark):
+    """Stream-of-wire consistency: the wal2json-translated pipeline
+    and the directly-synthesized envelope pipeline (`cdc_toast_
+    pipeline`) resolve to the identical live table — the two entry
+    formats converge on one materialization."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in QUERIES["cdc_toast_wal2json"](spark, sf).collect()}
+    b = {tuple(r) for r in QUERIES["cdc_toast_pipeline"](spark, sf).collect()}
+    assert a == b and len(a) > 0

@@ -821,6 +821,21 @@ def test_cdc_toast_pipeline_one_key_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
 
 
+def test_cdc_toast_wal2json_one_key_exchange(spark):
+    """The wal2json-translated TOAST pipeline keeps the batch twin's
+    shape: translation is one Arrow-batched mapInPandas (no
+    row-at-a-time Python UDF), parse-once behind the checkpoint
+    barrier, and resolve->compact share ONE hash exchange."""
+    import re
+
+    df = QUERIES["cdc_toast_wal2json"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan          # parse-once barrier
+    assert "Scan ExistingRDD" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan, plan   # never row-at-a-time
+
+
 def test_cdc_schema_drift_breadth_parse_once_two_exchanges(spark):
     """DROP COLUMN and widened-type drift queries keep the
     cdc_pipeline shape: one parse behind the barrier, then exactly

@@ -369,19 +369,22 @@ def test_catalog_ddl_registration(spark):
 
 
 def test_wal2json_reader_warns_about_toast_blind_spot(caplog):
-    """The default plugin cannot see unchanged-TOAST omissions on
-    tables without REPLICA IDENTITY FULL — the reader says so once at
-    construction; pgoutput stays silent."""
+    """wal2json (explicit opt-in) cannot see unchanged-TOAST omissions
+    on tables without REPLICA IDENTITY FULL — the reader says so once
+    at construction; the default plugin is pgoutput (the reference's
+    own, ADVICE r10) and stays silent."""
     import logging
 
+    assert PostgresCDCConfig().plugin_name == "pgoutput"
+    assert PostgresCDCConfig.from_options({}).plugin_name == "pgoutput"
     with caplog.at_level(logging.WARNING):
-        PostgresCDCStreamReader(PostgresCDCConfig(), client=FakeClient())
+        PostgresCDCStreamReader(
+            PostgresCDCConfig(plugin_name="wal2json"), client=FakeClient()
+        )
     assert any("REPLICA IDENTITY FULL" in r.message for r in caplog.records)
     caplog.clear()
     with caplog.at_level(logging.WARNING):
-        PostgresCDCStreamReader(
-            PostgresCDCConfig(plugin_name="pgoutput"), client=FakeClient()
-        )
+        PostgresCDCStreamReader(PostgresCDCConfig(), client=FakeClient())
     assert not any("REPLICA IDENTITY FULL" in r.message for r in caplog.records)
 
 

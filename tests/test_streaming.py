@@ -848,3 +848,67 @@ def test_compacted_aggregate_equal_seq_batch_beats_state(spark, tmp_path):
     )
     rows = store.read().collect()
     assert [(r["id"], r["seq"], r["v"]) for r in rows] == [(1, 5, "fresh")]
+
+
+def test_run_compacted_aggregate_refuses_reserved_src_rank_column(spark, tmp_path):
+    """ADVICE r10: '_src_rank' is the internal state-vs-batch tiebreak
+    name — a caller column of that name would be silently overwritten
+    by withColumn, dropped after compaction, AND excluded from TOAST
+    value resolution. The operator now refuses it loudly at
+    construction instead of corrupting the data."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import run_compacted_aggregate
+
+    d = tmp_path / "reserved_col"
+    d.mkdir()
+    (d / "b1.json").write_text(_json.dumps({"id": 1, "seq": 1, "_src_rank": 9}) + "\n")
+    stream = (
+        spark.readStream.schema("id long, seq long, _src_rank long")
+        .json(str(d))
+    )
+    with _pytest.raises(ValueError, match="_src_rank"):
+        run_compacted_aggregate(
+            stream,
+            state_dir=str(tmp_path / "state"),
+            key_cols=["id"],
+            seq_cols=["seq"],
+            group_cols=["id"],
+            query_name="reserved_src_rank",
+        )
+
+
+def test_incremental_dedup_foreign_commit_log_never_folds_running_batch(spark, tmp_path):
+    """ADVICE r10: if foreach_batch is handed a stale/mismatched
+    checkpoint dir whose commits/ log already names the RUNNING batch
+    id (or higher), the old floor could reach batch_id and fold the
+    retry-able in-flight batch. The bound is now clamped to
+    batch_id - 1, so the running batch's partitions survive and its
+    overwrite-by-batch-id retry still lands."""
+    import os
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.incremental_dedup import IncrementalMinHashDedup
+
+    work = str(tmp_path / "incdedup")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(os.path.join(ckpt, "commits"))
+    # a FOREIGN commits log claiming batches 0..5 are committed
+    for b in range(6):
+        open(os.path.join(ckpt, "commits", str(b)), "w").close()
+    engine = IncrementalMinHashDedup(spark, work)
+    rows = [(i, f"document number {i} with words " * 6) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    handle = engine.foreach_batch(ckpt, compact_every=1)
+    for b in range(3):
+        handle(df.filter(df.doc_id % 3 == b), b)
+    # floor after batch 2 = min(5, 2-1) = 1, never the running batch
+    assert engine.compacted_floor() == 1
+    parts = sorted(
+        d for d in os.listdir(os.path.join(work, "sigs")) if d.startswith("_batch=")
+    )
+    assert parts == ["_batch=1", "_batch=2"], parts
+    # the running batch id is still retryable (above the floor)
+    handle(df.filter(df.doc_id % 3 == 2), 2)
+    assert sorted(r["_id"] for r in engine.signatures().select("_id").collect()) == list(range(6))
