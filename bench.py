@@ -195,6 +195,9 @@ EXTENDED_QUERIES = [
     "cdc_toast_pipeline",
     "cdc_schema_drop_column",
     "cdc_schema_widen_type",
+    # round 11: the wal2json omission-diff pipeline (Arrow-batched
+    # translation + the cdc_toast_pipeline resolve/compact shape)
+    "cdc_toast_wal2json",
 ]
 
 

@@ -252,3 +252,91 @@ def test_restore_records_effective_bucket_cols(spark, tmp_path):
     assert restored.bucket_cols == ["k"]
     written = json.loads(open(os.path.join(str(tmp_path / "state2"), "manifest-0.json")).read())
     assert written["bucket_cols"] == ["k"]
+
+
+# ---------------------------------------------------------------- TTL knob
+
+
+def _ttl_commit(spark, store, rows, version):
+    """Merge-commit helper for TTL tests: complete-bucket contract via
+    store.read (which, on a TTL store, is the EXPIRY-FILTERED view —
+    exactly what a foreachBatch merge would see)."""
+    df = store.with_bucket(spark.createDataFrame(rows, "k long, v string, ts long"))
+    touched = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    prev = store.read(buckets=touched)
+    merged = df if prev is None else prev.unionByName(df)
+    latest = merged.groupBy("k").agg(
+        # max_by skips NULL ordering keys entirely — coalesce so a row
+        # with no event time still survives the merge (it sorts first)
+        F.max_by(
+            F.struct("k", "v", "ts", BUCKET_COL),
+            F.coalesce(F.col("ts"), F.lit(-(1 << 62))),
+        ).alias("s")
+    ).select("s.k", "s.v", "s.ts", f"s.{BUCKET_COL}")
+    store.commit(latest, touched, version)
+
+
+def test_ttl_none_behaves_exactly_like_base_store(spark, tmp_path):
+    """VERDICT r10 #8 regression: the default (ttl=None) preserves the
+    reference's idle-state-retention-0 semantics byte-identically —
+    same visible rows, same manifest sequence, and no _ttl.json ever
+    written to the store root."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    base = GenerationalStateStore(spark, str(tmp_path / "base"), ["k"], n_buckets=4)
+    ttl0 = TTLStateStore(spark, str(tmp_path / "ttl0"), ["k"], n_buckets=4)
+    steps = [
+        ([(1, "a", 0), (2, "b", 50)], 0),
+        ([(2, "b2", 200)], 1),
+        ([(3, "c", 10)], 2),  # ts far behind the max: must stay visible
+    ]
+    for rows, v in steps:
+        _ttl_commit(spark, base, rows, v)
+        _ttl_commit(spark, ttl0, rows, v)
+    rows_base = {tuple(r) for r in base.read().drop(BUCKET_COL).collect()}
+    rows_ttl = {tuple(r) for r in ttl0.read().drop(BUCKET_COL).collect()}
+    assert rows_base == rows_ttl == {(1, "a", 0), (2, "b2", 200), (3, "c", 10)}
+    base_files = sorted(f for f in os.listdir(tmp_path / "base") if f.startswith("manifest"))
+    ttl_files = sorted(f for f in os.listdir(tmp_path / "ttl0") if f.startswith("manifest"))
+    assert base_files == ttl_files
+    assert not os.path.exists(tmp_path / "ttl0" / "_ttl.json")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="together"):
+        TTLStateStore(spark, str(tmp_path / "bad"), ["k"], ttl=100)
+
+
+def test_ttl_expires_hides_then_drops_and_resurrects(spark, tmp_path):
+    """Event-time expiry end to end: a key idle past the horizon goes
+    invisible as soon as the watermark passes it (even in untouched
+    buckets), is physically dropped when its bucket is next rewritten,
+    and a later change to that key lands as a fresh INSERT (the
+    resurrect contract). The watermark survives a store reopen."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    root = str(tmp_path / "state")
+    store = TTLStateStore(spark, root, ["k"], n_buckets=4, ttl_col="ts", ttl=100)
+    _ttl_commit(spark, store, [(1, "a", 0), (2, "b", 50)], 0)
+    # watermark 50: nothing older than -50, both visible
+    assert {r["k"] for r in store.read().collect()} == {1, 2}
+    _ttl_commit(spark, store, [(2, "b2", 200)], 1)
+    # watermark 200: key 1 (ts=0 < 100) is expired and hidden even if
+    # batch 1 never touched its bucket
+    vis = {(r["k"], r["v"]) for r in store.read().collect()}
+    assert vis == {(2, "b2")}
+    # resurrect: a change to key 1 merges against NO prior state (the
+    # read is filtered) and lands as a fresh insert
+    _ttl_commit(spark, store, [(1, "reborn", 250)], 2)
+    vis = {(r["k"], r["v"], r["ts"]) for r in store.read().collect()}
+    assert vis == {(1, "reborn", 250), (2, "b2", 200)}
+    # physical drop: the generation that rewrote key 1's bucket holds
+    # only the reborn row for k=1 — the ts=0 row did not ride along
+    gen2 = spark.read.parquet(os.path.join(root, "gen-2"))
+    assert [(r["k"], r["ts"]) for r in gen2.filter("k = 1").collect()] == [(1, 250)]
+    # watermark persists across reopen; filtering still applies
+    reopened = TTLStateStore(spark, root, ["k"], n_buckets=4, ttl_col="ts", ttl=100)
+    assert reopened._watermark() == 250
+    assert {r["k"] for r in reopened.read().collect()} == {1, 2}
+    # a NULL event time never expires
+    _ttl_commit(spark, reopened, [(4, "no-ts", None)], 3)
+    assert (4, "no-ts") in {(r["k"], r["v"]) for r in reopened.read().collect()}
