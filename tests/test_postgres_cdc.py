@@ -957,3 +957,71 @@ def test_restart_at_snapshot_completion_plans_tail_immediately():
     rows = [r for p in r2.partitions(snap, off) for r in r2.read(p)]
     envs = [json.loads(v) for v, _, _ in rows]
     assert [e["op"] for e in envs] == ["c"]   # first tail change served
+
+
+def test_wal2json_omission_diff_property():
+    """Property pin for the identity-vs-columns diff over random
+    UPDATE wire shapes: for ANY column universe, any omitted subset,
+    any explicit-null subset, and any identity coverage (FULL vs a
+    PK prefix), the marker list is exactly (identity keys) minus
+    (new-tuple keys), order-stable by identity position; explicit
+    nulls are never marked; inserts and deletes never get markers;
+    and the after image backfills exactly the marked keys with None
+    (the pgoutput envelope shape)."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.lists(
+        st.text(alphabet="abcdefgh_", min_size=1, max_size=6),
+        min_size=1, max_size=6, unique=True,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        cols=names,
+        data=st.data(),
+    )
+    def check(cols, data):
+        # identity covers a prefix (1 = PK-only .. all = FULL)
+        ident_n = data.draw(st.integers(min_value=1, max_value=len(cols)))
+        identity = cols[:ident_n]
+        omitted = set(data.draw(st.sets(st.sampled_from(cols), max_size=len(cols) - 1)))
+        explicit_null = set(
+            data.draw(st.sets(st.sampled_from(cols), max_size=len(cols)))
+        ) - omitted
+        new_tuple = [c for c in cols if c not in omitted]
+        rec = {
+            "action": "U",
+            "schema": "s",
+            "table": "t",
+            "columns": [
+                {"name": c, "value": None if c in explicit_null else f"v-{c}"}
+                for c in new_tuple
+            ],
+            "identity": [{"name": c, "value": f"old-{c}"} for c in identity],
+            "timestamp_ms": 1,
+            "lsn_int": 1,
+        }
+        env = _json.loads(wal2json_to_envelope(rec, "db"))
+        expect = [c for c in identity if c in omitted]
+        assert env.get("unavailable", []) == expect
+        for c in cols:
+            if c in expect:
+                assert env["after"][c] is None  # backfilled marker shape
+            elif c in omitted:
+                assert c not in env["after"]  # undetectable without identity
+            elif c in explicit_null:
+                assert env["after"][c] is None and c not in env.get("unavailable", [])
+            else:
+                assert env["after"][c] == f"v-{c}"
+        # inserts and deletes never diff
+        ins = _json.loads(
+            wal2json_to_envelope({**rec, "action": "I", "identity": None}, "db")
+        )
+        assert "unavailable" not in ins and ins["op"] == "c"
+        dele = _json.loads(wal2json_to_envelope({**{k: v for k, v in rec.items() if k != "columns"}, "action": "D"}, "db"))
+        assert "unavailable" not in dele and dele["op"] == "d" and dele["after"] is None
+
+    check()

@@ -56,10 +56,19 @@ def main() -> int:
     for n in names:
         run(n)
 
+    def cpu():
+        with open("/proc/stat") as fh:
+            f = [int(x) for x in fh.readline().split()[1:]]
+        return sum(f), f[7] if len(f) > 7 else 0
+
+    t0c, s0 = cpu()
     times: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(k):
         for n in names:
             times[n].append(run(n))
+    t1c, s1 = cpu()
+    print(f"steal_pct {100.0 * (s1 - s0) / max(t1c - t0c, 1):.3f}  "
+          f"load {__import__('os').getloadavg()[0]:.2f}")
     for n in names:
         runs = " ".join(f"{t:.3f}" for t in times[n])
         print(f"{n}: median {statistics.median(times[n]):.3f}s  runs [{runs}]")
