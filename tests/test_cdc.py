@@ -414,3 +414,80 @@ def test_cdc_toast_wal2json_matches_batch_twin(spark):
     a = {tuple(r) for r in QUERIES["cdc_toast_wal2json"](spark, sf).collect()}
     b = {tuple(r) for r in QUERIES["cdc_toast_pipeline"](spark, sf).collect()}
     assert a == b and len(a) > 0
+
+
+def test_resolve_unavailable_matches_pure_python_fold(spark):
+    """Cross-implementation pin for the TOAST carry: seeded random
+    histories (markers on any update — including a key's FIRST row,
+    which must resolve to NULL — real NULL writes, deletes with real
+    NULLs, multi-column independent marking) resolved by Spark's
+    windowed `resolve_unavailable` must equal an independently written
+    pure-Python per-key fold of the documented semantics: an unmarked
+    column keeps its own value (real NULLs win), a marked column takes
+    the most recent prior value of THAT column from a non-delete row
+    that did not mark it, deletes never seed the carry."""
+    import random
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc import resolve_unavailable
+
+    value_cols = ["v1", "v2"]
+
+    def py_resolve(events):
+        last_avail = {}
+        out = []
+        for e in sorted(events, key=lambda x: x["seq"]):
+            marked = set(e["unavailable"] or [])
+            r = dict(e)
+            for c in value_cols:
+                if c in marked:
+                    r[c] = last_avail.get(c)
+            if e["op"] != "d":
+                for c in value_cols:
+                    if c not in marked:
+                        last_avail[c] = e[c]
+            r["unavailable"] = None
+            out.append(r)
+        return out
+
+    for seed in (7, 23, 1971):
+        rng = random.Random(seed)
+        rows, expected = [], []
+        for k in range(30):
+            n = rng.randint(1, 8)
+            events = []
+            for i in range(n):
+                first = i == 0
+                op = "c" if first and rng.random() < 0.7 else rng.choice(["u", "u", "u", "d"])
+                marked = []
+                if op != "d" and not (first and op == "c"):
+                    marked = [c for c in value_cols if rng.random() < 0.4]
+                events.append(
+                    {
+                        "k": k,
+                        "seq": i,
+                        "op": op,
+                        "v1": None
+                        if op == "d" or "v1" in marked or rng.random() < 0.2
+                        else f"s{seed}-{k}-{i}",
+                        "v2": None
+                        if op == "d" or "v2" in marked or rng.random() < 0.2
+                        else k * 100 + i,
+                        "unavailable": marked or None,
+                    }
+                )
+            rows.extend(events)
+            expected.extend(py_resolve(events))
+        df = spark.createDataFrame(
+            rows, "k long, seq long, op string, v1 string, v2 long, unavailable array<string>"
+        )
+        got = {
+            (r["k"], r["seq"]): (r["op"], r["v1"], r["v2"], r["unavailable"])
+            for r in resolve_unavailable(
+                df, ["k"], ["seq"], value_cols, op_col="op"
+            ).collect()
+        }
+        want = {
+            (e["k"], e["seq"]): (e["op"], e["v1"], e["v2"], e["unavailable"])
+            for e in expected
+        }
+        assert got == want, f"seed {seed}: divergence"

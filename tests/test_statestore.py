@@ -340,3 +340,66 @@ def test_ttl_expires_hides_then_drops_and_resurrects(spark, tmp_path):
     # a NULL event time never expires
     _ttl_commit(spark, reopened, [(4, "no-ts", None)], 3)
     assert (4, "no-ts") in {(r["k"], r["v"]) for r in reopened.read().collect()}
+
+
+def test_ttl_store_through_a_real_stream(spark, tmp_path):
+    """The TTL knob composes with the engine: a foreachBatch merge
+    into a TTLStateStore across two mtime-ordered micro-batches —
+    batch 2's watermark expires a key last updated in batch 1, and
+    the expiry decision comes from COMMITTED state metadata, not
+    intra-batch context."""
+    import json as _json
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    d = tmp_path / "ttl_src"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"k": 1, "v": "one", "ts": 0},
+                {"k": 2, "v": "two", "ts": 80},
+            ]
+        )
+        + "\n"
+    )
+    (d / "b2.json").write_text(_json.dumps({"k": 3, "v": "three", "ts": 200}) + "\n")
+    now = 1_700_000_000
+    os.utime(d / "b1.json", (now - 60, now - 60))
+    os.utime(d / "b2.json", (now, now))
+
+    store = TTLStateStore(
+        spark, str(tmp_path / "state"), ["k"], n_buckets=4, ttl_col="ts", ttl=100
+    )
+
+    def merge(batch, batch_id):
+        batch = store.with_bucket(batch)
+        touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            return
+        prev = store.read(buckets=touched)
+        merged = batch if prev is None else prev.unionByName(batch)
+        latest = merged.groupBy("k").agg(
+            F.max_by(F.struct("k", "v", "ts", BUCKET_COL), "ts").alias("s")
+        ).select("s.k", "s.v", "s.ts", f"s.{BUCKET_COL}")
+        store.commit(latest, touched, batch_id)
+
+    stream = (
+        spark.readStream.schema("k long, v string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # watermark 200 after batch 2 -> horizon 100: k=1 (ts 0) and
+    # k=2 (ts 80) both expired by committed metadata; only k=3 lives
+    vis = {(r["k"], r["v"]) for r in store.read().collect()}
+    assert vis == {(3, "three")}
+    assert store._watermark() == 200
