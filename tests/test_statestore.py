@@ -403,3 +403,23 @@ def test_ttl_store_through_a_real_stream(spark, tmp_path):
     vis = {(r["k"], r["v"]) for r in store.read().collect()}
     assert vis == {(3, "three")}
     assert store._watermark() == 200
+
+
+def test_ttl_savepoint_excludes_expired_rows(spark, tmp_path):
+    """A savepoint of a TTL store is taken through read() — so expired
+    keys do not ride into the snapshot, and a base-store restore of it
+    (the knob is opt-in per store, not per layout) starts from exactly
+    the live set."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    store = TTLStateStore(
+        spark, str(tmp_path / "state"), ["k"], n_buckets=4, ttl_col="ts", ttl=100
+    )
+    _ttl_commit(spark, store, [(1, "old", 0), (2, "new", 200)], 0)
+    # watermark 200 -> horizon 100: k=1 expired
+    sp = str(tmp_path / "sp")
+    store.savepoint(sp)
+    restored = GenerationalStateStore.restore_from_savepoint(
+        spark, sp, str(tmp_path / "state2"), ["k"]
+    )
+    assert {(r["k"], r["v"]) for r in restored.read().collect()} == {(2, "new")}

@@ -912,3 +912,76 @@ def test_incremental_dedup_foreign_commit_log_never_folds_running_batch(spark, t
     # the running batch id is still retryable (above the floor)
     handle(df.filter(df.doc_id % 3 == 2), 2)
     assert sorted(r["_id"] for r in engine.signatures().select("_id").collect()) == list(range(6))
+
+
+def test_merge_latest_matches_pure_python_fold():
+    """Cross-implementation pin for the stateful backends' kernel:
+    seeded random per-key histories (restored-state seeds, markers,
+    real NULLs, deletes, seq ties where the LATER batch row must win
+    under the stable sort) merged by `merge_latest` must equal an
+    independently written fold of the documented semantics. Pure
+    pandas — no Spark session involved."""
+    import random
+
+    import pandas as pd
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import merge_latest
+
+    cols = ["k", "seq", "op", "v1", "v2", "unavailable"]
+
+    def py_merge(rows):
+        # stable sort by seq (mergesort): equal seqs keep arrival order
+        ordered = sorted(enumerate(rows), key=lambda t: (t[1]["seq"], t[0]))
+        prev = None
+        resolved = []
+        for _, e in ordered:
+            marked = set(e["unavailable"] or [])
+            r = dict(e)
+            for c in ("v1", "v2"):
+                if c in marked:
+                    r[c] = prev[c] if prev is not None else None
+            r["unavailable"] = None
+            if e["op"] != "d":
+                prev = r
+            resolved.append(r)
+        return resolved[-1]
+
+    for seed in (3, 11, 404):
+        rng = random.Random(seed)
+        for _ in range(40):
+            n = rng.randint(1, 7)
+            has_state = rng.random() < 0.5
+            rows = []
+            for i in range(n):
+                op = rng.choice(["u", "u", "u", "d"])
+                marked = [c for c in ("v1", "v2") if op != "d" and rng.random() < 0.4]
+                rows.append(
+                    {
+                        "k": 1,
+                        # duplicate seqs on purpose: arrival order decides
+                        "seq": rng.randint(0, 3),
+                        "op": op,
+                        "v1": None if op == "d" or "v1" in marked or rng.random() < 0.25 else f"x{i}",
+                        "v2": None if op == "d" or "v2" in marked or rng.random() < 0.25 else i,
+                        "unavailable": marked or None,
+                    }
+                )
+            state_row = (
+                {"k": 1, "seq": -1, "op": "u", "v1": "restored", "v2": 99, "unavailable": None}
+                if has_state
+                else None
+            )
+            batch = pd.DataFrame(rows, columns=cols)
+            got = merge_latest(
+                batch,
+                tuple(state_row[c] for c in cols) if state_row else None,
+                cols,
+                ["seq"],
+                unavailable_col="unavailable",
+                op_col="op",
+            )
+            want = py_merge(([state_row] if state_row else []) + rows)
+            for c in cols:
+                g = got[c]
+                g = None if (g is None or (isinstance(g, float) and pd.isna(g))) else g
+                assert g == want[c], (seed, c, g, want[c], rows, state_row)
