@@ -848,3 +848,30 @@ def test_cdc_schema_drift_breadth_parse_once_two_exchanges(spark):
         assert "FileScan" not in plan, (name, plan)
         assert "Scan ExistingRDD" in plan, (name, plan)
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, (name, plan)
+
+
+def test_r11_window_batch_rows_no_rowwise_python_no_cartesian(spark):
+    """Window-wide scale-discipline sweep: every BATCH row of the
+    round-11 driver window compiles to a plan with NO row-at-a-time
+    Python UDF (BatchEvalPython) and NO cartesian product — the two
+    plan shapes that silently stop scaling at 100 TB. (Streamed /
+    engine-driven rows are excluded: they return materialized results
+    whose plans are trivial; their shapes are pinned by their own
+    tests.)"""
+    engine_driven = {
+        "cdc_wal_tail", "cdc_wal_tail_resume", "cdc_snapshot_chunked",
+        "cdc_snapshot_resume", "cdc_snapshot_tail_handoff",
+    }
+    names = [
+        n for n in list(QUERIES)[:50]
+        if "streamed" not in n and n not in engine_driven
+    ]
+    assert len(names) >= 35, names  # the sweep must cover the batch bulk
+    bad = []
+    for n in names:
+        plan = QUERIES[n](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            bad.append((n, "BatchEvalPython"))
+        if "CartesianProduct" in plan:
+            bad.append((n, "CartesianProduct"))
+    assert not bad, bad
