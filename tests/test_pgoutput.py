@@ -246,3 +246,119 @@ def test_unchanged_toast_marked_and_enveloped():
     )
     env2 = json.loads(wal2json_to_envelope(ins[0], "postgres"))
     assert "unavailable" not in env2
+
+
+def test_pgoutput_decoder_roundtrip_property():
+    """Property round-trip against an INDEPENDENT encoder written from
+    the protocol spec (PostgreSQL 'Logical Replication Message
+    Formats', protocol v1): random relations (1-5 columns across
+    text/int8/bool/float8/int4), random transactions and I/U/D
+    streams with NULLs, unchanged-TOAST 'u' kinds, unicode values,
+    and updates with/without K/O old tuples must decode to exactly
+    the intended record dicts — typed values, unavailable markers,
+    xid and Postgres-epoch timestamp conversion included."""
+    import random
+    import struct
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.pgoutput import PG_EPOCH_UNIX_MS, PgOutputDecoder
+
+    def cstr(s):
+        return s.encode() + b"\0"
+
+    def enc_tuple(kinds_vals):
+        out = struct.pack(">H", len(kinds_vals))
+        for kv in kinds_vals:
+            if kv in ("n", "u"):
+                out += kv.encode()
+            else:
+                b = kv[1].encode()
+                out += b"t" + struct.pack(">I", len(b)) + b
+        return out
+
+    def msg_begin(ts_us, xid):
+        return b"B" + struct.pack(">q", 0) + struct.pack(">q", ts_us) + struct.pack(">I", xid)
+
+    def msg_relation(oid, schema, table, cols):
+        out = b"R" + struct.pack(">I", oid) + cstr(schema) + cstr(table) + b"f"
+        out += struct.pack(">H", len(cols))
+        for name, toid in cols:
+            out += b"\x01" + cstr(name) + struct.pack(">I", toid) + struct.pack(">i", -1)
+        return out
+
+    # (type oid, generator of (wire_text, expected_python))
+    def gen_value(rng, toid):
+        if toid == 20:  # int8
+            v = rng.randint(-(2**40), 2**40)
+            return str(v), v
+        if toid == 23:  # int4
+            v = rng.randint(-(2**31), 2**31 - 1)
+            return str(v), v
+        if toid == 16:  # bool
+            return ("t", True) if rng.random() < 0.5 else ("f", False)
+        if toid == 701:  # float8 — exact text round-trip by construction
+            v = float(rng.randint(-1000, 1000)) / 8
+            return repr(v), v
+        v = rng.choice(["plain", "uni-é中文", 'q"uo\\te', "", "x" * 200])
+        return v, v
+
+    for seed in (5, 42, 777):
+        rng = random.Random(seed)
+        dec = PgOutputDecoder()
+        toids = [25, 20, 16, 701, 23]
+        for rel_i in range(6):
+            oid = 1000 + rel_i
+            cols = [
+                (f"c{j}", rng.choice(toids))
+                for j in range(rng.randint(1, 5))
+            ]
+            schema, table = f"s{rel_i}", f"t{rel_i}"
+            assert dec.decode(1, msg_relation(oid, schema, table, cols)) is None
+            ts_us = rng.randint(0, 10**15)
+            xid = rng.randint(1, 2**31)
+            assert dec.decode(2, msg_begin(ts_us, xid)) is None
+            lsn = rng.randint(1, 2**50)
+            action = rng.choice(["I", "U", "U", "D"])
+
+            def draw_tuple(allow_unavail):
+                wire, expect = [], []
+                for name, toid in cols:
+                    roll = rng.random()
+                    if roll < 0.15:
+                        wire.append("n")
+                        expect.append({"name": name, "value": None})
+                    elif allow_unavail and roll < 0.3:
+                        wire.append("u")
+                        expect.append({"name": name, "value": None, "unavailable": True})
+                    else:
+                        w, e = gen_value(rng, toid)
+                        wire.append(("t", w))
+                        expect.append({"name": name, "value": e})
+                return wire, expect
+
+            if action == "I":
+                wire, expect = draw_tuple(allow_unavail=False)
+                buf = b"I" + struct.pack(">I", oid) + b"N" + enc_tuple(wire)
+                rec = dec.decode(lsn, buf)
+                assert rec["columns"] == expect and "identity" not in rec
+            elif action == "U":
+                with_old = rng.random() < 0.5
+                old_wire, old_expect = draw_tuple(allow_unavail=False)
+                new_wire, new_expect = draw_tuple(allow_unavail=True)
+                buf = b"U" + struct.pack(">I", oid)
+                if with_old:
+                    buf += rng.choice([b"K", b"O"]) + enc_tuple(old_wire)
+                buf += b"N" + enc_tuple(new_wire)
+                rec = dec.decode(lsn, buf)
+                assert rec["columns"] == new_expect
+                assert rec.get("identity") == (old_expect if with_old else None) or (
+                    not with_old and "identity" not in rec
+                )
+            else:
+                old_wire, old_expect = draw_tuple(allow_unavail=False)
+                buf = b"D" + struct.pack(">I", oid) + rng.choice([b"K", b"O"]) + enc_tuple(old_wire)
+                rec = dec.decode(lsn, buf)
+                assert rec["identity"] == old_expect and "columns" not in rec
+            assert rec["action"] == action
+            assert rec["schema"] == schema and rec["table"] == table
+            assert rec["lsn_int"] == lsn and rec["xid"] == xid
+            assert rec["timestamp_ms"] == ts_us // 1000 + PG_EPOCH_UNIX_MS
