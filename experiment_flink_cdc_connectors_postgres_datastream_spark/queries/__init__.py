@@ -27,72 +27,72 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 # The correctness driver grades the FIRST 50 registered queries, in
 # registration order. Cumulative coverage is complete: every
 # registered query has a green driver CORRECTNESS row at its latest
-# grade, and the round-10 window was the first with ZERO rows-only
-# entries — 50/50 full-hash green (CORRECTNESS_r10; the registry-wide
-# rows-only count stays 3 by documented contract, all outside this
-# window with value-graded twins). Round-11 window policy (same
-# rotation contract as r4-r10, shared graded helpers FROZEN after the
-# first commits of the round per VERDICT r10 #1): (1) every query
-# whose code path OR oracle changed since its last grade re-enters —
-# the default-plugin flip to pgoutput on PostgresCDCConfig (ADVICE
-# r10, behavior-neutral for these synthetic-client feeds but on their
-# construction path: all five CDC source rows), the reserved
-# `_src_rank` collision guard at run_compacted_aggregate entry
-# (ADVICE r10: its four graded wrappers), and the batch_id-1 clamp on
-# foreach_batch's auto-compaction floor (ADVICE r10:
-# dedup_minhash_streamed's graded read path); (2) the round-11
-# addition `cdc_toast_wal2json` (VERDICT r10 #2 — the omission diff
-# graded where it FIRES); (3) the 9 round-5 rows displaced from the
-# r10 window, in the order the r10 comment promised (VERDICT r10 #1);
-# (4) remaining 30 slots to the stalest round-6 rows — 30 of 43 fit;
-# the 13 displaced lead the r12 rotation and are named at the end.
-# Everything outside the window stays registered and locally verified
-# via tools/verify_local.py.
+# grade; the r10 and r11 windows were both 50/50 full-hash green (the
+# registry-wide rows-only count stays 3 by documented contract, each
+# with value-graded twins). Round-12 window policy (same rotation
+# contract as r4-r11, shared graded helpers FROZEN after the round's
+# first commit per VERDICT r11 #2): (1) every query whose code path OR
+# oracle changed since its last grade re-enters — the from_options
+# camelCase option-spelling fix and the ensure_slot plugin-mismatch
+# diagnosis on sources/postgres_cdc.py (ADVICE r11: the five
+# source-family rows construct readers through that module), and
+# run_compacted_aggregate's optional ttl_col/ttl plumbing through
+# TTLStateStore (default None = byte-identical base-store behavior,
+# but on the construction path of its four graded wrappers); (2) the
+# round-12 addition `cdc_ttl_streamed` (VERDICT r11 #4 — event-time
+# state TTL under the value hash, expiry + resurrect-as-insert +
+# horizon visibility in one grade); (3) the 13 round-6 rows displaced
+# from the r11 window, exactly as promised there — the rotation's
+# stalest-row age bound moves to round 7; (4) the rows-only trio
+# (similarity_topk_ivf, similarity_topk_pq, bpe_learn_merges)
+# scheduled in the SAME window as their value-graded companions
+# (both _sampled twins + the PQ rerank variant + bpe_pair_counts),
+# per the standing r10 #5 contract; (5) remaining 20 slots start the
+# round-7 rows — the 19 displaced round-7 rows lead the r13 rotation
+# and are named at the end. Everything outside the window stays
+# registered and locally verified via tools/verify_local.py.
 _PRIORITY = [
-    # --- (1) code path changed since the last grade (ADVICE r10) ---
-    # PostgresCDCConfig default plugin wal2json->pgoutput (the
-    # reference's own plugin): the five source-family rows construct
-    # readers through that config
+    # --- (1) code path changed since the last grade (ADVICE r11) ---
+    # sources/postgres_cdc.py: from_options camelCase spellings +
+    # ensure_slot plugin-mismatch diagnosis — the five source-family
+    # rows construct readers through that module
     "cdc_wal_tail", "cdc_wal_tail_resume", "cdc_snapshot_chunked",
     "cdc_snapshot_resume", "cdc_snapshot_tail_handoff",
-    # run_compacted_aggregate refuses a caller-supplied `_src_rank`
-    # column at entry — its graded wrappers regrade
+    # run_compacted_aggregate now constructs TTLStateStore (ttl=None
+    # default is regression-pinned byte-identical) — its graded
+    # wrappers regrade
     "cdc_pipeline_streamed", "bus_roundtrip_streamed",
     "changelog_agg_multi_streamed", "cdc_toast_pipeline_streamed",
-    # foreach_batch compaction floor clamped to batch_id - 1
-    "dedup_minhash_streamed",
-    # --- (2) new in round 11 ---
-    # wal2json TOAST omission diff under the value hash where the
-    # branch actually fires (VERDICT r10 #2)
-    "cdc_toast_wal2json",
-    # --- (3) the 9 round-5 rows, the promised r11 front of the line ---
-    "gopher_quality_flags", "quality_filter_funnel",
-    "tokenizer_coverage", "content_defined_chunks",
-    "tfidf_cosine_pairs", "chunk_dedup_stats",
-    "stream_stream_left_join_streamed", "sliding_window_streamed",
-    "k_anonymity_audit",
-    # --- (4) stalest: round-6 rows, 30 of 43 ---
-    # reference-surface operator rows first, then TPC-H, then the
-    # streaming/dedup/text/relational families
-    "derived_key", "keyed_count", "route_demux", "tokenize",
-    "union_schemas", "sql_group_count", "grouped_count_alias",
-    "upsert_sink_shape",
-    "tpch_q1", "tpch_q12", "tpch_q22",
-    "stream_stream_full_outer_streamed",
-    "dedup_apply_fuzzy", "dedup_clusters", "dedup_clusters_star",
-    "dedup_containment", "similarity_topk",
-    "lang_id", "quality_score", "token_count", "doc_fingerprint",
-    "doc_perplexity",
-    "agg_stats", "revenue_by_nation", "customers_with_orders",
-    "top_k_orders", "rollup_counts", "set_ops", "window_lag_delta",
-    "text_stats_by_source",
-    # Still outside the window, last green in round 6, displaced to
-    # the FRONT of the r12 rotation: bigram_logprob_by_source,
-    # changelog_topk_per_group, cluster_safe_splits,
-    # embedding_sparse_projection, embedding_stats,
-    # hash_sample_per_group, tfidf_top_terms, token_budget_selection,
-    # top_bigrams, top_terms_by_source, vocab_top_terms, word_pmi_top,
-    # zipf_slope_by_source.
+    # --- (2) new in round 12 (VERDICT r11 #4) ---
+    "cdc_ttl_streamed",
+    # --- (3) the 13 round-6 rows, the promised r12 front of the line ---
+    "bigram_logprob_by_source", "changelog_topk_per_group",
+    "cluster_safe_splits", "embedding_sparse_projection",
+    "embedding_stats", "hash_sample_per_group", "tfidf_top_terms",
+    "token_budget_selection", "top_bigrams", "top_terms_by_source",
+    "vocab_top_terms", "word_pmi_top", "zipf_slope_by_source",
+    # --- (4) rows-only trio + value-graded companions, same window ---
+    "similarity_topk_ivf", "similarity_topk_ivf_sampled",
+    "similarity_topk_pq", "similarity_topk_pq_sampled",
+    "similarity_topk_pq_sampled_rerank",
+    "bpe_learn_merges", "bpe_pair_counts",
+    # --- (5) round-7 rows, 20 of 39 ---
+    "asof_join", "contamination_check", "decontaminate_fuzzy",
+    "decontaminate_spans", "dedup_jaccard_prefix", "dedup_spans",
+    "doc_chunking", "dsir_importance_weights", "embedding_int8_quant",
+    "embedding_near_dup", "embedding_norm_stats",
+    "embedding_quantize_error", "minhash_recall_curve", "pii_redact",
+    "priority_sample_per_source", "project_filter",
+    "repeat_factor_sampling", "sequence_packing",
+    "similarity_topk_lsh", "sliding_window",
+    # Still outside the window, last green in round 7, displaced to
+    # the FRONT of the r13 rotation: csv_roundtrip, cube_counts,
+    # customers_without_orders, grouping_sets_count,
+    # interval_join_counts, json_extract_props, jsonl_roundtrip,
+    # length_band_filter, multimodal_feature_topk, multimodal_meta,
+    # percentile_by_type, pivot_counts, repetition_ratio,
+    # shard_assignment, tokens_to_ids, train_val_test_split,
+    # type_token_ratio, udaf_weighted_mean, window_rank_family.
 ]
 
 

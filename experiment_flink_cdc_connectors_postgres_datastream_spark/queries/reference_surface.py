@@ -1634,6 +1634,213 @@ def cdc_toast_pipeline_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, "id bigint, lang string, body string")
 
 
+# ------------------------------------------------- A5 event-time state TTL
+
+#: the TTL pipeline's event-time horizon (same unit as ts_ms)
+_TTL_HORIZON = 30_000
+
+#: customers_ttl row schema (id plays the key, val the carried value)
+_TTL_ROW_SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("val", StringType())]
+)
+
+
+def _ttl_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render a three-batch change history designed to make every
+    event-time-TTL behavior value-observable (group g = c_custkey % 4):
+
+    - batch 1 (ts T0):      INSERT for every key, val = c_name
+    - batch 2 (ts T0+50k):  UPDATE for g0/g2, val = upper(c_name)
+    - batch 3 (ts T0+100k): UPDATE for g0/g1 with `val` marked
+      TOAST-unavailable (absent from the wire, carry must resolve it)
+
+    Under horizon 30k: at the batch-3 merge the watermark is T0+50k,
+    so g1's batch-1 state (ts T0) is EXPIRED — its marked update finds
+    no carry seed and resolves to NULL (resurrect-as-insert made
+    value-visible), while g0's batch-2 state is alive and carries
+    upper(c_name) forward. After batch 3 the watermark is T0+100k, so
+    the final visible state is exactly the batch-3 rows: g2 (idle
+    since T0+50k) and g3 (idle since T0) have aged out of the
+    aggregate entirely."""
+    cust = spread_scan(load_table(spark, sf_dir, "customer"))
+    ck = F.col("c_custkey").cast("long")
+    g = ck % 4
+    name = F.col("c_name")
+
+    def event(step, op, val, marked):
+        return F.struct(
+            F.lit(step).cast("long").alias("step"),
+            F.lit(op).alias("op"),
+            val.alias("val"),
+            F.lit(marked).alias("marked"),
+        )
+
+    e1 = event(1, "c", name, False)
+    e2 = F.when(g.isin(0, 2), event(2, "u", F.upper(name), False))
+    e3 = F.when(g.isin(0, 1), event(3, "u", F.lit(None).cast("string"), True))
+    ev = cust.select(
+        ck.alias("id"), F.explode(F.array(e1, e2, e3)).alias("e")
+    ).filter(F.col("e").isNotNull())
+
+    step = F.col("e.step")
+    op = F.col("e.op")
+    row = F.struct(F.col("id").alias("id"), F.col("e.val").alias("val"))
+    ts_ms = (F.lit(1_700_000_000_000) + (step - 1) * F.lit(50_000)).cast("long")
+    env = F.struct(
+        F.when(op.isin("u", "d"), row).alias("before"),
+        F.when(op != F.lit("d"), row).alias("after"),
+        F.struct(
+            F.lit("1.4.0").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("dbserver1").alias("name"),
+            ts_ms.alias("ts_ms"),
+            F.lit("experiment").alias("db"),
+            F.lit("public").alias("schema"),
+            F.lit("customers_ttl").alias("table"),
+            (F.col("id") * 10 + step).cast("long").alias("txId"),
+            (F.col("id") * 10 + step).cast("long").alias("lsn"),
+        ).alias("source"),
+        op.alias("op"),
+        ts_ms.alias("ts_ms"),
+        F.when(F.col("e.marked"), F.array(F.lit("val"))).alias("unavailable"),
+    )
+    return ev.select(step.alias("_step"), F.to_json(env).alias("value"))
+
+
+@register(
+    "cdc_ttl_streamed",
+    f"""
+    WITH ids AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer),
+    -- the three batches, ts exactly as the wire feed stamps them
+    b1 AS (SELECT id, name AS val, CAST(1700000000000 AS BIGINT) AS ts FROM ids),
+    b2 AS (SELECT id, upper(name) AS val, CAST(1700000000000 + 50000 AS BIGINT) AS ts
+           FROM ids WHERE id % 4 IN (0, 2)),
+    b3k AS (SELECT id, CAST(1700000000000 + 100000 AS BIGINT) AS ts
+            FROM ids WHERE id % 4 IN (0, 1)),
+    -- watermark after batch 2 = max committed event time so far
+    wm2 AS (SELECT MAX(ts) AS wm FROM (SELECT ts FROM b1 UNION ALL SELECT ts FROM b2)),
+    -- state after batch 2: latest per key over b1 ∪ b2 (the batch-2
+    -- merge expires nothing: its horizon wm1 - {_TTL_HORIZON} predates all data)
+    state2 AS (
+      SELECT id, val, ts FROM (
+        SELECT id, val, ts, ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts DESC) AS rn
+        FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)) WHERE rn = 1),
+    -- batch-3 merge under wm2's horizon: only UN-expired state seeds
+    -- the marked-column carry; an expired key resurrects as an insert
+    -- whose marked val has no seed -> NULL
+    resolved3 AS (
+      SELECT k.id, s.val, k.ts
+      FROM b3k k
+      LEFT JOIN (SELECT s2.*, w.wm FROM state2 s2 CROSS JOIN wm2 w) s
+        ON s.id = k.id AND s.ts >= s.wm - {_TTL_HORIZON}),
+    merged3 AS (
+      SELECT id, val, ts FROM state2
+      UNION ALL
+      SELECT id, val, ts FROM resolved3),
+    state3 AS (
+      SELECT id, val, ts FROM (
+        SELECT id, val, ts, ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts DESC) AS rn
+        FROM merged3) WHERE rn = 1),
+    -- final watermark = max event time ever committed
+    wm3 AS (SELECT MAX(ts) AS wm FROM merged3)
+    SELECT CAST(id % 10 AS BIGINT) AS grp,
+           CAST(COUNT(1) AS BIGINT) AS live_keys,
+           CAST(COUNT(val) AS BIGINT) AS val_keys,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM state3 CROSS JOIN wm3
+    WHERE ts >= wm - {_TTL_HORIZON}
+    GROUP BY CAST(id % 10 AS BIGINT)
+    """,
+)
+def cdc_ttl_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 optional event-time state TTL under the value hash (VERDICT
+    r11 #4): the compacted-aggregate pipeline of `cdc_pipeline_streamed`
+    run through `TTLStateStore` (streaming/state_ttl.py) with a horizon
+    that (a) expires a known key mid-stream so its next marked update
+    resurrects as a fresh insert with a NULL-resolved carry, (b) keeps
+    a sibling key's state alive so the same-shaped update carries the
+    prior value forward, and (c) ages idle keys out of the final
+    aggregate entirely. The oracle replays the persisted-watermark rule
+    batch by batch in DuckDB (wm_k = max committed event time; a row is
+    invisible when ts < wm - horizon). Default-off semantics are
+    untouched: ttl=None remains the reference's idle-state-retention-0
+    behavior (sql-client-conf.yaml:16-17), regression-pinned
+    byte-for-byte in tests/test_statestore.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks import ParquetUpsertSink
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources import read_cdc_file_stream
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming import run_compacted_aggregate
+
+    wire = _ttl_wire(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_ttl_streamed_")
+    try:
+        src_dir = os.path.join(work, "src")
+        os.makedirs(src_dir)
+        # one file per history step, mtime-ordered so the file source
+        # serves them as three successive micro-batches (distinct
+        # mtimes are load-bearing, maxFilesPerTrigger=1)
+        now = 1_700_000_000
+        for step in (1, 2, 3):
+            step_dir = os.path.join(work, f"w{step}")
+            wire.filter(F.col("_step") == step).select("value").coalesce(
+                1
+            ).write.mode("overwrite").text(step_dir)
+            part = next(p for p in os.listdir(step_dir) if p.startswith("part-"))
+            dst = os.path.join(src_dir, f"batch{step}.txt")
+            shutil.move(os.path.join(step_dir, part), dst)
+            os.utime(dst, (now + step * 60, now + step * 60))
+        stream = read_cdc_file_stream(spark, src_dir, max_files_per_trigger=1)
+        flat = project_flat(
+            parse_cdc(stream, _TTL_ROW_SCHEMA),
+            "customers_ttl",
+            ["id", "val"],
+            keep_unavailable=True,
+        ).withColumn("grp", F.pmod(F.col("id"), F.lit(10)).cast("long"))
+        sink = ParquetUpsertSink(os.path.join(work, "sink"), key_cols=["grp"], refresh=True)
+        q = run_compacted_aggregate(
+            flat,
+            state_dir=os.path.join(work, "state"),
+            key_cols=["id"],
+            seq_cols=["ts_ms", "lsn"],
+            group_cols=["grp"],
+            op_col="op",
+            agg_exprs=[
+                F.count(F.lit(1)).alias("live_keys"),
+                F.count("val").alias("val_keys"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+            ],
+            sink=sink,
+            query_name="cdc_ttl_streamed",
+            n_buckets=8,
+            unavailable_col="unavailable",
+            ttl_col="ts_ms",
+            ttl=_TTL_HORIZON,
+        )
+        q.processAllAvailable()
+        q.stop()
+        pdf = (
+            sink.read(spark)
+            .select(
+                F.col("grp").cast("bigint").alias("grp"),
+                F.col("live_keys").cast("bigint").alias("live_keys"),
+                F.col("val_keys").cast("bigint").alias("val_keys"),
+                "min_val",
+                "max_val",
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "grp bigint, live_keys bigint, val_keys bigint, min_val string, max_val string"
+    )
+
+
 def _toast_wal2json_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed per-event rows for the wal2json TOAST history — the same
     four-group semantics as `_toast_wire` (shared oracle), but carrying

@@ -181,18 +181,27 @@ class PostgresCDCConfig:
                     return options[n]
             return default
 
+        # every multi-word option accepts both spellings: snake_case
+        # and camelCase (which the lower-casing above folds to one
+        # unbroken word). Before this, a camelCase 'pluginName' (etc.)
+        # normalized to 'pluginname', matched nothing, and was
+        # SILENTLY ignored — with the pgoutput default that would
+        # silently aim a pgoutput reader at a wal2json setup
+        # (ADVICE r11).
         return cls(
             hostname=options.get("hostname", "localhost"),
             port=int(options.get("port", "5432")),
             database=options.get("database", "experiment"),
             username=options.get("username", "postgres"),
             password=options.get("password", ""),
-            schema_list=split(options.get("schema_list", "public")),
-            table_list=split(options.get("table_list", "")),
-            slot_name=options.get("slot_name", cls.slot_name),
-            plugin_name=options.get("plugin_name", cls.plugin_name),
-            publication_names=options.get("publication_names", cls.publication_names),
-            poll_batch_size=int(options.get("poll_batch_size", "1000")),
+            schema_list=split(opt("schema_list", "schemalist", default="public")),
+            table_list=split(opt("table_list", "tablelist", default="")),
+            slot_name=opt("slot_name", "slotname", default=cls.slot_name),
+            plugin_name=opt("plugin_name", "pluginname", default=cls.plugin_name),
+            publication_names=opt(
+                "publication_names", "publicationnames", default=cls.publication_names
+            ),
+            poll_batch_size=int(opt("poll_batch_size", "pollbatchsize", default="1000")),
             snapshot_chunk_size=int(
                 opt("snapshot_chunk_size", "snapshotchunksize", default="10000")
             ),
@@ -340,16 +349,40 @@ class PostgresReplicationClient:
             host=c.hostname, port=c.port, dbname=c.database, user=c.username, password=c.password
         )
 
-    def ensure_slot(self) -> bool:  # pragma: no cover - needs server
+    def ensure_slot(self) -> bool:
         """Create the replication slot if absent. Returns True if this
         call created it (fresh start), False if it already existed
-        (restart of a previous incarnation)."""
+        (restart of a previous incarnation).
+
+        An existing slot must decode with the CONFIGURED plugin: a
+        slot's output plugin is fixed at creation, so a restarted
+        deployment whose slot was created under a different default
+        (e.g. wal2json, before the pgoutput default flip) would
+        otherwise fail deep inside the first peek with an opaque
+        server error. Diagnose the mismatch here instead (ADVICE r11).
+        """
         with self._connect() as conn, conn.cursor() as cur:
             cur.execute(
-                "SELECT 1 FROM pg_replication_slots WHERE slot_name = %s",
+                "SELECT plugin FROM pg_replication_slots WHERE slot_name = %s",
                 (self.config.slot_name,),
             )
-            if cur.fetchone() is not None:
+            row = cur.fetchone()
+            if row is not None:
+                existing = row[0]
+                if existing != self.config.plugin_name:
+                    raise RuntimeError(
+                        f"replication slot {self.config.slot_name!r} already "
+                        f"exists with output plugin {existing!r}, but this "
+                        f"reader is configured for "
+                        f"{self.config.plugin_name!r}. A slot's plugin is "
+                        f"fixed at creation: either set "
+                        f"plugin_name={existing!r} to keep the slot (and its "
+                        f"retained WAL position), or drop it with "
+                        f"pg_drop_replication_slot("
+                        f"'{self.config.slot_name}') / choose a new "
+                        f"slot_name to restart decoding under "
+                        f"{self.config.plugin_name!r}."
+                    )
                 return False
             cur.execute(
                 "SELECT pg_create_logical_replication_slot(%s, %s)",

@@ -38,7 +38,8 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog imp
     compact_latest,
     resolve_unavailable,
 )
-from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import BUCKET_COL, GenerationalStateStore
+from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import BUCKET_COL
 
 
 
@@ -150,6 +151,8 @@ def run_compacted_aggregate(
     query_name: str = "compacted_aggregate",
     n_buckets: int = 64,
     unavailable_col: str | None = None,
+    ttl_col: str | None = None,
+    ttl: int | None = None,
 ):
     """The reference's full stage-2 (upsert table → GROUP BY count →
     JDBC upsert, StreamingJobWithCustomDeserializer.java:156-194) as a
@@ -162,6 +165,17 @@ def run_compacted_aggregate(
     batch_id)``. Restart-safe: the checkpoint tracks source progress,
     the merge is idempotent (last-write-wins by seq), and a replayed
     batch rewrites the same generation.
+
+    ``ttl_col``/``ttl`` (both None by default = the reference's
+    idle-state-retention-0 semantics, sql-client-conf.yaml:16-17)
+    opt the state into an event-time horizon via
+    :class:`~.state_ttl.TTLStateStore`: a key whose stored row's
+    ``ttl_col`` falls more than ``ttl`` behind the store's persisted
+    watermark becomes invisible to the merge and the aggregate — a
+    later change for it lands as a fresh insert (and a marked TOAST
+    column on that change resolves to NULL, having no surviving seed).
+    Replay-deterministic: the watermark is the max committed event
+    time, never a wall clock.
     """
     if "_src_rank" in stream.columns:
         # reserved internal tiebreak name: withColumn below would
@@ -175,8 +189,16 @@ def run_compacted_aggregate(
             "before compacting."
         )
     spark = stream.sparkSession
-    store = GenerationalStateStore(
-        spark, os.path.join(state_dir, "state"), key_cols, n_buckets=n_buckets
+    # TTLStateStore with ttl=None is behavior-identical to the base
+    # store (regression-tested byte-for-byte), so the default path is
+    # unchanged reference semantics.
+    store = TTLStateStore(
+        spark,
+        os.path.join(state_dir, "state"),
+        key_cols,
+        n_buckets=n_buckets,
+        ttl_col=ttl_col,
+        ttl=ttl,
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:

@@ -41,7 +41,7 @@ import json
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import GenerationalStateStore
+from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import BUCKET_COL, GenerationalStateStore
 
 
 class TTLStateStore(GenerationalStateStore):
@@ -70,10 +70,12 @@ class TTLStateStore(GenerationalStateStore):
             return None
         return json.loads(self._io.read_text(p)).get("watermark")
 
-    def _advance_watermark(self, candidate: int | None) -> None:
+    def _advance_watermark(self, candidate: int | None, prev: int | None) -> None:
+        """``prev`` is the watermark read at the start of the commit —
+        passed in so one commit reads ``_ttl.json`` exactly once (the
+        store is single-writer: only commit ever advances it)."""
         if candidate is None:
             return
-        prev = self._watermark()
         if prev is not None and prev >= candidate:
             return  # monotone; also makes commit replay idempotent
         self._io.write_text_atomic(
@@ -82,8 +84,7 @@ class TTLStateStore(GenerationalStateStore):
             json.dumps({"watermark": int(candidate)}),
         )
 
-    def _expiry_filter(self, df: DataFrame) -> DataFrame:
-        wm = self._watermark()
+    def _expiry_filter(self, df: DataFrame, wm: int | None) -> DataFrame:
         if wm is None:
             return df
         # NULL event times never expire (a row without one gives the
@@ -98,30 +99,42 @@ class TTLStateStore(GenerationalStateStore):
         state = super().read(buckets=buckets)
         if state is None or self.ttl is None:
             return state
-        return self._expiry_filter(state)
+        return self._expiry_filter(state, self._watermark())
 
     def commit(self, df: DataFrame, touched_buckets: list[int], version: int) -> None:
         if self.ttl is None:
             super().commit(df, touched_buckets, version)
             return
+        wm = self._watermark()
         # physically drop rows already expired by the PREVIOUS
         # watermark from the buckets being rewritten (no extra pass —
         # the filter rides the generation write); rows expiring only
         # under THIS commit's watermark stay on disk but are hidden by
         # read()'s filter until their bucket is next rewritten
-        super().commit(self._expiry_filter(df), touched_buckets, version)
+        super().commit(self._expiry_filter(df, wm), touched_buckets, version)
         # advance the watermark from the generation just written — a
         # bounded columnar max over the touched buckets, not a second
-        # evaluation of the (lazy) merge plan
+        # evaluation of the (lazy) merge plan. The read-back is
+        # restricted to the touched buckets the generation OWNS
+        # (partition pruning on _bucket=): an owning generation's
+        # directory can also hold rows for buckets it wrote but has
+        # since lost to a newer generation, and those must not feed
+        # the max (harmless for monotonicity, but an unpruned extra
+        # scan per generation — ADVICE r11).
         manifest = self._current_manifest()
-        gens = {manifest["buckets"][str(b)] for b in touched_buckets if str(b) in manifest["buckets"]}
+        gen_buckets: dict[str, list[int]] = {}
+        for b in touched_buckets:
+            gen = manifest["buckets"].get(str(b))
+            if gen is not None:
+                gen_buckets.setdefault(gen, []).append(int(b))
         candidate = None
-        for gen in sorted(gens):
+        for gen, bs in sorted(gen_buckets.items()):
             row = (
                 self.spark.read.parquet(f"{self.root}/{gen}")
+                .filter(F.col(BUCKET_COL).isin(bs))
                 .agg(F.max(self.ttl_col))
                 .collect()[0]
             )
             if row[0] is not None:
                 candidate = row[0] if candidate is None else max(candidate, row[0])
-        self._advance_watermark(candidate)
+        self._advance_watermark(candidate, prev=wm)

@@ -1025,3 +1025,111 @@ def test_wal2json_omission_diff_property():
         assert "unavailable" not in dele and dele["op"] == "d" and dele["after"] is None
 
     check()
+
+
+# -- ADVICE r11: option spellings + slot plugin diagnosis ----------------
+
+
+def test_config_from_options_accepts_camelcase_spellings():
+    """Spark DataSource entry paths may or may not lower-case option
+    keys; every multi-word option must land under BOTH snake_case and
+    camelCase. Before the fix a camelCase 'pluginName' normalized to
+    'pluginname', matched nothing, and was silently dropped — which,
+    with the pgoutput default, silently aimed a pgoutput reader at a
+    wal2json deployment (ADVICE r11)."""
+    cfg = PostgresCDCConfig.from_options(
+        {
+            "pluginName": "wal2json",
+            "slotName": "my_slot",
+            "publicationNames": "pub_a,pub_b",
+            "pollBatchSize": "77",
+            "schemaList": "s1, s2",
+            "tableList": "users",
+        }
+    )
+    assert cfg.plugin_name == "wal2json"
+    assert cfg.slot_name == "my_slot"
+    assert cfg.publication_names == "pub_a,pub_b"
+    assert cfg.poll_batch_size == 77
+    assert cfg.schema_list == ["s1", "s2"]
+    assert cfg.table_list == ["users"]
+    # snake_case spellings keep working unchanged
+    snake = PostgresCDCConfig.from_options(
+        {"plugin_name": "wal2json", "slot_name": "s", "publication_names": "p"}
+    )
+    assert (snake.plugin_name, snake.slot_name, snake.publication_names) == (
+        "wal2json", "s", "p",
+    )
+
+
+class _SlotCursor:
+    """Cursor fake for the ensure_slot conversation: answers the
+    pg_replication_slots plugin probe, records every statement."""
+
+    def __init__(self, plugin_row):
+        self.plugin_row = plugin_row
+        self.executed = []
+
+    def execute(self, sql, params=None):
+        self.executed.append(sql)
+
+    def fetchone(self):
+        return self.plugin_row
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _SlotConn:
+    def __init__(self, cursor):
+        self._cursor = cursor
+
+    def cursor(self):
+        return self._cursor
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def _client_with_cursor(cursor, plugin_name="pgoutput"):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import PostgresReplicationClient
+
+    client = PostgresReplicationClient(PostgresCDCConfig(plugin_name=plugin_name))
+    client._connect = lambda: _SlotConn(cursor)
+    return client
+
+
+def test_ensure_slot_rejects_existing_slot_with_other_plugin():
+    """A slot's output plugin is fixed at creation: a restarted
+    deployment whose slot predates the pgoutput default flip must get
+    a mismatch diagnosis naming both plugins and the remedies, not an
+    opaque decode error from the first peek (ADVICE r11)."""
+    cur = _SlotCursor(("wal2json",))
+    client = _client_with_cursor(cur)
+    with pytest.raises(RuntimeError) as err:
+        client.ensure_slot()
+    msg = str(err.value)
+    assert "wal2json" in msg and "pgoutput" in msg
+    assert "pg_drop_replication_slot" in msg
+    # the probe ran, slot creation did NOT
+    assert len(cur.executed) == 1 and "pg_replication_slots" in cur.executed[0]
+
+
+def test_ensure_slot_existing_slot_with_matching_plugin_is_reused():
+    cur = _SlotCursor(("pgoutput",))
+    client = _client_with_cursor(cur)
+    assert client.ensure_slot() is False  # reused, not created
+    assert len(cur.executed) == 1
+
+
+def test_ensure_slot_creates_when_absent():
+    cur = _SlotCursor(None)
+    client = _client_with_cursor(cur, plugin_name="wal2json")
+    assert client.ensure_slot() is True
+    assert any("pg_create_logical_replication_slot" in s for s in cur.executed)

@@ -423,3 +423,27 @@ def test_ttl_savepoint_excludes_expired_rows(spark, tmp_path):
         spark, sp, str(tmp_path / "state2"), ["k"]
     )
     assert {(r["k"], r["v"]) for r in restored.read().collect()} == {(2, "new")}
+
+
+def test_ttl_watermark_read_back_is_bucket_scoped_per_generation(spark, tmp_path):
+    """The commit-time watermark advance reads back each owning
+    generation restricted to the touched buckets it OWNS (partition-
+    pruned isin — ADVICE r11: an owning generation's directory can
+    also hold rows for buckets it has since lost to newer commits,
+    and those must not feed the scan). Multi-generation layouts must
+    keep producing the exact monotone watermark."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    store = TTLStateStore(
+        spark, str(tmp_path / "state"), ["k"], n_buckets=4, ttl_col="ts", ttl=10_000
+    )
+    _ttl_commit(spark, store, [(k, f"v{k}", 100 * k) for k in range(1, 9)], 0)
+    assert store._watermark() == 800
+    # rewrite one key's bucket: gen-1 owns only that bucket, while
+    # gen-0's directory still physically holds every original row
+    _ttl_commit(spark, store, [(1, "v1b", 150)], 1)
+    assert store._watermark() == 800  # scoped max never regresses it
+    # a commit touching buckets owned by DIFFERENT generations: the
+    # read-back groups touched buckets by owning generation
+    _ttl_commit(spark, store, [(1, "v1c", 900), (2, "v2b", 50)], 2)
+    assert store._watermark() == 900

@@ -1,0 +1,33 @@
+"""Regression tests for the local verification tooling."""
+
+from __future__ import annotations
+
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def test_verify_local_unknown_query_name_is_a_hard_error():
+    """A requested name that matches no registered query must abort
+    with a non-zero exit naming the offender — before the fix it was
+    silently skipped and the run printed '0 failures' having run
+    NOTHING, a vacuous pass indistinguishable from a real one
+    (VERDICT r11 #3). The gate fires before any Spark session."""
+    res = subprocess.run(
+        [
+            sys.executable,
+            "tools/verify_local.py",
+            "/root/testdata/sf0.001",
+            "definitely_not_a_query",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=120,
+    )
+    assert res.returncode == 2
+    assert "definitely_not_a_query" in res.stdout
+    assert "unknown query name" in res.stdout
+    assert "0 failures" not in res.stdout

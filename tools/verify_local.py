@@ -77,6 +77,15 @@ def main() -> int:
     strict_types = "--strict-types" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
+    # A name that matches no registered query must be a hard error,
+    # not a silent skip: before this check, a misspelled argument
+    # yielded "0 failures" with ZERO queries run — a vacuous pass that
+    # reads exactly like a real one (VERDICT r11 #3). Checked before
+    # the Spark session so the typo fails in milliseconds.
+    unknown = sorted(only - set(QUERIES))
+    if unknown:
+        print(f"ERROR: unknown query name(s) {unknown}: not in the registry; ran nothing")
+        return 2
     spark = get_session("verify_local")
     con = duckdb.connect()
     for t in TABLES:
