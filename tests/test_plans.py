@@ -850,9 +850,11 @@ def test_cdc_schema_drift_breadth_parse_once_two_exchanges(spark):
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, (name, plan)
 
 
-def test_r11_window_batch_rows_no_rowwise_python_no_cartesian(spark):
+def test_window_batch_rows_no_rowwise_python_no_cartesian(spark):
     """Window-wide scale-discipline sweep: every BATCH row of the
-    round-11 driver window compiles to a plan with NO row-at-a-time
+    CURRENT driver window (the first 50 registered queries, so the
+    sweep re-targets itself each rotation) compiles to a plan with NO
+    row-at-a-time
     Python UDF (BatchEvalPython) and NO cartesian product — the two
     plan shapes that silently stop scaling at 100 TB. (Streamed /
     engine-driven rows are excluded: they return materialized results

@@ -1492,3 +1492,27 @@ def test_default_plugin_is_pgoutput_end_to_end_live(scratch):
         logging.getLogger("experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc").removeHandler(handler)
     assert not any("REPLICA IDENTITY FULL" in m for m in records)
     _run_protocol(reader, scratch)
+
+
+def test_ensure_slot_plugin_mismatch_diagnosed_live(scratch):
+    """ADVICE r11: an existing slot was created under one output
+    plugin; a reader configured for another must get a descriptive
+    mismatch diagnosis from ensure_slot (naming both plugins and the
+    remedies) instead of an opaque server error at the first peek.
+    Uses the built-in test_decoding plugin as the pre-existing one so
+    the scenario runs on stock Postgres."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import PostgresReplicationClient
+
+    scratch["cur"].execute(
+        "SELECT pg_create_logical_replication_slot(%s, %s)",
+        (scratch["slot"], "test_decoding"),
+    )
+    client = PostgresReplicationClient(_config(scratch, plugin="pgoutput"))
+    with pytest.raises(RuntimeError) as err:
+        client.ensure_slot()
+    msg = str(err.value)
+    assert "test_decoding" in msg and "pgoutput" in msg
+    assert "pg_drop_replication_slot" in msg
+    # same-plugin restart path stays a quiet reuse on a real server
+    client2 = PostgresReplicationClient(_config(scratch, plugin="test_decoding"))
+    assert client2.ensure_slot() is False
