@@ -491,3 +491,25 @@ def test_resolve_unavailable_matches_pure_python_fold(spark):
             for e in expected
         }
         assert got == want, f"seed {seed}: divergence"
+
+
+def test_cdc_ttl_streamed_ttl_is_load_bearing(spark):
+    """Non-vacuity pin for the graded TTL query: the horizon must
+    visibly change the answer. At sf0.001 (customer keys 1..150):
+    only g0/g1 keys (c_custkey % 4 in {0, 1}) survive the final
+    visibility horizon — idle g2/g3 keys age out — and exactly the
+    g0 keys carry a resolved value while every g1 key resurrected
+    from expired state with a NULL-resolved carry, so val_keys <
+    live_keys in aggregate (a no-TTL run would keep all 150 keys
+    live and resolve every marked update)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES
+
+    rows = QUERIES["cdc_ttl_streamed"](spark, "/root/testdata/sf0.001").collect()
+    live = sum(r["live_keys"] for r in rows)
+    with_val = sum(r["val_keys"] for r in rows)
+    keys = range(0, 150)  # sf0.001 customer keys are 0..149
+    expect_live = sum(1 for k in keys if k % 4 in (0, 1))
+    expect_val = sum(1 for k in keys if k % 4 == 0)
+    assert live == expect_live          # g2/g3 aged out of the aggregate
+    assert with_val == expect_val       # g1 resurrected with NULL carry
+    assert with_val < live              # the expiry is value-visible

@@ -1133,3 +1133,38 @@ def test_ensure_slot_creates_when_absent():
     client = _client_with_cursor(cur, plugin_name="wal2json")
     assert client.ensure_slot() is True
     assert any("pg_create_logical_replication_slot" in s for s in cur.executed)
+
+
+def test_config_from_options_spelling_equivalence_property():
+    """Property pin for the option-spelling contract (ADVICE r11):
+    for ANY subset of multi-word options, the camelCase rendering of
+    each key yields the exact same config as the snake_case one —
+    so no entry path can silently drop a setting again."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    multiword = {
+        "schema_list": "sa, sb",
+        "table_list": "users,orders",
+        "slot_name": "slot_x",
+        "plugin_name": "wal2json",
+        "publication_names": "p1,p2",
+        "poll_batch_size": "17",
+        "snapshot_chunk_size": "123",
+        "snapshot_chunks_per_trigger": "5",
+        "wal_rows_per_partition": "77",
+        "progress_table": "public._prog_x",
+    }
+
+    def camel(k: str) -> str:
+        head, *rest = k.split("_")
+        return head + "".join(w.capitalize() for w in rest)
+
+    @given(st.sets(st.sampled_from(sorted(multiword))))
+    @settings(max_examples=60, deadline=None)
+    def check(keys):
+        snake = {k: multiword[k] for k in keys}
+        camelled = {camel(k): multiword[k] for k in keys}
+        assert PostgresCDCConfig.from_options(snake) == PostgresCDCConfig.from_options(camelled)
+
+    check()

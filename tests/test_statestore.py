@@ -447,3 +447,35 @@ def test_ttl_watermark_read_back_is_bucket_scoped_per_generation(spark, tmp_path
     # read-back groups touched buckets by owning generation
     _ttl_commit(spark, store, [(1, "v1c", 900), (2, "v2b", 50)], 2)
     assert store._watermark() == 900
+
+
+def test_ttl_commit_reads_watermark_exactly_once(spark, tmp_path):
+    """One commit consults the persisted watermark file exactly once
+    (it is read up-front and threaded through the expiry filter and
+    the monotone advance) — the store is single-writer, so re-reads
+    inside one commit were pure redundant tiny-file I/O."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    store = TTLStateStore(
+        spark, str(tmp_path / "state"), ["k"], n_buckets=4, ttl_col="ts", ttl=100
+    )
+    _ttl_commit(spark, store, [(1, "a", 0), (2, "b", 50)], 0)
+
+    calls = {"n": 0}
+    orig = TTLStateStore._watermark
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    TTLStateStore._watermark = counting
+    try:
+        df = store.with_bucket(
+            spark.createDataFrame([(1, "a2", 120)], "k long, v string, ts long")
+        )
+        touched = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+        store.commit(df, touched, 1)
+    finally:
+        TTLStateStore._watermark = orig
+    assert calls["n"] == 1
+    assert store._watermark() == 120
