@@ -106,12 +106,23 @@ class TTLStateStore(GenerationalStateStore):
             super().commit(df, touched_buckets, version)
             return
         wm = self._watermark()
-        # physically drop rows already expired by the PREVIOUS
-        # watermark from the buckets being rewritten (no extra pass —
-        # the filter rides the generation write); rows expiring only
-        # under THIS commit's watermark stay on disk but are hidden by
-        # read()'s filter until their bucket is next rewritten
-        super().commit(self._expiry_filter(df, wm), touched_buckets, version)
+        # The generation is written UNFILTERED. Physical expiry still
+        # happens on every bucket rewrite with no extra pass: the
+        # merge that produced ``df`` read prior state through read(),
+        # which is expiry-filtered, so expired rows vanish from a
+        # bucket the first time it is rewritten after their horizon
+        # passes. Filtering ``df`` itself here (as this method
+        # originally did) would only additionally drop batch rows
+        # that ARRIVE already expired — but when every row of the
+        # touched buckets is such a straggler the generation comes
+        # out physically EMPTY (zero parquet files, no schema to
+        # infer) and any later read of a bucket it owns fails; the
+        # property test's falsifying example. Already-expired
+        # arrivals are permanently invisible to read() anyway (the
+        # watermark is monotone) and survive at most one generation:
+        # the next rewrite of their bucket merges through the
+        # filtered read and drops them.
+        super().commit(df, touched_buckets, version)
         # advance the watermark from the generation just written — a
         # bounded columnar max over the touched buckets, not a second
         # evaluation of the (lazy) merge plan. The read-back is

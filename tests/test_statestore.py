@@ -479,3 +479,133 @@ def test_ttl_commit_reads_watermark_exactly_once(spark, tmp_path):
         TTLStateStore._watermark = orig
     assert calls["n"] == 1
     assert store._watermark() == 120
+
+
+def test_ttl_store_matches_pure_python_model_property(spark, tmp_path):
+    """Cross-implementation property pin for event-time TTL: random
+    event histories (keys × distinct event times, optional no-ts rows,
+    late arrivals) split across random micro-batch boundaries, merged
+    through a TTLStateStore, must match a ~20-line pure-Python replay
+    of the contract: wm_k = max committed event time; state expired at
+    a merge when ts < wm - ttl (it neither seeds the merge nor rides
+    the rewrite); no-ts rows never expire; final visibility is
+    ts >= wm_final - ttl. This test's original falsifying example —
+    an all-late batch whose commit-time filter produced a physically
+    EMPTY, schema-less generation that broke every later read — is
+    why commits now write the batch unfiltered (see
+    TTLStateStore.commit) and is pinned separately below."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    def model(batches, ttl):
+        wm = None
+        state = {}  # k -> (v, ts)
+        for batch in batches:
+            horizon = None if wm is None else wm - ttl
+            keys = {k for k, _, _ in batch}
+            for k in keys:
+                cand = [(v, ts) for kk, v, ts in batch if kk == k]
+                s = state.get(k)
+                if s is not None and (
+                    s[1] is None or horizon is None or s[1] >= horizon
+                ):
+                    cand.append(s)
+                state[k] = max(
+                    cand, key=lambda r: -(1 << 62) if r[1] is None else r[1]
+                )
+            # already-expired arrivals are WRITTEN (hidden forever by
+            # the visibility filter): their ts is below wm, so they
+            # also never advance the watermark
+            committed = [state[k][1] for k in keys if state[k][1] is not None]
+            if committed:
+                wm = max(committed) if wm is None else max(wm, max(committed))
+        if wm is None:
+            return dict(state), None
+        vis = {
+            k: (v, ts)
+            for k, (v, ts) in state.items()
+            if ts is None or ts >= wm - ttl
+        }
+        return vis, wm
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # key
+            st.integers(min_value=0, max_value=30),         # ts (or None below)
+        ),
+        min_size=1,
+        max_size=10,
+        unique=True,  # distinct (k, ts): no merge ties
+    )
+    seq = {"n": 0}
+
+    @given(
+        events,
+        st.lists(st.integers(min_value=0, max_value=2), min_size=10, max_size=10),
+        st.integers(min_value=2, max_value=12),
+        st.integers(min_value=0, max_value=3),
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(evs, batch_of, ttl, none_key):
+        rows = []
+        seen_none = False
+        for i, (k, ts) in enumerate(evs):
+            if not seen_none and k == none_key:
+                rows.append((k, f"v{k}:none", None, batch_of[i]))
+                seen_none = True
+            else:
+                rows.append((k, f"v{k}:{ts}", ts, batch_of[i]))
+        batches = [
+            [(k, v, ts) for k, v, ts, b in rows if b == bi] for bi in range(3)
+        ]
+        batches = [b for b in batches if b]
+        seq["n"] += 1
+        root = str(tmp_path / f"m{seq['n']}")  # fresh store per example
+        store = TTLStateStore(
+            spark, root, ["k"], n_buckets=4, ttl_col="ts", ttl=ttl
+        )
+        for v, batch in enumerate(batches):
+            _ttl_commit(spark, store, batch, v)
+        expect, wm = model(batches, ttl)
+        got = {r["k"]: (r["v"], r["ts"]) for r in store.read().collect()}
+        assert got == expect, (batches, ttl, got, expect)
+        assert store._watermark() == wm
+
+    check()
+
+
+def test_ttl_all_late_batch_never_publishes_unreadable_generation(spark, tmp_path):
+    """Deterministic pin of the property test's falsifying example: a
+    micro-batch consisting ENTIRELY of rows already expired under the
+    committed watermark. The original commit-time expiry filter wrote
+    that generation with zero rows — zero parquet files, no schema to
+    infer — and every later read touching a bucket it owned failed
+    with UNABLE_TO_INFER_SCHEMA (including the very next merge's
+    prev-read, so the pipeline could never self-heal). Commits now
+    write the batch unfiltered: the straggler stays invisible and is
+    dropped on the bucket's next rewrite."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    store = TTLStateStore(
+        spark, str(tmp_path / "state"), ["k"], n_buckets=4, ttl_col="ts", ttl=2
+    )
+    _ttl_commit(spark, store, [(0, "v0:3", 3)], 0)  # watermark -> 3
+    _ttl_commit(spark, store, [(1, "v1:0", 0)], 1)  # every row late-expired
+    # the straggler is invisible (ts 0 < 3 - 2) and never advanced the
+    # watermark; the store — including gen-1's bucket — stays readable
+    assert {(r["k"], r["ts"]) for r in store.read().collect()} == {(0, 3)}
+    assert store._watermark() == 3
+    # a later change for the late key still lands as a fresh insert
+    # and rewrites the straggler away
+    _ttl_commit(spark, store, [(1, "reborn", 4)], 2)
+    assert {(r["k"], r["v"]) for r in store.read().collect()} == {
+        (0, "v0:3"),
+        (1, "reborn"),
+    }
+    assert store._watermark() == 4
