@@ -1516,3 +1516,98 @@ def test_ensure_slot_plugin_mismatch_diagnosed_live(scratch):
     # same-plugin restart path stays a quiet reuse on a real server
     client2 = PostgresReplicationClient(_config(scratch, plugin="test_decoding"))
     assert client2.ensure_slot() is False
+
+
+def test_streaming_engine_event_time_ttl_live(scratch, spark):
+    """Opt-in event-time state TTL end to end against a real server
+    (VERDICT r11 #4's production shape): the registered postgres_cdc
+    DataSource tails a scratch table through pgoutput while
+    run_compacted_aggregate(ttl_col=, ttl=) maintains the aggregate
+    over a TTLStateStore. The horizon rides a DATA column (ets), so
+    expiry is deterministic despite real wall-clock WAL timestamps:
+    keys age out of the live aggregate as the watermark passes them,
+    and a change to an expired key lands as a fresh insert."""
+    import tempfile
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.envelope import parse_cdc, project_flat
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import register
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import run_compacted_aggregate
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    _setup_plugin(scratch, "pgoutput")
+    cur = scratch["cur"]
+    cur.execute(
+        f'CREATE TABLE "{scratch["schema"]}".ttl_events '
+        f"(id BIGINT PRIMARY KEY, val TEXT, ets BIGINT)"
+    )
+    cur.execute(
+        f'INSERT INTO "{scratch["schema"]}".ttl_events VALUES '
+        f"(1, 'one', 100), (2, 'two', 150)"
+    )
+    register(spark)
+    p = _dsn_params()
+    work = tempfile.mkdtemp(prefix="cdc_live_ttl_")
+    stream = (
+        spark.readStream.format("postgres_cdc")
+        .option("hostname", p.get("host", "localhost"))
+        .option("port", p.get("port", "5432"))
+        .option("database", p.get("dbname", "postgres"))
+        .option("username", p.get("user", "postgres"))
+        .option("password", p.get("password", ""))
+        .option("schema_list", scratch["schema"])
+        .option("table_list", "ttl_events")
+        .option("slot_name", scratch["slot"])
+        .option("plugin_name", "pgoutput")
+        .option("publication_names", scratch["pub"])
+        .load()
+    )
+    row_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("val", StringType()),
+            StructField("ets", LongType()),
+        ]
+    )
+    flat = project_flat(
+        parse_cdc(stream.select("value"), row_schema), "ttl_events", ["id", "val", "ets"]
+    ).withColumn("g", F.lit("all"))
+    got = {}
+
+    def capture(df, batch_id):
+        got["last"] = {(r["g"], r["live_keys"]) for r in df.collect()}
+
+    q = run_compacted_aggregate(
+        flat,
+        state_dir=f"{work}/state",
+        key_cols=["id"],
+        seq_cols=["ts_ms", "lsn"],
+        group_cols=["g"],
+        op_col="op",
+        agg_exprs=[F.count(F.lit(1)).alias("live_keys")],
+        sink=capture,
+        checkpoint_dir=f"{work}/ckpt",
+        query_name="live_ttl",
+        n_buckets=4,
+        ttl_col="ets",
+        ttl=100,
+    )
+    try:
+        q.processAllAvailable()
+        # snapshot: watermark 150, horizon 50 — both keys visible
+        assert got["last"] == {("all", 2)}
+        cur.execute(
+            f'INSERT INTO "{scratch["schema"]}".ttl_events VALUES (3, \'three\', 300)'
+        )
+        q.processAllAvailable()
+        # watermark 300, horizon 200: keys 1 and 2 aged out
+        assert got["last"] == {("all", 1)}
+        cur.execute(
+            f'UPDATE "{scratch["schema"]}".ttl_events SET val = \'reborn\', ets = 310 '
+            f"WHERE id = 1"
+        )
+        q.processAllAvailable()
+        # the expired key's update resurrects it as a fresh insert
+        assert got["last"] == {("all", 2)}
+    finally:
+        q.stop()

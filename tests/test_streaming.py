@@ -1038,10 +1038,14 @@ def test_run_compacted_aggregate_event_time_ttl(spark, tmp_path):
 
     stream = read_cdc_file_stream(spark, str(d), max_files_per_trigger=1)
     flat = project_flat(parse_cdc(stream, schema), "t1", ["id", "val"], keep_unavailable=True)
-    got = {}
+    got = {"plans": []}
 
     def sink(df, batch_id):
         got["last"] = {(r["id"], r["n"], r["val"]) for r in df.collect()}
+        # scale-discipline pin for the TTL path: the per-batch
+        # merge→expire→aggregate plan stays JVM-side (no row-at-a-time
+        # Python) and join-free (no cartesian)
+        got["plans"].append(df._jdf.queryExecution().executedPlan().toString())
 
     q = run_compacted_aggregate(
         flat,
@@ -1061,3 +1065,7 @@ def test_run_compacted_aggregate_event_time_ttl(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert got["last"] == {(1, 1, None), (2, 1, "two")}
+    assert len(got["plans"]) == 2
+    for plan in got["plans"]:
+        assert "BatchEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
