@@ -1069,3 +1069,94 @@ def test_run_compacted_aggregate_event_time_ttl(spark, tmp_path):
     for plan in got["plans"]:
         assert "BatchEvalPython" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_run_compacted_aggregate_ttl_watermark_survives_engine_restart(spark, tmp_path):
+    """The TTL watermark must survive a full engine restart (new
+    streaming query, same checkpoint + state dir): batch 2 arrives
+    only AFTER a stop/start, and its merge must expire a key against
+    the watermark committed BEFORE the restart. The assertion
+    distinguishes persistence — if the watermark were lost, the
+    restarted merge would see no horizon, the key's prior state would
+    survive, and its marked TOAST update would resolve to the old
+    value instead of NULL."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType()), StructField("val", StringType())])
+
+    def env(id_, op, val, ts, lsn, marked=False):
+        row = {"id": id_, "val": val}
+        e = {
+            "before": row if op in ("u", "d") else None,
+            "after": None if op == "d" else row,
+            "source": {
+                "version": "t", "connector": "postgresql", "name": "t",
+                "ts_ms": ts, "db": "d", "schema": "s1", "table": "t1",
+                "txId": lsn, "lsn": lsn,
+            },
+            "op": op,
+            "ts_ms": ts,
+        }
+        if marked:
+            e["unavailable"] = ["val"]
+        return _json.dumps(e)
+
+    d = tmp_path / "src"
+    d.mkdir()
+    now = 1_700_000_000
+    (d / "b1.txt").write_text(
+        "\n".join([env(1, "c", "one", 0, 1), env(2, "c", "two", 150, 2)]) + "\n"
+    )
+    os.utime(d / "b1.txt", (now - 60, now - 60))
+    got = {}
+
+    def sink(df, batch_id):
+        got["last"] = {(r["id"], r["val"]) for r in df.collect()}
+
+    def start():
+        stream = read_cdc_file_stream(spark, str(d), max_files_per_trigger=1)
+        flat = project_flat(
+            parse_cdc(stream, schema), "t1", ["id", "val"], keep_unavailable=True
+        )
+        return run_compacted_aggregate(
+            flat,
+            state_dir=str(tmp_path / "state"),
+            key_cols=["id"],
+            seq_cols=["ts_ms", "lsn"],
+            group_cols=["id"],
+            op_col="op",
+            agg_exprs=[F.min("val").alias("val")],
+            sink=sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            query_name="ttl_restart_test",
+            n_buckets=4,
+            unavailable_col="unavailable",
+            ttl_col="ts_ms",
+            ttl=100,
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    # the aggregate runs AFTER the commit advanced the watermark to
+    # 150, so key 1 (ts 0 < 150 - 100) is already aged out of it
+    assert got["last"] == {(2, "two")}
+
+    # batch 2 exists only after the restart: key 1 (ts 0) must be
+    # judged against the PERSISTED watermark 150 -> expired -> its
+    # marked update resurrects with a NULL-resolved carry
+    (d / "b2.txt").write_text(
+        "\n".join(
+            [env(1, "u", None, 300, 11, marked=True), env(3, "c", "three", 300, 12)]
+        )
+        + "\n"
+    )
+    os.utime(d / "b2.txt", (now, now))
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    # final wm 300, horizon 200: key 2 (ts 150) aged out of the
+    # aggregate; key 1 carries NULL, proving the pre-restart horizon
+    assert got["last"] == {(1, None), (3, "three")}
