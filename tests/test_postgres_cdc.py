@@ -1168,3 +1168,14 @@ def test_config_from_options_spelling_equivalence_property():
         assert PostgresCDCConfig.from_options(snake) == PostgresCDCConfig.from_options(camelled)
 
     check()
+
+
+def test_config_from_options_snake_case_wins_when_both_spellings_present():
+    """Documented precedence: when a caller passes BOTH spellings of
+    one option, the snake_case one wins (opt() probes names in
+    declaration order) — pinned so the tiebreak never silently
+    flips."""
+    cfg = PostgresCDCConfig.from_options(
+        {"plugin_name": "wal2json", "pluginName": "pgoutput"}
+    )
+    assert cfg.plugin_name == "wal2json"

@@ -609,3 +609,19 @@ def test_ttl_all_late_batch_never_publishes_unreadable_generation(spark, tmp_pat
         (1, "reborn"),
     }
     assert store._watermark() == 4
+
+
+def test_statestore_reads_are_partition_pruned_to_owned_buckets(spark, tmp_path):
+    """Plan pin for the scale claim behind the generational layout —
+    per-batch read I/O is O(touched buckets), not O(total state): a
+    bucket-scoped read compiles to a FileScan whose PartitionFilters
+    carry the `_bucket` predicate, so only the owned `_bucket=`
+    directories are listed and read. The TTL watermark read-back uses
+    the identical parquet-read + isin-filter shape, so this pins that
+    path's pruning too."""
+    store = _mk(spark, tmp_path, n_buckets=4)
+    _commit_rows(spark, store, [(k, f"v{k}") for k in range(20)], version=0)
+    df = store.read(buckets=[1])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert BUCKET_COL in plan.split("PartitionFilters", 1)[1][:200], plan

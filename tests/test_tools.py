@@ -31,3 +31,25 @@ def test_verify_local_unknown_query_name_is_a_hard_error():
     assert "definitely_not_a_query" in res.stdout
     assert "unknown query name" in res.stdout
     assert "0 failures" not in res.stdout
+
+
+def test_verify_local_unknown_flag_is_a_hard_error():
+    """Same foot-gun class as the unknown-name check: a misspelled
+    flag (--strict-type) used to be silently ignored, running the
+    whole gate WITHOUT the strictness the caller asked for."""
+    res = subprocess.run(
+        [
+            sys.executable,
+            "tools/verify_local.py",
+            "--strict-type",
+            "/root/testdata/sf0.001",
+            "tpch_q1",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=120,
+    )
+    assert res.returncode == 2
+    assert "--strict-type" in res.stdout
+    assert "0 failures" not in res.stdout

@@ -74,6 +74,15 @@ PORTABLE_TYPES = {
 
 def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # same foot-gun class as the unknown-name check below: a
+    # misspelled flag (--strict-type) would silently run WITHOUT the
+    # type gate — the strictness the caller asked for vacuously off
+    unknown_flags = sorted(
+        {a for a in sys.argv[1:] if a.startswith("--")} - {"--strict-types"}
+    )
+    if unknown_flags:
+        print(f"ERROR: unknown flag(s) {unknown_flags}: only --strict-types is supported; ran nothing")
+        return 2
     strict_types = "--strict-types" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
