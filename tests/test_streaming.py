@@ -1160,3 +1160,88 @@ def test_run_compacted_aggregate_ttl_watermark_survives_engine_restart(spark, tm
     # final wm 300, horizon 200: key 2 (ts 150) aged out of the
     # aggregate; key 1 carries NULL, proving the pre-restart horizon
     assert got["last"] == {(1, None), (3, "three")}
+
+
+def test_run_compacted_aggregate_ttl_full_compaction_drops_expired_everywhere(spark, tmp_path):
+    """TTL × the LSM-style major compaction: once generation buildup
+    reaches max_generations, the next micro-batch rewrites ALL buckets
+    from the expiry-filtered full-state read — so keys that expired in
+    never-again-touched buckets are physically gone after the
+    compaction, the manifest collapses to one generation, and the
+    aggregate reflects only the horizon-visible keys."""
+    import json as _json
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import GenerationalStateStore
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType()), StructField("val", StringType())])
+
+    d = tmp_path / "src"
+    d.mkdir()
+    now = 1_700_000_000
+    # nine single-event batches whose keys land in NINE DISTINCT
+    # buckets at n_buckets=16 (precomputed from xxhash64 — gen_count
+    # counts distinct owning generations, so reaching the default
+    # max_generations=8 needs ≥8 distinct buckets each owned by its
+    # own generation; the 9th batch is then promoted to a full
+    # compaction). Event time = rank*100.
+    keys = [1, 2, 3, 4, 5, 6, 7, 9, 11]
+    for rank, kid in enumerate(keys, start=1):
+        e = {
+            "before": None,
+            "after": {"id": kid, "val": f"v{kid}"},
+            "source": {
+                "version": "t", "connector": "postgresql", "name": "t",
+                "ts_ms": rank * 100, "db": "d", "schema": "s1", "table": "t1",
+                "txId": rank, "lsn": rank,
+            },
+            "op": "c",
+            "ts_ms": rank * 100,
+        }
+        f = d / f"b{rank}.txt"
+        f.write_text(_json.dumps(e) + "\n")
+        os.utime(f, (now + rank * 60, now + rank * 60))
+
+    stream = read_cdc_file_stream(spark, str(d), max_files_per_trigger=1)
+    flat = project_flat(parse_cdc(stream, schema), "t1", ["id", "val"]).withColumn(
+        "g", F.lit("all")
+    )
+    got = {}
+
+    def sink(df, batch_id):
+        got["last"] = {(r["g"], r["live_keys"]) for r in df.collect()}
+
+    q = run_compacted_aggregate(
+        flat,
+        state_dir=str(tmp_path / "state"),
+        key_cols=["id"],
+        seq_cols=["ts_ms", "lsn"],
+        group_cols=["g"],
+        op_col="op",
+        agg_exprs=[F.count(F.lit(1)).alias("live_keys")],
+        sink=sink,
+        query_name="ttl_full_compaction_test",
+        n_buckets=16,
+        ttl_col="ts_ms",
+        ttl=250,
+    )
+    q.processAllAvailable()
+    q.stop()
+    # final watermark 900, horizon 650: ranks 7-9 (ids 7, 9, 11) visible
+    assert got["last"] == {("all", 3)}
+    store = GenerationalStateStore(
+        spark, str(tmp_path / "state" / "state"), ["id"], n_buckets=16
+    )
+    # the major compaction collapsed ownership to ONE generation...
+    assert store.gen_count() == 1
+    # ...and PHYSICALLY dropped every key already expired when it ran
+    # (wm 800, horizon 550 at the batch-9 merge: ranks 1-5 gone from
+    # disk even though their buckets were never touched again; rank 6
+    # (id 6) was alive then, so it rode the rewrite and is merely
+    # hidden now)
+    gen = set(store._current_manifest()["buckets"].values()).pop()
+    on_disk = {
+        r["id"]
+        for r in spark.read.parquet(f"{tmp_path}/state/state/{gen}").collect()
+    }
+    assert on_disk == {6, 7, 9, 11}
