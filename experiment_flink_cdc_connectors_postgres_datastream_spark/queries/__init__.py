@@ -49,8 +49,14 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 # (both _sampled twins + the PQ rerank variant + bpe_pair_counts),
 # per the standing r10 #5 contract; (5) remaining 20 slots start the
 # round-7 rows — the 19 displaced round-7 rows lead the r13 rotation
-# and are named at the end. Everything outside the window stays
-# registered and locally verified via tools/verify_local.py.
+# and are named at the end. One post-freeze fix this round (the TTL
+# commit no longer writes a physically-empty generation on an
+# all-late batch — found by a model-based property test) touched only
+# streaming/state_ttl.py, whose complete graded consumer set — the
+# four wrappers in (1) plus cdc_ttl_streamed in (2) — was already in
+# this window, so the regrade set is unchanged. Everything outside
+# the window stays registered and locally verified via
+# tools/verify_local.py.
 _PRIORITY = [
     # --- (1) code path changed since the last grade (ADVICE r11) ---
     # sources/postgres_cdc.py: from_options camelCase spellings +
