@@ -53,3 +53,24 @@ def test_verify_local_unknown_flag_is_a_hard_error():
     assert res.returncode == 2
     assert "--strict-type" in res.stdout
     assert "0 failures" not in res.stdout
+
+
+def test_verify_local_value_hash_invariants():
+    """The comparator that gates every local grade: the hash must be
+    invariant under row order AND column order (the driver sorts
+    columns by name before hashing), must distinguish different
+    values, and must distinguish a value moving between columns."""
+    sys.path.insert(0, str(REPO))
+    from tools.verify_local import value_hash
+
+    rows = [(1, "a"), (2, "b")]
+    h = value_hash(rows, ["x", "y"])
+    # row order irrelevant
+    assert value_hash([(2, "b"), (1, "a")], ["x", "y"]) == h
+    # column order irrelevant when values move with their names
+    assert value_hash([("a", 1), ("b", 2)], ["y", "x"]) == h
+    # different values -> different hash
+    assert value_hash([(1, "a"), (2, "c")], ["x", "y"]) != h
+    # same values under swapped NAMES -> different hash (a value
+    # landing in the wrong column must not collide)
+    assert value_hash(rows, ["y", "x"]) != h
