@@ -188,6 +188,31 @@ class PostgresCDCConfig:
         # SILENTLY ignored — with the pgoutput default that would
         # silently aim a pgoutput reader at a wal2json setup
         # (ADVICE r11).
+        #
+        # Any OTHER unrecognized key is the same vacuous-
+        # misconfiguration class ('plugn_name' would silently run with
+        # the pgoutput default) and fails loudly instead (ADVICE r12),
+        # excluding keys the DataSource read path itself supplies
+        # (`path`/`paths` from .load(path)) rather than the user's
+        # config.
+        known = {
+            "hostname", "port", "database", "username", "password",
+            "schema_list", "schemalist", "table_list", "tablelist",
+            "slot_name", "slotname", "plugin_name", "pluginname",
+            "publication_names", "publicationnames",
+            "poll_batch_size", "pollbatchsize",
+            "snapshot_chunk_size", "snapshotchunksize",
+            "snapshot_chunks_per_trigger", "snapshotchunkspertrigger",
+            "wal_rows_per_partition", "walrowsperpartition",
+            "progress_table", "progresstable",
+        }
+        passthrough = {"path", "paths"}
+        unknown = sorted(set(options) - known - passthrough)
+        if unknown:
+            raise ValueError(
+                f"postgres_cdc: unrecognized option(s) {unknown}; known options "
+                f"(snake_case or camelCase): {sorted(known)}"
+            )
         return cls(
             hostname=options.get("hostname", "localhost"),
             port=int(options.get("port", "5432")),

@@ -385,6 +385,20 @@ class ParquetCdcBenchClient(ParquetSnapshotClient):
         )
 
 
+#: option keys the BENCH clients consume themselves (parquet path,
+#: logical table name, key columns, durable state file). They are
+#: stripped before the rest is handed to PostgresCDCConfig.from_options,
+#: which rejects keys it does not recognize (ADVICE r12) — the config
+#: only ever sees the production pacing/connection options.
+_CLIENT_OPTION_KEYS = frozenset({"path", "table", "pk", "state_path"})
+
+
+def _bench_config(opts: dict[str, str]) -> "PostgresCDCConfig":
+    return PostgresCDCConfig.from_options(
+        {k: v for k, v in opts.items() if k not in _CLIENT_OPTION_KEYS}
+    )
+
+
 if _HAS_DATASOURCE_API:
     from pyspark.sql.datasource import DataSource
 
@@ -404,7 +418,7 @@ if _HAS_DATASOURCE_API:
 
         def streamReader(self, schema) -> PostgresCDCStreamReader:
             opts = {k.lower(): v for k, v in dict(self.options).items()}
-            cfg = PostgresCDCConfig.from_options(opts)
+            cfg = _bench_config(opts)
             client = ParquetSnapshotClient(
                 opts.get("path", ""),
                 opts.get("table", "events"),
@@ -430,7 +444,7 @@ if _HAS_DATASOURCE_API:
 
         def streamReader(self, schema) -> PostgresCDCStreamReader:
             opts = {k.lower(): v for k, v in dict(self.options).items()}
-            cfg = PostgresCDCConfig.from_options(opts)
+            cfg = _bench_config(opts)
             client = ParquetCdcBenchClient(
                 opts.get("path", ""),
                 opts.get("table", "events"),
@@ -456,7 +470,7 @@ if _HAS_DATASOURCE_API:
 
         def streamReader(self, schema) -> PostgresCDCStreamReader:
             opts = {k.lower(): v for k, v in dict(self.options).items()}
-            cfg = PostgresCDCConfig.from_options(opts)
+            cfg = _bench_config(opts)
             client = ParquetWalClient(
                 opts.get("path", ""),
                 opts.get("table", "events"),

@@ -41,7 +41,7 @@ import json
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import BUCKET_COL, GenerationalStateStore
+from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import GenerationalStateStore
 
 
 class TTLStateStore(GenerationalStateStore):
@@ -119,33 +119,32 @@ class TTLStateStore(GenerationalStateStore):
         # infer) and any later read of a bucket it owns fails; the
         # property test's falsifying example. Already-expired
         # arrivals are permanently invisible to read() anyway (the
-        # watermark is monotone) and survive at most one generation:
-        # the next rewrite of their bucket merges through the
-        # filtered read and drops them.
+        # watermark is monotone). They are physically purged the next
+        # time their bucket is rewritten; a straggler in a bucket
+        # never touched again persists on disk only until the next
+        # max_generations-triggered full compaction, whose merge reads
+        # the ENTIRE state through the expiry-filtered read() and so
+        # drops it (ADVICE r12) — a bounded space/scan cost, never a
+        # correctness one.
         super().commit(df, touched_buckets, version)
+        if not touched_buckets:
+            return
         # advance the watermark from the generation just written — a
-        # bounded columnar max over the touched buckets, not a second
-        # evaluation of the (lazy) merge plan. The read-back is
-        # restricted to the touched buckets the generation OWNS
-        # (partition pruning on _bucket=): an owning generation's
-        # directory can also hold rows for buckets it wrote but has
-        # since lost to a newer generation, and those must not feed
-        # the max (harmless for monotonicity, but an unpruned extra
-        # scan per generation — ADVICE r11).
+        # bounded columnar max, not a second evaluation of the (lazy)
+        # merge plan. Single-generation invariant (ADVICE r12 removed
+        # the dead per-generation grouping here): super().commit just
+        # re-pointed EVERY touched bucket at the one generation it
+        # wrote, and that directory physically holds only the touched
+        # buckets' rows — so the read-back is exactly one scan of one
+        # directory.
         manifest = self._current_manifest()
-        gen_buckets: dict[str, list[int]] = {}
-        for b in touched_buckets:
-            gen = manifest["buckets"].get(str(b))
-            if gen is not None:
-                gen_buckets.setdefault(gen, []).append(int(b))
-        candidate = None
-        for gen, bs in sorted(gen_buckets.items()):
-            row = (
-                self.spark.read.parquet(f"{self.root}/{gen}")
-                .filter(F.col(BUCKET_COL).isin(bs))
-                .agg(F.max(self.ttl_col))
-                .collect()[0]
-            )
-            if row[0] is not None:
-                candidate = row[0] if candidate is None else max(candidate, row[0])
-        self._advance_watermark(candidate, prev=wm)
+        gens = {manifest["buckets"][str(b)] for b in touched_buckets}
+        assert len(gens) == 1, (
+            f"touched buckets span generations immediately after commit: {sorted(gens)}"
+        )
+        row = (
+            self.spark.read.parquet(f"{self.root}/{gens.pop()}")
+            .agg(F.max(self.ttl_col))
+            .collect()[0]
+        )
+        self._advance_watermark(row[0], prev=wm)

@@ -1179,3 +1179,30 @@ def test_config_from_options_snake_case_wins_when_both_spellings_present():
         {"plugin_name": "wal2json", "pluginName": "pgoutput"}
     )
     assert cfg.plugin_name == "wal2json"
+
+
+def test_config_from_options_rejects_unrecognized_keys():
+    """A misspelled option ('plugn_name') is the same vacuous-
+    misconfiguration class the camelCase fix closed — it would
+    silently run with the pgoutput default against a wal2json setup.
+    from_options now fails loudly, naming the offending keys and the
+    known spellings (ADVICE r12)."""
+    with pytest.raises(ValueError) as err:
+        PostgresCDCConfig.from_options({"plugn_name": "wal2json"})
+    msg = str(err.value)
+    assert "plugn_name" in msg and "plugin_name" in msg
+    # several unknowns are all named at once (sorted), case-folded
+    # exactly like the known-spelling match is
+    with pytest.raises(ValueError) as err:
+        PostgresCDCConfig.from_options({"pluginNme": "x", "hostnme": "h"})
+    assert "hostnme" in str(err.value) and "pluginnme" in str(err.value)
+
+
+def test_config_from_options_passthrough_keys_are_not_rejected():
+    """`path`/`paths` come from the DataSource read API itself
+    (.load(path)), not the user's config — they must pass through the
+    unknown-key gate untouched."""
+    cfg = PostgresCDCConfig.from_options(
+        {"path": "/tmp/out", "hostname": "h", "pluginName": "wal2json"}
+    )
+    assert cfg.hostname == "h" and cfg.plugin_name == "wal2json"

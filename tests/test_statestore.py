@@ -426,11 +426,14 @@ def test_ttl_savepoint_excludes_expired_rows(spark, tmp_path):
 
 
 def test_ttl_watermark_read_back_is_bucket_scoped_per_generation(spark, tmp_path):
-    """The commit-time watermark advance reads back each owning
-    generation restricted to the touched buckets it OWNS (partition-
-    pruned isin — ADVICE r11: an owning generation's directory can
-    also hold rows for buckets it has since lost to newer commits,
-    and those must not feed the scan). Multi-generation layouts must
+    """The commit-time watermark advance reads back ONLY the
+    generation just written — one pruned scan of one directory, which
+    physically holds only the touched buckets' rows. (ADVICE r12
+    removed the dead per-generation grouping here: immediately after
+    commit, the manifest maps every touched bucket to that one
+    generation, an invariant the commit now asserts.) Rows that older
+    generations' directories still physically hold for buckets they
+    have since lost never feed the max, and multi-generation layouts
     keep producing the exact monotone watermark."""
     from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
 
@@ -440,11 +443,13 @@ def test_ttl_watermark_read_back_is_bucket_scoped_per_generation(spark, tmp_path
     _ttl_commit(spark, store, [(k, f"v{k}", 100 * k) for k in range(1, 9)], 0)
     assert store._watermark() == 800
     # rewrite one key's bucket: gen-1 owns only that bucket, while
-    # gen-0's directory still physically holds every original row
+    # gen-0's directory still physically holds every original row —
+    # reading back gen-1 alone must not regress the watermark
     _ttl_commit(spark, store, [(1, "v1b", 150)], 1)
-    assert store._watermark() == 800  # scoped max never regresses it
-    # a commit touching buckets owned by DIFFERENT generations: the
-    # read-back groups touched buckets by owning generation
+    assert store._watermark() == 800  # monotone: 150 < 800 advances nothing
+    # a commit spanning buckets previously owned by different
+    # generations: post-commit both belong to the new generation and
+    # its directory alone carries the new max
     _ttl_commit(spark, store, [(1, "v1c", 900), (2, "v2b", 50)], 2)
     assert store._watermark() == 900
 

@@ -1245,3 +1245,128 @@ def test_run_compacted_aggregate_ttl_full_compaction_drops_expired_everywhere(sp
         for r in spark.read.parquet(f"{tmp_path}/state/state/{gen}").collect()
     }
     assert on_disk == {6, 7, 9, 11}
+
+
+def _ttl_env_json(id_, op, val, ts, lsn, marked=False):
+    """Debezium-style envelope for the TTL × tombstone pins. A delete
+    carries a REPLICA IDENTITY FULL before-image (the realistic wire
+    shape — and the carry-seed hazard the op-aware guard exists for)."""
+    import json as _json
+
+    row = {"id": id_, "val": val}
+    e = {
+        "before": row if op in ("u", "d") else None,
+        "after": None if op == "d" else row,
+        "source": {
+            "version": "t", "connector": "postgresql", "name": "t",
+            "ts_ms": ts, "db": "d", "schema": "s1", "table": "t1",
+            "txId": lsn, "lsn": lsn,
+        },
+        "op": op,
+        "ts_ms": ts,
+    }
+    if marked:
+        e["unavailable"] = ["val"]
+    return _json.dumps(e)
+
+
+def _run_ttl_tombstone_pipeline(spark, tmp_path, batches, ttl):
+    """Shared harness for the TTL × tombstone pins: one file per
+    micro-batch, run through run_compacted_aggregate with op_col +
+    unavailable_col + the event-time horizon; returns (final sink
+    rows keyed (id, live_keys, val), persisted watermark, store)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType()), StructField("val", StringType())])
+    d = tmp_path / "src"
+    d.mkdir()
+    now = 1_700_000_000
+    for i, lines in enumerate(batches, start=1):
+        f = d / f"b{i}.txt"
+        f.write_text("\n".join(lines) + "\n")
+        os.utime(f, (now + i * 60, now + i * 60))
+    stream = read_cdc_file_stream(spark, str(d), max_files_per_trigger=1)
+    flat = project_flat(parse_cdc(stream, schema), "t1", ["id", "val"], keep_unavailable=True)
+    got = {}
+
+    def sink(df, batch_id):
+        got["last"] = {(r["id"], r["n"], r["val"]) for r in df.collect()}
+
+    q = run_compacted_aggregate(
+        flat,
+        state_dir=str(tmp_path / "state"),
+        key_cols=["id"],
+        seq_cols=["ts_ms", "lsn"],
+        group_cols=["id"],
+        op_col="op",
+        agg_exprs=[F.count(F.lit(1)).alias("n"), F.min("val").alias("val")],
+        sink=sink,
+        query_name="ttl_tombstone_test",
+        n_buckets=4,
+        unavailable_col="unavailable",
+        ttl_col="ts_ms",
+        ttl=ttl,
+    )
+    q.processAllAvailable()
+    q.stop()
+    store = TTLStateStore(
+        spark, str(tmp_path / "state" / "state"), ["id"], n_buckets=4,
+        ttl_col="ts_ms", ttl=ttl,
+    )
+    return got["last"], store._watermark(), store
+
+
+def test_ttl_tombstone_for_expired_key_never_resurrects_or_seeds_carry(spark, tmp_path):
+    """VERDICT r12 #4, scenario 1: a tombstone arriving for an
+    ALREADY-EXPIRED key. The delete must land on empty state (nothing
+    resurrects), the stored tombstone — whose before-image carries the
+    old value, the realistic REPLICA IDENTITY FULL shape — must never
+    seed a later marked update's TOAST carry (the op-aware guard,
+    cdc/changelog.resolve_unavailable), and the watermark must advance
+    from the tombstone's committed event time like any other row's."""
+    batches = [
+        # b1: key 1 @0 (will expire), key 2 @280 (drives the watermark)
+        [_ttl_env_json(1, "c", "one", 0, 1), _ttl_env_json(2, "c", "two", 280, 2)],
+        # b2 merge under wm=280, horizon=180: key 1's state is EXPIRED;
+        # the tombstone (before-image val='one') lands on empty state
+        [_ttl_env_json(1, "d", "one", 300, 11)],
+        # b3 merge under wm=300, horizon=200: the tombstone is ALIVE in
+        # state — a marked update must resolve NULL from it, not 'one'
+        [_ttl_env_json(1, "u", None, 400, 21, marked=True)],
+    ]
+    last, wm, store = _run_ttl_tombstone_pipeline(spark, tmp_path, batches, ttl=100)
+    # final: key 1 resurrected live with NULL-resolved carry; key 2
+    # (idle since 280 < 400-100) aged out of the aggregate entirely
+    assert last == {(1, 1, None)}
+    # the tombstone's commit advanced the watermark (300), then the
+    # marked update's (400) — max committed event time, nothing else
+    assert wm == 400
+    rows = {r["id"]: r for r in store.read().collect()}
+    assert rows[1]["op"] == "u" and rows[1]["val"] is None
+
+
+def test_ttl_tombstone_that_expires_before_next_rewrite_stays_dead(spark, tmp_path):
+    """VERDICT r12 #4, scenario 2: a tombstone that ITSELF expires
+    before its key's next event. The expired tombstone must neither
+    resurrect state nor seed the TOAST carry — the later marked
+    update lands as a fresh insert whose carry resolves to NULL, and
+    the final aggregate contains exactly the horizon-visible keys."""
+    batches = [
+        [_ttl_env_json(1, "c", "one", 0, 1), _ttl_env_json(2, "c", "two", 0, 2)],
+        # b2: late tombstone for key 1 (@50, before-image 'one') plus
+        # key 2's update @200 driving the watermark to 200
+        [_ttl_env_json(1, "d", "one", 50, 11), _ttl_env_json(2, "u", "two2", 200, 12)],
+        # b3 merge under wm=200, horizon=100: the tombstone (@50) is
+        # EXPIRED — key 1's marked update finds no state at all
+        [_ttl_env_json(1, "u", None, 300, 21, marked=True)],
+    ]
+    last, wm, store = _run_ttl_tombstone_pipeline(spark, tmp_path, batches, ttl=100)
+    # key 1 resurrects as a live insert with NULL val; key 2 (@200 >=
+    # 300-100) stays visible with its updated value
+    assert last == {(1, 1, None), (2, 1, "two2")}
+    assert wm == 300
+    rows = {r["id"]: r for r in store.read().collect()}
+    assert rows[1]["op"] == "u" and rows[1]["val"] is None
+    assert rows[2]["val"] == "two2"
