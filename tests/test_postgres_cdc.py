@@ -1206,3 +1206,74 @@ def test_config_from_options_passthrough_keys_are_not_rejected():
         {"path": "/tmp/out", "hostname": "h", "pluginName": "wal2json"}
     )
     assert cfg.hostname == "h" and cfg.plugin_name == "wal2json"
+
+
+def test_config_from_options_unknown_key_gate_property():
+    """Property pin for the unknown-key gate (ADVICE r12): ANY subset
+    of known options (either spelling) + passthrough keys parses, and
+    adding ANY key outside the known/passthrough sets — including
+    near-misses like a trailing 's' or a dropped letter — raises a
+    ValueError that names every offender. The gate can neither
+    false-positive on valid configs nor silently admit a typo."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    known = {
+        "hostname": "h", "port": "5433", "database": "db",
+        "username": "u", "password": "pw",
+        "schema_list": "s1,s2", "table_list": "t1",
+        "slot_name": "sl", "plugin_name": "wal2json",
+        "publication_names": "p1", "poll_batch_size": "9",
+        "snapshot_chunk_size": "77", "snapshot_chunks_per_trigger": "3",
+        "wal_rows_per_partition": "55", "progress_table": "public._p",
+    }
+
+    def camel(k: str) -> str:
+        head, *rest = k.split("_")
+        return head + "".join(w.capitalize() for w in rest)
+
+    bad_keys = st.sampled_from(
+        ["plugn_name", "pluginNames", "hostnme", "slot", "tables",
+         "snapshot_chunksize", "pollbatch_size", "user", "dbname"]
+    )
+
+    @given(
+        st.sets(st.sampled_from(sorted(known))),
+        st.booleans(),
+        st.booleans(),
+        st.sets(bad_keys, max_size=3),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(keys, use_camel, with_path, bads):
+        opts = {(camel(k) if use_camel else k): known[k] for k in keys}
+        if with_path:
+            opts["path"] = "/tmp/x"
+        PostgresCDCConfig.from_options(dict(opts))  # valid subset parses
+        if bads:
+            poisoned = dict(opts)
+            for b in bads:
+                poisoned[b] = "x"
+            with pytest.raises(ValueError) as err:
+                PostgresCDCConfig.from_options(poisoned)
+            for b in bads:
+                assert b.lower() in str(err.value)
+
+    check()
+
+
+def test_bench_sources_strip_client_keys_before_option_gate():
+    """The bench DataSources consume path/table/pk/state_path
+    themselves and must strip them before the config parse — while a
+    misspelled PACING option on a bench source still trips the
+    unknown-key gate loudly (the same vacuous-misconfiguration class:
+    'snapshotChunkSze' would otherwise silently bench the default
+    chunk size)."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.snapshot_bench import _bench_config
+
+    cfg = _bench_config(
+        {"path": "/tmp/x.parquet", "table": "events", "pk": "event_id",
+         "state_path": "/tmp/s.json", "snapshotchunksize": "4096"}
+    )
+    assert cfg.snapshot_chunk_size == 4096
+    with pytest.raises(ValueError, match="snapshotchunksze"):
+        _bench_config({"path": "/tmp/x.parquet", "snapshotChunkSze": "4096"})
