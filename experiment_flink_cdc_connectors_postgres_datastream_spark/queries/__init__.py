@@ -27,71 +27,78 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 # The correctness driver grades the FIRST 50 registered queries, in
 # registration order. Cumulative coverage is complete: every
 # registered query has a green driver CORRECTNESS row at its latest
-# grade; the r10, r11 and r12 windows were all 50/50 green (the
-# registry-wide rows-only count stays 3 by documented contract; each
-# trio row was graded in the same window as its value-graded twins in
-# r12, closing the standing r10 #5 contract). Round-13 window policy
-# (same rotation contract as r4-r12, shared graded helpers FROZEN
-# after the round's first commit per VERDICT r11 #2):
+# grade; the r10-r13 windows were all 50/50 green (the registry-wide
+# rows-only count stays 3 by documented contract). Round-14 window
+# policy (same rotation contract as r4-r13, shared graded helpers
+# FROZEN after the round's first commit per VERDICT r11 #2):
 # (1) every query whose code path OR oracle changed since its last
-# grade re-enters — sources/postgres_cdc.py's from_options now fails
-# loudly on unrecognized option keys (ADVICE r12: the five
-# source-family rows construct readers through that module), and
-# streaming/state_ttl.py's commit-time watermark read-back collapsed
-# to a single pruned scan of the generation just written under an
-# asserted single-generation invariant (ADVICE r12: the five
-# run_compacted_aggregate wrappers, cdc_ttl_streamed included, sit on
-# that path);
-# (2) the round-13 addition `cdc_ttl_restart_streamed` (VERDICT r12
-# #7 — the TTL watermark's restart survival under the value hash:
-# kill between batches 2 and 3, resume from checkpoint, same oracle
-# as cdc_ttl_streamed);
-# (3) the 19 round-7 rows displaced from the r12 window, exactly as
+# grade re-enters — (a) sources/postgres_cdc.py's known-option set is
+# now DERIVED from the config dataclass fields and
+# sources/snapshot_bench.py's client keys accept camelCase spellings
+# (ADVICE r13: the five source-family rows construct readers through
+# those modules); (b) streaming/state_ttl.py's single-generation
+# invariant is an explicit raise, not a strippable assert (ADVICE
+# r13: the six run_compacted_aggregate wrappers sit on that path),
+# and sources/bus_upsert.py gained the unknown-option-key gate
+# (VERDICT r13 #3: bus_roundtrip_streamed constructs through it —
+# already in (1b); the three batch-half bus rows are round-9 rotation
+# rows and lead section (4));
+# (2) the round-14 addition `cdc_ttl_wal2json_streamed` (VERDICT r13
+# #8 — the TTL pipeline fed through the wal2json identity-vs-columns
+# omission diff, same oracle as cdc_ttl_streamed: the unavailable
+# markers and the resurrect-as-NULL carry graded through BOTH wire
+# formats);
+# (3) the 15 round-8 rows displaced from the r13 window, exactly as
 # promised there — the rotation's stalest-row age bound moves to
-# round 8;
-# (4) remaining 20 slots start the round-8 rows, leading with the
-# VERDICT-named ones (orc_roundtrip, funnel_conversion,
-# retention_cohorts, curation_pipeline, the streamed-window family)
-# then alphabetical. Everything outside the window stays registered
-# and locally verified via tools/verify_local.py.
+# round 9;
+# (4) remaining 23 slots start the round-9 rows: the three bus rows
+# pulled by the bus_upsert gate first, then the VERDICT-named ones
+# (cdc_schema_evolution, dedup_edit_distance,
+# quality_quantile_calibration), then alphabetical. Everything
+# outside the window stays registered and locally verified via
+# tools/verify_local.py.
 _PRIORITY = [
-    # --- (1a) code path changed since the last grade (ADVICE r12) ---
-    # sources/postgres_cdc.py: from_options rejects unrecognized
-    # option keys — the five source-family rows construct readers
-    # through that module
+    # --- (1a) code path changed since the last grade (ADVICE r13) ---
+    # sources/postgres_cdc.py: known-option set derived from the
+    # dataclass fields; sources/snapshot_bench.py: camelCase client
+    # keys — the five source-family rows construct readers through
+    # those modules
     "cdc_wal_tail", "cdc_wal_tail_resume", "cdc_snapshot_chunked",
     "cdc_snapshot_resume", "cdc_snapshot_tail_handoff",
-    # --- (1b) streaming/state_ttl.py watermark read-back simplified
-    # (ADVICE r12) — run_compacted_aggregate's graded wrappers regrade
+    # --- (1b) streaming/state_ttl.py invariant assert -> raise
+    # (ADVICE r13) — run_compacted_aggregate's graded wrappers
+    # regrade; bus_roundtrip_streamed is additionally pulled by the
+    # bus_upsert unknown-option gate (VERDICT r13 #3)
     "cdc_pipeline_streamed", "bus_roundtrip_streamed",
     "changelog_agg_multi_streamed", "cdc_toast_pipeline_streamed",
-    "cdc_ttl_streamed",
-    # --- (2) new in round 13 (VERDICT r12 #7) ---
-    "cdc_ttl_restart_streamed",
-    # --- (3) the 19 round-7 rows, the promised r13 front of the line ---
-    "csv_roundtrip", "cube_counts", "customers_without_orders",
-    "grouping_sets_count", "interval_join_counts", "json_extract_props",
-    "jsonl_roundtrip", "length_band_filter", "multimodal_feature_topk",
-    "multimodal_meta", "percentile_by_type", "pivot_counts",
-    "repetition_ratio", "shard_assignment", "tokens_to_ids",
-    "train_val_test_split", "type_token_ratio", "udaf_weighted_mean",
-    "window_rank_family",
-    # --- (4) round-8 rows, 20 of 35: VERDICT-named first, then A-Z ---
-    "orc_roundtrip", "funnel_conversion", "retention_cohorts",
-    "curation_pipeline", "tumbling_window_streamed",
-    "session_window_streamed", "stream_static_join_streamed",
-    "stream_stream_join_streamed",
-    "changelog_agg_multi", "changelog_diff", "compact_latest",
-    "count_live_by", "count_live_by_salted", "dedup_exact",
-    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_streamed", "dup_degree_histogram", "embedding_matryoshka",
-    # Still outside the window, last green in round 8, displaced to
-    # the FRONT of the r14 rotation: event_sequence_ngrams,
-    # hard_negatives_topk, mixture_sample, mixture_sample_hash,
-    # multi_resolution_rollup, quality_logreg_score,
-    # recency_decay_weights, salted_agg_demo, salted_join_agg,
-    # schema_merge_roundtrip, sessionization_gap, tumbling_window,
-    # word_entropy, xml_roundtrip, zscore_outliers.
+    "cdc_ttl_streamed", "cdc_ttl_restart_streamed",
+    # --- (2) new in round 14 (VERDICT r13 #8) ---
+    "cdc_ttl_wal2json_streamed",
+    # --- (3) the 15 round-8 rows, the promised r14 front of the line ---
+    "event_sequence_ngrams", "hard_negatives_topk", "mixture_sample",
+    "mixture_sample_hash", "multi_resolution_rollup",
+    "quality_logreg_score", "recency_decay_weights", "salted_agg_demo",
+    "salted_join_agg", "schema_merge_roundtrip", "sessionization_gap",
+    "tumbling_window", "word_entropy", "xml_roundtrip",
+    "zscore_outliers",
+    # --- (4) round-9 rows, 23 of 35: the bus rows pulled by the
+    # bus_upsert gate, then VERDICT-named, then A-Z ---
+    "bus_table_compact", "bus_roundtrip_pipeline", "bus_wire_frames",
+    "cdc_schema_evolution", "dedup_edit_distance",
+    "quality_quantile_calibration",
+    "boilerplate_removal", "cdc_live_count_stateful",
+    "cdc_parse_envelope", "cdc_pipeline", "cdc_two_table_join",
+    "dedup_normalized_exact", "dedup_within_watermark_streamed",
+    "doc_length_histogram", "epoch_shuffle", "lang_confusion_matrix",
+    "mad_outliers", "monthly_order_stats", "ngram_coverage_curve",
+    "ngram_novelty", "normalize_text", "ntile_quartiles",
+    "sequence_packing_stats",
+    # Still outside the window, last green in round 9, displaced to
+    # the FRONT of the r15 rotation: session_window,
+    # stratified_sample, string_functions, tpch_q16,
+    # tumbling_window_late_streamed, unigram_kl_by_source,
+    # variant_extract, window_first_last, window_moving_avg,
+    # window_running_sum, winsorized_stats, zorder_layout.
 ]
 
 

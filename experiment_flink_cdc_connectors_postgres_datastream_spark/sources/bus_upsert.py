@@ -332,6 +332,36 @@ class BusSpoolBatchReader(DataSourceReader):
         return self._stream.read(partition)
 
 
+#: every option the bus source consumes, lower-cased (`path` — the
+#: spool directory; `maxFilesPerTrigger` — per-trigger pacing,
+#: lower-casing folds the camelCase spelling). `maxFilesPerTrigger`
+#: is accepted by BOTH halves and is a documented no-op on the batch
+#: half — the same contract Spark's own file source gives the option
+#: of the same name.
+_KNOWN_OPTION_KEYS = frozenset({"path", "maxfilespertrigger"})
+
+#: keys the DataSource read API itself supplies (.load(path)) rather
+#: than the user's config — never rejected (same exclusions as
+#: postgres_cdc's gate).
+_PASSTHROUGH_KEYS = frozenset({"paths"})
+
+
+def _validated_options(options: dict[str, str]) -> dict[str, str]:
+    """Lower-case option keys and reject unrecognized ones (the
+    vacuous-misconfiguration gate postgres_cdc got in ADVICE r12,
+    extended here per VERDICT r13 #3): before this, a typo'd
+    `maxFilesPerTrigge` silently ran the stream unpaced, and a
+    misspelled `path` key silently read an empty spool."""
+    opts = {k.lower(): v for k, v in options.items()}
+    unknown = sorted(set(opts) - _KNOWN_OPTION_KEYS - _PASSTHROUGH_KEYS)
+    if unknown:
+        raise ValueError(
+            f"bus_upsert: unrecognized option(s) {unknown}; known options: "
+            f"['maxFilesPerTrigger', 'path']"
+        )
+    return opts
+
+
 if _HAS_DATASOURCE_API:
 
     class BusUpsertDataSource(DataSource):
@@ -347,11 +377,11 @@ if _HAS_DATASOURCE_API:
             return BUS_FRAME_SCHEMA
 
         def reader(self, schema: StructType) -> BusSpoolBatchReader:
-            return BusSpoolBatchReader(dict(self.options).get("path", ""))
+            return BusSpoolBatchReader(_validated_options(dict(self.options)).get("path", ""))
 
         def streamReader(self, schema: StructType) -> BusUpsertStreamReader:
-            opts = dict(self.options)
-            cap = opts.get("maxfilespertrigger") or opts.get("maxFilesPerTrigger")
+            opts = _validated_options(dict(self.options))
+            cap = opts.get("maxfilespertrigger")
             return BusUpsertStreamReader(
                 opts.get("path", ""),
                 max_files_per_trigger=int(cap) if cap is not None else None,

@@ -74,6 +74,7 @@ the driver is missing at runtime.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
@@ -166,6 +167,19 @@ class PostgresCDCConfig:
     progress_table: str = "public._spark_cdc_snapshot_progress"
 
     @classmethod
+    def known_option_keys(cls) -> frozenset[str]:
+        """Every option spelling ``from_options`` accepts, derived
+        from the dataclass fields themselves (ADVICE r13): each field
+        name in snake_case plus its lower-cased camelCase fold (the
+        underscore-stripped form — ``from_options`` lower-cases keys
+        first, so ``snapshotChunkSize`` arrives as
+        ``snapshotchunksize``). Deriving instead of hand-listing means
+        a future config field can never be hard-rejected at parse time
+        by a stale gate."""
+        names = {f.name for f in dataclasses.fields(cls)}
+        return frozenset(names | {n.replace("_", "") for n in names})
+
+    @classmethod
     def from_options(cls, options: dict[str, str]) -> "PostgresCDCConfig":
         # Spark may or may not lower-case DataSource option keys
         # depending on entry path; normalize so snapshotChunkSize and
@@ -194,18 +208,13 @@ class PostgresCDCConfig:
         # the pgoutput default) and fails loudly instead (ADVICE r12),
         # excluding keys the DataSource read path itself supplies
         # (`path`/`paths` from .load(path)) rather than the user's
-        # config.
-        known = {
-            "hostname", "port", "database", "username", "password",
-            "schema_list", "schemalist", "table_list", "tablelist",
-            "slot_name", "slotname", "plugin_name", "pluginname",
-            "publication_names", "publicationnames",
-            "poll_batch_size", "pollbatchsize",
-            "snapshot_chunk_size", "snapshotchunksize",
-            "snapshot_chunks_per_trigger", "snapshotchunkspertrigger",
-            "wal_rows_per_partition", "walrowsperpartition",
-            "progress_table", "progresstable",
-        }
+        # config. The known set is DERIVED from the dataclass fields
+        # (ADVICE r13): a hand-maintained duplicate would hard-reject
+        # a future config field added without updating it, turning the
+        # loud-failure gate into a false positive. Each field accepts
+        # its snake_case spelling plus the camelCase spelling, which
+        # the lower-casing above folds to the underscore-stripped form.
+        known = cls.known_option_keys()
         passthrough = {"path", "paths"}
         unknown = sorted(set(options) - known - passthrough)
         if unknown:

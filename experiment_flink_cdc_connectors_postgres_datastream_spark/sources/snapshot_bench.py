@@ -389,8 +389,25 @@ class ParquetCdcBenchClient(ParquetSnapshotClient):
 #: logical table name, key columns, durable state file). They are
 #: stripped before the rest is handed to PostgresCDCConfig.from_options,
 #: which rejects keys it does not recognize (ADVICE r12) — the config
-#: only ever sees the production pacing/connection options.
-_CLIENT_OPTION_KEYS = frozenset({"path", "table", "pk", "state_path"})
+#: only ever sees the production pacing/connection options. Both
+#: spellings of the one multi-word key are stripped AND readable
+#: (ADVICE r13): a camelCase ``statePath`` lower-cases to
+#: ``statepath``, which previously slipped past the strip and was
+#: rejected by the config gate with a message that never named the
+#: bench client keys — the same option-spelling contract
+#: from_options itself honors now holds for the client keys too.
+_CLIENT_OPTION_KEYS = frozenset({"path", "table", "pk", "state_path", "statepath"})
+
+
+def _client_opt(opts: dict[str, str], key: str, default: str | None = None) -> str | None:
+    """Read a bench client key under the config's spelling contract:
+    snake_case wins when both spellings are present (the same
+    precedence PostgresCDCConfig.from_options documents), camelCase
+    arrives lower-cased with underscores folded out."""
+    v = opts.get(key)
+    if v is None:
+        v = opts.get(key.replace("_", ""))
+    return default if v is None else v
 
 
 def _bench_config(opts: dict[str, str]) -> "PostgresCDCConfig":
@@ -423,7 +440,7 @@ if _HAS_DATASOURCE_API:
                 opts.get("path", ""),
                 opts.get("table", "events"),
                 [c.strip() for c in opts.get("pk", "event_id").split(",") if c.strip()],
-                state_path=opts.get("state_path") or None,
+                state_path=_client_opt(opts, "state_path") or None,
             )
             return PostgresCDCStreamReader(cfg, client=client)
 
@@ -449,7 +466,7 @@ if _HAS_DATASOURCE_API:
                 opts.get("path", ""),
                 opts.get("table", "events"),
                 [c.strip() for c in opts.get("pk", "event_id").split(",") if c.strip()],
-                state_path=opts.get("state_path") or None,
+                state_path=_client_opt(opts, "state_path") or None,
             )
             return PostgresCDCStreamReader(cfg, client=client)
 
@@ -474,7 +491,7 @@ if _HAS_DATASOURCE_API:
             client = ParquetWalClient(
                 opts.get("path", ""),
                 opts.get("table", "events"),
-                state_path=opts.get("state_path") or None,
+                state_path=_client_opt(opts, "state_path") or None,
             )
             return PostgresCDCStreamReader(cfg, client=client)
 

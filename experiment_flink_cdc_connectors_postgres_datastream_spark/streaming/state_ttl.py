@@ -139,9 +139,14 @@ class TTLStateStore(GenerationalStateStore):
         # directory.
         manifest = self._current_manifest()
         gens = {manifest["buckets"][str(b)] for b in touched_buckets}
-        assert len(gens) == 1, (
-            f"touched buckets span generations immediately after commit: {sorted(gens)}"
-        )
+        if len(gens) != 1:
+            # an explicit raise, not `assert` (ADVICE r13): under
+            # `python -O` a stripped assert would let gens.pop() read
+            # one arbitrary generation and silently under-advance the
+            # TTL watermark (delayed expiry) with no error
+            raise RuntimeError(
+                f"touched buckets span generations immediately after commit: {sorted(gens)}"
+            )
         row = (
             self.spark.read.parquet(f"{self.root}/{gens.pop()}")
             .agg(F.max(self.ttl_col))
