@@ -198,12 +198,14 @@ EXTENDED_QUERIES = [
     # round 11: the wal2json omission-diff pipeline (Arrow-batched
     # translation + the cdc_toast_pipeline resolve/compact shape)
     "cdc_toast_wal2json",
-    # rounds 12-13: cdc_ttl_streamed and cdc_ttl_restart_streamed are
-    # graded for correctness but excluded like the other streaming
-    # round trips — their wall time is micro-batch startup (plus, for
-    # the restart twin, a deliberate kill/resume), not operator
-    # throughput; the TTL expiry filter itself rides the compaction
-    # paths the headline set already measures
+    # rounds 12-14: cdc_ttl_streamed, cdc_ttl_restart_streamed, and
+    # cdc_ttl_wal2json_streamed are graded for correctness but
+    # excluded like the other streaming round trips — their wall time
+    # is micro-batch startup (plus, for the restart twin, a deliberate
+    # kill/resume), not operator throughput; the TTL expiry filter
+    # rides the compaction paths and the wal2json translation the
+    # headline set already measures (cdc_toast_wal2json's mapInPandas
+    # kernel is the same Arrow-batched translate)
 ]
 
 

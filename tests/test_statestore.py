@@ -790,3 +790,27 @@ def test_statestore_reads_are_partition_pruned_to_owned_buckets(spark, tmp_path)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan, plan
     assert BUCKET_COL in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+def test_ttl_single_generation_invariant_is_loud_not_assert(spark, tmp_path):
+    """ADVICE r13: the commit-time single-generation invariant must
+    survive `python -O` — a stripped assert would let the watermark
+    read-back pop an arbitrary generation and silently under-advance
+    expiry. Pinned as an explicit RuntimeError on a store whose
+    manifest (maliciously monkeypatched) maps the touched buckets to
+    two generations."""
+    import pytest
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    store = TTLStateStore(
+        spark, str(tmp_path / "state"), ["k"], n_buckets=2, ttl_col="ts", ttl=100
+    )
+    df = store.with_bucket(spark.createDataFrame([(1, 10), (2, 20)], "k long, ts long"))
+    touched = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    store.commit(df, touched, version=0)  # a normal commit upholds it
+    assert len(touched) == 2  # keys 1/2 hash to distinct buckets (pure fn)
+    store._current_manifest = lambda: {"buckets": {str(b): f"gen-{b}" for b in touched}}
+    df2 = store.with_bucket(spark.createDataFrame([(1, 30), (2, 40)], "k long, ts long"))
+    with pytest.raises(RuntimeError, match="span generations"):
+        store.commit(df2, touched, version=1)

@@ -1,6 +1,18 @@
 """Streaming tests: file-based CDC stream → compaction/aggregation →
 sinks, asserting stream-batch consistency on the golden walkthrough
-(SURVEY.md §5 'streaming tests')."""
+(SURVEY.md §5 'streaming tests').
+
+Graded-row pin index (tests/test_plans.py's batch-plan sweep excludes
+streamed window rows and cross-checks each exclusion against the
+module that pins its engine behavior): this module pins the machinery
+behind `cdc_pipeline_streamed` / `changelog_agg_multi_streamed` /
+`cdc_toast_pipeline_streamed` (run_compacted_aggregate stream-batch
+parity, cross-batch TOAST resolution, TTL),
+`tumbling_window_streamed` / `tumbling_window_late_streamed`
+(tumbling window + watermark-boundary goldens),
+`session_window_streamed` (append-mode session flush),
+`stream_static_join_streamed` (broadcast stream-static join), and
+`dedup_streamed` (cross-batch dropDuplicates state)."""
 
 from __future__ import annotations
 
@@ -1079,7 +1091,9 @@ def test_run_compacted_aggregate_ttl_watermark_survives_engine_restart(spark, tm
     distinguishes persistence — if the watermark were lost, the
     restarted merge would see no horizon, the key's prior state would
     survive, and its marked TOAST update would resolve to the old
-    value instead of NULL."""
+    value instead of NULL. This is the machinery pin behind the
+    graded `cdc_ttl_restart_streamed` row (kill/resume between
+    micro-batches under the shared TTL oracle)."""
     import json as _json
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -1370,3 +1384,143 @@ def test_ttl_tombstone_that_expires_before_next_rewrite_stays_dead(spark, tmp_pa
     rows = {r["id"]: r for r in store.read().collect()}
     assert rows[1]["op"] == "u" and rows[1]["val"] is None
     assert rows[2]["val"] == "two2"
+
+
+# ------------------------------------------------------------------
+# Machinery pins for the remaining graded streamed window rows
+# (VERDICT r13 #6: every row the batch-plan sweep excludes must be
+# pinned by name in a module that tests its engine behavior — these
+# three had their behavior graded by the driver oracle but no local
+# machinery pin until now).
+
+
+def test_session_window_append_mode_flush_machinery(spark, tmp_path):
+    """`session_window_streamed`'s engine mechanics on a tiny
+    synthetic stream: F.session_window + watermark in append mode
+    emits a session only after the watermark passes session-end +
+    gap, so (a) the sentinel-advance pattern the graded query relies
+    on actually flushes the real sessions, and (b) the gap split is
+    the lag>gap rule (two events 31min apart = two sessions; 29min
+    apart = one)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=29)),   # same session (< 30min gap)
+        (1, t0 + dt.timedelta(minutes=70)),   # new session (41min gap)
+        (2, t0),
+    ]
+    src = os.path.join(str(tmp_path), "src")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    # sentinel batch far in the future advances the watermark past
+    # every real session-end + gap
+    spark.createDataFrame(
+        [(99, t0 + dt.timedelta(days=7))],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tbl = "session_pin"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.table(tbl).filter(F.col("user_id") != 99).collect()
+    }
+    assert got == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_stream_static_join_broadcast_machinery(spark, tmp_path):
+    """`stream_static_join_streamed`'s engine mechanics: a static
+    dimension joined into a file stream is BROADCAST (no shuffle, no
+    join state — stream-static joins replan each micro-batch as a
+    batch join, so the batch plan IS the per-trigger plan), and no
+    stream row is lost or duplicated through the streamed join."""
+    src = os.path.join(str(tmp_path), "src")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (1, 40.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "user_id long, tier string")
+    # the per-micro-batch plan shape: broadcast, never an exchange of
+    # the stream side on the join key
+    batch_plan = (
+        spark.read.schema("user_id long, value double").parquet(src)
+        .join(F.broadcast(dim), "user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in batch_plan, batch_plan
+    stream = spark.readStream.schema("user_id long, value double").parquet(src)
+    joined = stream.join(F.broadcast(dim), "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_pin")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("ssj_pin")
+    assert sorted((r["user_id"], r["value"], r["tier"]) for r in out.collect()) == [
+        (1, 10.0, "a"), (1, 40.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"),
+    ]
+
+
+def test_dedup_streamed_cross_batch_state_machinery(spark, tmp_path):
+    """`dedup_streamed`'s engine mechanics: dropDuplicates state
+    spans micro-batches — a duplicate copy of every record arriving
+    in a LATER batch (maxFilesPerTrigger=1) is dropped by the keyed
+    state, so the appended output holds each key exactly once."""
+    src = os.path.join(str(tmp_path), "src")
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], "event_id long, t string")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    df.coalesce(1).write.mode("append").parquet(src)  # duplicate copy
+    stream = (
+        spark.readStream.schema("event_id long, t string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_pin")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("dedup_pin").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_cdc_file_source_typoed_kwarg_fails_loudly(spark, tmp_path):
+    """VERDICT r13 #3 asked for the unknown-option gate on the CDC
+    file source too; the file source has NO string-option surface to
+    gate — `read_cdc_file_stream` takes typed Python keywords, so the
+    vacuous-misconfiguration class is already impossible: a typo'd
+    parameter is a TypeError at the call site, never a silently
+    ignored key. Pinned so a future refactor to an options dict
+    doesn't re-open the class without a gate."""
+    import pytest
+
+    with pytest.raises(TypeError):
+        read_cdc_file_stream(spark, str(tmp_path), maxFilesPerTrigger=1)
