@@ -527,3 +527,53 @@ def test_bus_source_known_options_pass_the_gate(spark, tmp_path):
         .load()
     )
     assert got.count() == 2
+
+
+def test_bus_source_option_gate_property():
+    """Property pin for the bus gate, the same shape as
+    postgres_cdc's (VERDICT r13 #3 + r13 #5's vocabulary-tie
+    standard): ANY subset of the known options (either
+    maxFilesPerTrigger case) + the `paths` passthrough parses, and
+    adding ANY outside key — near-misses included — raises a
+    ValueError naming every offender lower-cased. The vocabulary is
+    tied to the production sets so it cannot drift."""
+    import pytest as _pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        _KNOWN_OPTION_KEYS,
+        _PASSTHROUGH_KEYS,
+        _validated_options,
+    )
+
+    known = {"path": "/tmp/spool", "maxFilesPerTrigger": "3"}
+    assert {k.lower() for k in known} == set(_KNOWN_OPTION_KEYS)
+    assert _PASSTHROUGH_KEYS == {"paths"}
+    bad_keys = st.sampled_from(
+        ["maxFilesPerTrigge", "maxfilespertriggers", "pth", "startingOffsets",
+         "topic", "subscribe", "state_path", "spool"]
+    )
+
+    @given(
+        st.sets(st.sampled_from(sorted(known))),
+        st.booleans(),
+        st.booleans(),
+        st.sets(bad_keys, max_size=3),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(keys, lower_spelling, with_paths, bads):
+        opts = {(k.lower() if lower_spelling else k): known[k] for k in keys}
+        if with_paths:
+            opts["paths"] = "/tmp/spool"
+        _validated_options(dict(opts))  # valid subset parses
+        if bads:
+            poisoned = dict(opts)
+            for b in bads:
+                poisoned[b] = "x"
+            with _pytest.raises(ValueError) as err:
+                _validated_options(poisoned)
+            for b in bads:
+                assert b.lower() in str(err.value)
+
+    check()

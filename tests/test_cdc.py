@@ -537,3 +537,72 @@ def test_cdc_ttl_wal2json_streamed_matches_pgoutput_twin(spark):
     # (c_custkey % 4 == 0) carry a resolved value
     keys = range(0, 150)
     assert sum(r[2] for r in w2j) == sum(1 for k in keys if k % 4 == 0)
+
+
+def test_cdc_ttl_wal2json_feed_fires_omission_diff(spark):
+    """The TTL wal2json twin's wire feed genuinely exercises the
+    identity-vs-columns omission diff (the branch that makes the twin
+    a second wire format rather than a re-serialization): every
+    batch-3 update reaches `wal2json_to_envelope` with `val` ABSENT
+    from the new tuple while the FULL identity names it — the
+    translated envelopes carry `unavailable=["val"]` exactly there,
+    with after.val backfilled to None and the before-image spelling
+    out the TRUE old value (upper(name) for g0, name for g1: the
+    leak bait the pipeline must not take). Batches 1-2 stay
+    markerless with their values on the wire, and the ts/lsn stamps
+    equal `_ttl_wire`'s so the twins share one oracle."""
+    import json as _json
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.reference_surface import (
+        _translate_ttl_wal2json,
+        _ttl_wal2json_feed,
+    )
+
+    wire = _ttl_wal2json_feed(spark, "/root/testdata/sf0.001").mapInPandas(
+        _translate_ttl_wal2json, "_step long, value string"
+    )
+    envs = [(r["_step"], _json.loads(r["value"])) for r in wire.collect()]
+    assert envs, "empty feed"
+    seen_steps = set()
+    for step, e in envs:
+        seen_steps.add(step)
+        key = e["after"]["id"]
+        g = key % 4
+        assert e["ts_ms"] == 1_700_000_000_000 + (step - 1) * 50_000
+        assert e["source"]["lsn"] == key * 10 + step
+        if step == 3:
+            assert g in (0, 1)
+            assert e.get("unavailable") == ["val"], e
+            assert e["after"]["val"] is None
+            # REPLICA IDENTITY FULL: the true old value rides the wire
+            assert e["before"]["val"] is not None
+        else:
+            assert not e.get("unavailable"), e
+            assert e["after"]["val"] is not None
+    assert seen_steps == {1, 2, 3}
+    # g0's identity names the batch-2 value (uppercased), g1's the
+    # batch-1 original — the distinction the leak detector relies on
+    b3 = {e["after"]["id"]: e for s, e in envs if s == 3}
+    for k, e in b3.items():
+        if k % 4 == 0:
+            assert e["before"]["val"] == e["before"]["val"].upper()
+        else:
+            assert e["before"]["val"] != e["before"]["val"].upper()
+
+
+def test_cdc_ttl_wal2json_translation_is_arrow_batched(spark):
+    """Plan shape of the twin's wire stage: the translation is ONE
+    MapInPandas (Arrow-batched, parallel over the feed's partitions),
+    never a row-at-a-time Python UDF — the same scale contract
+    cdc_toast_wal2json's kernel carries."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.reference_surface import (
+        _translate_ttl_wal2json,
+        _ttl_wal2json_feed,
+    )
+
+    wire = _ttl_wal2json_feed(spark, "/root/testdata/sf0.001").mapInPandas(
+        _translate_ttl_wal2json, "_step long, value string"
+    )
+    plan = wire._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
