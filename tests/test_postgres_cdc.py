@@ -1368,3 +1368,15 @@ def test_bench_source_camelcase_state_path_reaches_client(tmp_path):
     )
     reader = ds.streamReader(ds.schema())
     assert reader.client.state_path == state
+
+
+def test_bench_client_key_set_is_the_spelling_fold_of_its_base_keys():
+    """Drift pin for the bench client-key strip (the same class the
+    derived known-set closed for the config): _CLIENT_OPTION_KEYS
+    must be exactly the snake_case base keys plus their lower-cased
+    camelCase folds — a future client key added in one spelling but
+    not the other would silently re-open the ADVICE r13 gap."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.snapshot_bench import _CLIENT_OPTION_KEYS
+
+    base = {"path", "table", "pk", "state_path"}
+    assert set(_CLIENT_OPTION_KEYS) == base | {b.replace("_", "") for b in base}
