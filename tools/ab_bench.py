@@ -31,8 +31,25 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.session import ge
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = {a.split("=")[0]: a.split("=", 1)[1] for a in sys.argv[1:] if "=" in a}
+    # accept both `--k=5` and `--k 5` (the space form used to fall
+    # through to the query list and die as "unknown query: 5")
+    argv, args, opts = sys.argv[1:], [], {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                key, val = a.split("=", 1)
+            elif i + 1 < len(argv):
+                key, val = a, argv[i + 1]
+                i += 1
+            else:
+                print(f"flag {a} needs a value")
+                return 2
+            opts[key] = val
+        else:
+            args.append(a)
+        i += 1
     k = int(opts.get("--k", "5"))
     sf_dir = opts.get("--sf", "/root/testdata/sf0.1")
     names = args
