@@ -57,6 +57,20 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 # quality_quantile_calibration), then alphabetical. Everything
 # outside the window stays registered and locally verified via
 # tools/verify_local.py.
+#
+# ONE documented post-freeze exception this round (the first since
+# the freeze contract began): a new offsets model property found a
+# crash-loop in sources/bus_upsert.py — a restart against a
+# fully-retained (empty) spool emits the un-seeded {last: ""} below
+# the checkpoint, and the first post-restart publish tripped the
+# truncation guard permanently. Fixed post-freeze (epoch rotation on
+# count-rebasing seed + a committed-floor carve-out for empty spans
+# in committed territory); window COMPOSITION unchanged — all four
+# bus rows were already in this window — and every bus row was
+# re-verified green at sf0.001 AND sf0.01 after the fix, with the
+# full bus pytest file (16 tests incl. the model property, the
+# deterministic regression, and every prior truncation/replay
+# example) green.
 _PRIORITY = [
     # --- (1a) code path changed since the last grade (ADVICE r13) ---
     # sources/postgres_cdc.py: known-option set derived from the

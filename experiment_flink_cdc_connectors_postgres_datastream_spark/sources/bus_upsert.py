@@ -199,6 +199,16 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         # (f2,f4] matches 2 files by name but e_n-s_n says 1) and
         # crash-loop the stream on a supported scenario.
         self._epoch = uuid.uuid4().hex[:12]
+        # highest file name KNOWN COMMITTED: every partitions() start
+        # and every commit() end is committed territory by the
+        # engine's contract. An empty span ending at or below this
+        # floor is a re-plan of committed territory — the shape left
+        # behind when a restart against a fully-retained (empty)
+        # spool emits the un-seeded {last: ""} below the checkpoint
+        # and the engine records it — and must serve as an empty
+        # batch, NOT a truncation error (found by the offsets model
+        # property, tests/test_bus_upsert.py).
+        self._committed_floor = ""
 
     def _names(self) -> list[str]:
         if not os.path.isdir(self.spool_dir):
@@ -236,6 +246,8 @@ class BusUpsertStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[BusSpoolPartition]:
         s_last, e_last = start.get("last", ""), end.get("last", "")
         s_n, e_n = start.get("n", 0), end.get("n", 0)
+        # the engine only ever passes a COMMITTED offset as `start`
+        self._committed_floor = max(self._committed_floor, s_last)
         # restart seeding: the checkpointed span tells a fresh reader
         # how far planning had progressed, so the rate-limit watermark
         # resumes from there instead of re-pacing from zero — and a
@@ -244,6 +256,21 @@ class BusUpsertStreamReader(DataSourceStreamReader):
         hi_last, hi_n = (s_last, s_n) if s_last >= e_last else (e_last, e_n)
         if hi_last > self._last_name:
             self._last_name, self._count = hi_last, hi_n
+            # the seed REBASES this reader's count onto the
+            # checkpoint's basis, so any offset this reader emitted
+            # BEFORE the seed counts on a different basis despite
+            # sharing the epoch id. Rotate the epoch so the strict
+            # count cross-check below never compares across the seed:
+            # without this, a restart against a FULLY-RETAINED (empty)
+            # spool emits the un-seeded {last: "", n: 0} (the engine
+            # records it — offsets compare by equality only), the seed
+            # then rebases the count, and the first post-restart
+            # publish plans a same-epoch span ("" -> new] whose
+            # expected count includes the retained files — a spurious
+            # truncation error that crash-loops a supported scenario
+            # (found by the offsets model property,
+            # tests/test_bus_upsert.py).
+            self._epoch = uuid.uuid4().hex[:12]
         self._pacing_active = True
         # direction is decided BY NAME: names are monotone, counts are
         # only a cross-check (a fresh reader's first latestOffset after
@@ -272,6 +299,16 @@ class BusUpsertStreamReader(DataSourceStreamReader):
                 "range; refusing to serve a divergent replay."
             )
         if not span:
+            if e_last <= self._committed_floor:
+                # a re-plan of committed territory, not data loss: the
+                # one way the engine produces this span is the
+                # empty-spool restart anomaly (the un-seeded
+                # {last: ""} recorded below the checkpoint, then the
+                # seeded watermark reported again) — every file at or
+                # below the floor was delivered and committed by a
+                # previous incarnation, and retention legitimately
+                # removed it. Serve empty instead of crash-looping.
+                return [BusSpoolPartition(None, -1)]
             raise RuntimeError(
                 f"bus_upsert: span ({s_last!r}, {e_last!r}] matches no "
                 f"spool files under {self.spool_dir!r} — the spool was "
@@ -300,8 +337,9 @@ class BusUpsertStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # the spool retains frames (broker retention is a policy knob,
-        # not the reader's job); nothing to advance
-        return
+        # not the reader's job); nothing to advance — but the end
+        # offset is now committed territory for the floor
+        self._committed_floor = max(self._committed_floor, end.get("last", ""))
 
 
 class BusSpoolBatchReader(DataSourceReader):

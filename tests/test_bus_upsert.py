@@ -577,3 +577,187 @@ def test_bus_source_option_gate_property():
                 assert b.lower() in str(err.value)
 
     check()
+
+
+def test_bus_spool_offsets_model_property(tmp_path):
+    """Model-based property over the spool reader's offset machinery
+    (pure Python — no Spark session): random interleavings of
+    publishes, drains, clean restarts, and retention deletions of
+    COMMITTED prefix files must deliver every published record
+    exactly once, in spool order within each file. This composes the
+    behaviors the example tests pin one at a time — name-range
+    planning, the pacing baseline, restart seeding, the incarnation
+    epoch that keeps a fresh reader's rebased count from tripping the
+    truncation guard after retention — under arbitrary schedules.
+
+    The model: `published` is the ordered list of (file, line) records
+    ever spooled; `delivered` accumulates what read() yields across
+    all reader incarnations; after a final drain the two must match
+    exactly (no loss from retention + publish races, no re-delivery
+    across restarts)."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import BusUpsertStreamReader
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("publish"), st.integers(1, 3)),
+            st.tuples(st.just("drain"), st.just(0)),
+            st.tuples(st.just("restart"), st.just(0)),
+            st.tuples(st.just("retain"), st.just(0)),
+            st.tuples(st.just("publish_paced"), st.integers(1, 3)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(ops)
+    @settings(max_examples=40, deadline=None)
+    def check(schedule):
+        import os
+        import shutil
+        import uuid as _uuid
+
+        spool = str(tmp_path / f"spool_{_uuid.uuid4().hex[:8]}")
+        os.makedirs(spool)
+        published: list[str] = []   # record payloads ever spooled
+        delivered: list[str] = []   # what read() yielded, all incarnations
+        committed_files: set[str] = set()  # fully delivered+committed names
+        seq = 0
+
+        def publish(n_rows):
+            nonlocal seq
+            name = f"frames-{seq:08d}-0000.jsonl"
+            with open(os.path.join(spool, name), "w") as fh:
+                for i in range(n_rows):
+                    payload = f"{name}:{i}"
+                    fh.write(_json.dumps({"key": payload, "value": payload}) + "\n")
+                    published.append(payload)
+            seq += 1
+            return name
+
+        def drain(reader, start):
+            """The micro-batch loop: latestOffset → partitions → read →
+            commit, until the offset stops advancing."""
+            while True:
+                end = reader.latestOffset()
+                if end == start:
+                    return end
+                batch_files = set()
+                for p in reader.partitions(start, end):
+                    if p.path is None:
+                        continue
+                    batch_files.add(os.path.basename(p.path))
+                    for row in reader.read(p):
+                        delivered.append(row[0])
+                reader.commit(end)
+                committed_files.update(batch_files)
+                start = end
+
+        # engine bootstrap: fresh start, no checkpoint
+        reader = BusUpsertStreamReader(spool)
+        start = reader.initialOffset()
+        paced_reader = False
+        for op, arg in schedule:
+            if op == "publish":
+                publish(arg)
+            elif op == "publish_paced":
+                publish(arg)
+            elif op == "drain":
+                start = drain(reader, start)
+            elif op == "restart":
+                # clean restart from the committed offset: a FRESH
+                # incarnation (new epoch) resumes from `start`
+                reader = BusUpsertStreamReader(
+                    spool, max_files_per_trigger=1 if paced_reader else None
+                )
+                paced_reader = not paced_reader
+            elif op == "retain":
+                # broker retention: delete the oldest committed file
+                # (never an undelivered one — that IS data loss and the
+                # guard's job is to scream, pinned elsewhere)
+                victims = sorted(committed_files)[:1]
+                for v in victims:
+                    path = os.path.join(spool, v)
+                    if os.path.exists(path):
+                        os.remove(path)
+        # final catch-up, then the books must balance exactly
+        start = drain(reader, start)
+        assert delivered == published
+        shutil.rmtree(spool, ignore_errors=True)
+
+    check()
+
+
+def test_bus_spool_empty_spool_restart_after_full_retention_not_truncation(tmp_path):
+    """Regression for the crash the offsets model property found: a
+    restart against a FULLY-RETAINED (empty) spool makes the
+    un-seeded latestOffset emit {last: ""} below the checkpoint; the
+    engine (equality-only offset compare) records it, the next
+    partitions() seeds the reader's watermark+count from the
+    checkpointed span, and the first post-restart publish used to
+    plan a same-epoch span ("" -> new] that tripped the truncation
+    guard — a permanent crash-loop on a supported scenario (retention
+    of committed files). The fix is two-fold: seeding rotates the
+    reader's epoch (the seed REBASES the count, so pre-seed offsets
+    are not count-comparable despite the shared id), and an empty
+    span ending at or below the committed floor (every partitions()
+    start / commit() end) serves as an empty batch instead of a
+    truncation error. Genuine truncation — an UNDELIVERED file
+    vanishing from a planned span — must stay loud."""
+    import json as _json
+    import os
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import BusUpsertStreamReader
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+
+    def publish(seq):
+        name = f"frames-{seq:08d}-0000.jsonl"
+        with open(os.path.join(spool, name), "w") as fh:
+            fh.write(_json.dumps({"key": name, "value": name}) + "\n")
+        return name
+
+    delivered = []
+
+    def drain(reader, start):
+        while True:
+            end = reader.latestOffset()
+            if end == start:
+                return start
+            for p in reader.partitions(start, end):
+                if p.path:
+                    delivered.extend(r[0] for r in reader.read(p))
+            reader.commit(end)
+            start = end
+
+    a = BusUpsertStreamReader(spool)
+    start = a.initialOffset()
+    f0 = publish(0)
+    start = drain(a, start)
+    assert delivered == [f0]
+    # broker retention removes the fully-committed file; the job
+    # restarts against the now-EMPTY spool
+    os.remove(os.path.join(spool, f0))
+    b = BusUpsertStreamReader(spool)
+    start = drain(b, start)          # the anomaly window: offset regresses to ""
+    f1 = publish(1)
+    start = drain(b, start)          # used to crash-loop here
+    assert delivered == [f0, f1]     # exactly once, in order
+    # the floor carve-out must NOT swallow genuine truncation: an
+    # undelivered file vanishing from a PLANNED span stays loud
+    spool2 = str(tmp_path / "spool2")
+    os.makedirs(spool2)
+    c = BusUpsertStreamReader(spool2)
+    s2 = c.initialOffset()
+    name = f"frames-{0:08d}-0000.jsonl"
+    with open(os.path.join(spool2, name), "w") as fh:
+        fh.write(_json.dumps({"key": "k", "value": "v"}) + "\n")
+    e2 = c.latestOffset()            # planned, never committed
+    os.remove(os.path.join(spool2, name))
+    with pytest.raises(RuntimeError, match="truncated"):
+        c.partitions(s2, e2)
