@@ -1380,3 +1380,161 @@ def test_bench_client_key_set_is_the_spelling_fold_of_its_base_keys():
 
     base = {"path", "table", "pk", "state_path"}
     assert set(_CLIENT_OPTION_KEYS) == base | {b.replace("_", "") for b in base}
+
+
+def test_cdc_reader_offsets_model_property():
+    """Model-based property over the CDC reader's offset machinery
+    (pure Python, same protocol surface the example tests drive one
+    scenario at a time): random snapshot sizes x chunk pacing x WAL
+    batch shapes x schedules of micro-batch steps, PLAN-THEN-CRASH
+    points, and clean restarts must deliver every snapshot row
+    exactly once (op 'r') and every WAL change exactly once, in LSN
+    order — the engine contract the per-scenario pins
+    (uncommitted-span replay, mid-snapshot resume, peek-window
+    growth, never-advanced-slot triage) each cover a slice of.
+
+    Restart model mirrors MicroBatchExecution exactly: a batch is
+    CONSTRUCTED (offset written to the log) only after the previous
+    batch committed, so at most ONE planned-but-uncommitted offset
+    exists at a crash, and a restarted engine REPLAYS it (partitions
+    on the fresh reader over the committed->planned span) before
+    asking for new offsets. An earlier draft of this model let a
+    fresh reader plan BEFORE replaying — an engine-impossible
+    history the reader rightly answers with its loud unserveable-
+    range error; the fix was to the model, not the reader."""
+    import dataclasses as _dc
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    class ScriptedClient(FakeClient):
+        def __init__(self, n_snap, wal_batches):
+            super().__init__()
+            self.snapshot = {
+                ("s1", "users"): [
+                    {"id": i, "full_name": f"name {i}"} for i in range(n_snap)
+                ]
+            }
+            self.pks = {("s1", "users"): ["id"]}
+            self.change_queue = wal_batches + [[]]
+
+    def wal_batches_strategy():
+        def build(action_seq):
+            batches, lsn = [], 10
+            for batch_actions in action_seq:
+                batch = []
+                for a, key in batch_actions:
+                    rec = {
+                        "action": a,
+                        "schema": "s1",
+                        "table": "users",
+                        "timestamp_ms": lsn,
+                        "lsn_int": lsn,
+                        "xid": lsn,
+                    }
+                    if a != "D":
+                        rec["columns"] = [
+                            {"name": "id", "value": key},
+                            {"name": "full_name", "value": f"v{lsn}"},
+                        ]
+                    if a != "I":
+                        rec["identity"] = [
+                            {"name": "id", "value": key},
+                            {"name": "full_name", "value": "old"},
+                        ]
+                    batch.append(rec)
+                    lsn += 10
+                batches.append(batch)
+            return batches
+
+        return st.lists(
+            st.lists(
+                st.tuples(st.sampled_from(["I", "U", "D"]), st.integers(0, 5)),
+                min_size=0,
+                max_size=3,
+            ),
+            min_size=0,
+            max_size=3,
+        ).map(build)
+
+    ops = st.lists(
+        st.sampled_from(["step", "plan_only", "restart"]),
+        min_size=0,
+        max_size=10,
+    )
+
+    @given(
+        st.integers(0, 7),            # snapshot rows
+        st.integers(1, 3),            # snapshot_chunk_size
+        st.integers(1, 2),            # snapshot_chunks_per_trigger
+        st.integers(1, 3),            # poll_batch_size
+        wal_batches_strategy(),
+        ops,
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(n_snap, chunk, per_trig, poll, wal_batches, schedule):
+        cfg = PostgresCDCConfig(
+            snapshot_chunk_size=chunk,
+            snapshot_chunks_per_trigger=per_trig,
+            poll_batch_size=poll,
+        )
+        client = ScriptedClient(n_snap, wal_batches)
+        reader = PostgresCDCStreamReader(cfg, client=client)
+        delivered = []
+        committed = json.loads(json.dumps(reader.initialOffset()))
+        planned = []  # uncommitted tail of the offset log, in plan order
+
+        def serve(rd, start, end):
+            rows = [r for p in rd.partitions(start, end) for r in rd.read(p)]
+            delivered.extend(rows)
+            rd.commit(end)
+
+        def replay(rd):
+            # the engine re-runs the constructed-but-uncommitted batch
+            # from its offset log before planning anything new
+            nonlocal committed
+            while planned:
+                nxt = planned.pop(0)
+                serve(rd, committed, nxt)
+                committed = nxt
+
+        def step(rd):
+            nonlocal committed
+            replay(rd)
+            end = json.loads(json.dumps(rd.latestOffset()))
+            if end != committed:
+                serve(rd, committed, end)
+                committed = end
+
+        for op in schedule:
+            if op == "step":
+                step(reader)
+            elif op == "plan_only":
+                # construct one batch (offset hits the log), then the
+                # driver dies before running/committing it — legal
+                # only with nothing else outstanding, so replay first
+                replay(reader)
+                end = json.loads(json.dumps(reader.latestOffset()))
+                if end != committed:
+                    planned.append(end)
+            elif op == "restart":
+                reader = PostgresCDCStreamReader(cfg, client=client)
+        # final catch-up: the scripted slot surfaces one queued batch
+        # per peek (real slot semantics), so a single no-advance step
+        # does not mean drained — run enough unconditional steps to
+        # exhaust every queued batch, snapshot chunk, and replay
+        n_changes = sum(len(b) for b in wal_batches)
+        for _ in range(8 + len(wal_batches) + n_snap + n_changes):
+            step(reader)
+        envs = [json.loads(v) for v, _, _ in delivered]
+        snap = sorted(e["after"]["id"] for e in envs if e["op"] == "r")
+        assert snap == list(range(n_snap)), (snap, n_snap)
+        tail = [(e["op"], e["source"]["lsn"]) for e in envs if e["op"] != "r"]
+        want = [
+            ({"I": "c", "U": "u", "D": "d"}[r["action"]], r["lsn_int"])
+            for b in wal_batches
+            for r in b
+        ]
+        assert tail == want, (tail, want)
+
+    check()
