@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -177,3 +178,118 @@ def test_delete_unstaged_sql_shape():
     assert "(s.a, s.b) IS NOT DISTINCT FROM (t.a, t.b)" in sql
     # statement size independent of kept-key count — that's the point
     assert "%s" not in sql
+
+
+def test_parquet_upsert_sink_matches_pure_python_model_property(spark, tmp_path):
+    """Model-based property for the K3 parquet sink: random batch
+    schedules (merge and refresh modes), foreachBatch RETRIES of the
+    same batch id, and sink REOPENS (a fresh object over the same
+    store path, the restart shape) must match a pure-Python dict
+    replay exactly. The replayed contract, stated by the seq order
+    ["_gen", *seq_cols, "_row_seq"]: a batch row always beats prior
+    state (_gen leads), within a batch the highest seq wins, and in
+    refresh mode keys absent from the batch are deleted."""
+    import uuid as _uuid
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks import ParquetUpsertSink
+
+    # rows: (key, seq, value); (key, seq) unique within a batch so the
+    # within-batch winner is deterministic across partition layouts
+    # min_size=1: an ALL-EMPTY refresh batch is a known limitation —
+    # it commits a physically empty generation (zero parquet footers)
+    # that crashes later reads; pinned as a strict xfail below and
+    # scheduled for the r15 freeze commit (needs a store-level
+    # empty-bucket manifest marker, which pulls upsert_sink_shape —
+    # a row outside the current window — so it cannot land
+    # post-freeze without breaking window composition).
+    batch_rows = st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 9)), min_size=1, max_size=5,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("batch"), batch_rows),
+            st.tuples(st.just("retry"), st.just(None)),
+            st.tuples(st.just("reopen"), st.just(None)),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @given(st.booleans(), ops)
+    @settings(max_examples=10, deadline=None)
+    def check(refresh, schedule):
+        path = str(tmp_path / f"sink_{_uuid.uuid4().hex[:8]}")
+        sink = ParquetUpsertSink(path, key_cols=["k"], seq_cols=["seq"],
+                                 n_buckets=4, refresh=refresh)
+        model: dict[int, tuple[int, int]] = {}  # k -> (seq, value)
+        batch_id = 0
+        last = None
+
+        def apply_model(rows):
+            winners: dict[int, tuple[int, int]] = {}
+            for k, seq in rows:
+                if k not in winners or seq > winners[k][0]:
+                    winners[k] = (seq, k * 100 + seq)
+            if refresh:
+                model.clear()
+            for k, (seq, v) in winners.items():
+                model[k] = (seq, v)
+
+        def run(rows, bid):
+            df = spark.createDataFrame(
+                [(k, seq, k * 100 + seq) for k, seq in rows] or None,
+                "k long, seq long, v long",
+            ) if rows else spark.createDataFrame([], "k long, seq long, v long")
+            sink(df, bid)
+
+        for op, arg in schedule:
+            if op == "batch":
+                batch_id += 1
+                run(arg, batch_id)
+                apply_model(arg)
+                last = arg
+            elif op == "retry" and last is not None:
+                run(last, batch_id)   # same id, same rows: idempotent
+            elif op == "reopen":
+                sink = ParquetUpsertSink(path, key_cols=["k"], seq_cols=["seq"],
+                                         n_buckets=4, refresh=refresh)
+        if not model and batch_id == 0:
+            return  # nothing ever committed; read() raises by contract
+        try:
+            got = {r["k"]: (r["seq"], r["v"]) for r in sink.read(spark).collect()}
+        except FileNotFoundError:
+            got = {}
+        assert got == model, (got, model, refresh)
+
+    check()
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN LIMITATION (found by the sink model property, r14): a "
+    "refresh-mode batch with ZERO rows — every group deleted, the limit "
+    "case of refresh's own delete contract — commits a physically empty "
+    "generation (partitionBy of an empty frame writes no parquet "
+    "footers), and every later read of the store fails with "
+    "UNABLE_TO_INFER_SCHEMA instead of returning the empty table. The "
+    "fix needs a store-level empty-bucket manifest marker "
+    "(statestore.commit detects a footerless write; read skips marked "
+    "buckets; the TTL read-back skips the marker) and lands in the r15 "
+    "freeze commit because jdbc_upsert.py pulls upsert_sink_shape — a "
+    "row OUTSIDE the r14 window — into the rotation. Strict xfail: the "
+    "r15 fix must flip this test to a real assertion.",
+)
+def test_parquet_upsert_sink_refresh_empty_batch_reads_as_empty(spark, tmp_path):
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(str(tmp_path / "s"), key_cols=["k"], refresh=True)
+    sink(spark.createDataFrame([(1, 10)], "k long, v long"), 1)
+    assert {tuple(r) for r in sink.read(spark).collect()} == {(1, 10)}
+    # the table empties: refresh with zero rows must DELETE every key...
+    sink(spark.createDataFrame([], "k long, v long"), 2)
+    # ...and the emptied table must read back as zero rows, not crash
+    assert sink.read(spark).count() == 0
