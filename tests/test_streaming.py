@@ -1524,3 +1524,90 @@ def test_cdc_file_source_typoed_kwarg_fails_loudly(spark, tmp_path):
 
     with pytest.raises(TypeError):
         read_cdc_file_stream(spark, str(tmp_path), maxFilesPerTrigger=1)
+
+
+def test_incremental_dedup_matches_pure_python_model_property(spark, tmp_path):
+    """Model-based property over the incremental MinHash dedup engine
+    (the machinery behind `dedup_minhash_streamed`): random schedules
+    of crawl batches, foreachBatch RETRIES of the last batch id,
+    store COMPACTIONS at committed floors, and engine-object RESTARTS
+    (all state on disk) must discover exactly the exact-duplicate
+    pairs — each pair once, est_jaccard 1.0, in the batch where its
+    LATER member arrived — and sign every document exactly once.
+    Identical texts guarantee identical signatures (determinism), and
+    the distinct pool texts share no shingles, so the expected pair
+    set is closed-form."""
+    import uuid as _uuid
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.incremental_dedup import IncrementalMinHashDedup
+
+    POOL = [
+        "alpha bravo charlie delta echo foxtrot",
+        "golf hotel india juliet kilo lima",
+        "november oscar papa quebec romeo sierra",
+        "tango uniform victor whiskey xray yankee",
+    ]
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("batch"), st.lists(st.integers(0, 3), min_size=1, max_size=3)),
+            st.tuples(st.just("retry"), st.just(None)),
+            st.tuples(st.just("compact"), st.just(None)),
+            st.tuples(st.just("restart"), st.just(None)),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @given(ops)
+    @settings(max_examples=8, deadline=None)
+    def check(schedule):
+        work = str(tmp_path / f"mh_{_uuid.uuid4().hex[:8]}")
+        engine = IncrementalMinHashDedup(spark, work)
+        texts: dict[int, int] = {}   # doc_id -> pool index (the model)
+        next_id, bid = 0, -1
+        last_rows = None
+        committed: list[int] = []    # batch ids whose writes are final
+
+        def run(rows, b):
+            df = spark.createDataFrame(
+                [(i, POOL[p]) for i, p in rows], "doc_id long, text string"
+            )
+            engine.process_batch(df, b)
+
+        for op, arg in schedule:
+            if op == "batch":
+                bid += 1
+                rows = [(next_id + j, p) for j, p in enumerate(arg)]
+                next_id += len(arg)
+                run(rows, bid)
+                committed.append(bid)   # the engine commits it
+                for i, p in rows:
+                    texts[i] = p
+                last_rows = rows
+            elif op == "retry" and last_rows is not None:
+                if bid > engine.compacted_floor():  # pinned refusal otherwise
+                    run(last_rows, bid)  # same id: overwrite, not append
+            elif op == "compact" and committed:
+                floor = committed[-1]
+                if floor > engine.compacted_floor():
+                    engine.compact(floor)
+            elif op == "restart":
+                engine = IncrementalMinHashDedup(spark, work)
+        if not texts:
+            return
+        expect = {
+            (a, b)
+            for a in texts
+            for b in texts
+            if a < b and texts[a] == texts[b]
+        }
+        got = [(r["id_a"], r["id_b"], r["est_jaccard"]) for r in engine.pairs().collect()]
+        assert sorted((a, b) for a, b, _ in got) == sorted(expect), (got, expect)
+        assert all(e == 1.0 for _, _, e in got), got
+        sigs = engine.signatures()
+        assert sigs.count() == sigs.select("_id").distinct().count() == len(texts)
+
+    check()
