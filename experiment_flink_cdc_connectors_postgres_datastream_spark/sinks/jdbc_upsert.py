@@ -318,7 +318,12 @@ class ParquetUpsertSink:
     def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
         """Committed state; with ``buckets``, a partition-pruned read of
         just those bucket ids (pair with ``bucket_cols`` so an
-        entity-scoped consumer never scans the full table)."""
+        entity-scoped consumer never scans the full table).
+
+        An EMPTIED table (e.g. a refresh batch whose groups all
+        vanished — the store records empty-bucket manifest markers for
+        it, r15) reads back as a typed zero-row DataFrame;
+        FileNotFoundError means nothing was ever committed."""
         state = self._get_store(spark).read(buckets=buckets)
         if state is None:
             raise FileNotFoundError(f"ParquetUpsertSink: no committed state at {self.path}")

@@ -139,6 +139,16 @@ class TTLStateStore(GenerationalStateStore):
         # directory.
         manifest = self._current_manifest()
         gens = {manifest["buckets"][str(b)] for b in touched_buckets}
+        # empty-bucket markers (statestore commit null-points a touched
+        # bucket that received zero rows): nothing was physically
+        # written for those buckets, so they contribute no event times.
+        # An ALL-empty commit (every touched bucket marked) wrote a
+        # footerless generation — skip the read-back entirely (no rows,
+        # no watermark candidate) instead of crashing on schema
+        # inference.
+        gens.discard(None)
+        if not gens:
+            return
         if len(gens) != 1:
             # an explicit raise, not `assert` (ADVICE r13): under
             # `python -O` a stripped assert would let gens.pop() read

@@ -38,6 +38,7 @@ import json
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 BUCKET_COL = "_bucket"
 
@@ -103,6 +104,18 @@ class GenerationalStateStore:
 
         gen-<v>/_bucket=<b>/*.parquet   rows of bucket b as of commit v
         manifest-<v>.json               {"n_buckets": N, "buckets": {"b": "gen-x", ...}}
+
+    A bucket mapped to JSON ``null`` is the EMPTY-BUCKET MARKER: the
+    bucket was explicitly committed with zero rows (every key deleted —
+    e.g. a refresh batch whose groups all vanished, or a full
+    compaction in which TTL expiry emptied the bucket). ``partitionBy``
+    of a frame with no rows for a bucket writes no ``_bucket=<b>``
+    directory (and an all-empty frame writes a generation with zero
+    parquet footers), so pointing the bucket at that generation would
+    make every later read fail with UNABLE_TO_INFER_SCHEMA; the marker
+    records "known empty" instead, reads skip it, and the manifest
+    additionally stores the committed SCHEMA so an all-empty store
+    still reads back as a typed zero-row table rather than crashing.
     """
 
     def __init__(
@@ -173,6 +186,8 @@ class GenerationalStateStore:
         owned: dict[str, list[int]] = {}
         for b, gen in manifest["buckets"].items():
             b = int(b)
+            if gen is None:
+                continue  # empty-bucket marker: known empty, nothing to scan
             if buckets is None or b in buckets:
                 owned.setdefault(gen, []).append(b)
         parts = []
@@ -186,19 +201,46 @@ class GenerationalStateStore:
             )
             parts.append(df)
         if not parts:
-            return None
+            # committed-but-empty state (every selected bucket carries
+            # the empty marker, or none is owned): a typed zero-row
+            # table from the manifest's committed schema. None only for
+            # a legacy manifest that predates schema recording — the
+            # old "nothing to read" contract.
+            return self._empty_state(manifest)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
+    def _empty_state(self, manifest: dict) -> DataFrame | None:
+        schema_json = manifest.get("schema")
+        if schema_json is None:
+            return None
+        return self.spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json))
+        )
+
     # -- commits --------------------------------------------------------------
+
+    @staticmethod
+    def _present_buckets(io: _Fs, gen: str) -> set[int]:
+        """Bucket ids that physically exist (as ``_bucket=<b>`` dirs)
+        inside a just-written generation directory."""
+        prefix = f"{BUCKET_COL}="
+        out = set()
+        for name in io.list_names(io.path(gen)):
+            if name.startswith(prefix):
+                try:
+                    out.add(int(name[len(prefix):]))
+                except ValueError:
+                    continue
+        return out
 
     def gen_count(self) -> int:
         manifest = self._current_manifest()
         if manifest is None:
             return 0
-        return len(set(manifest["buckets"].values()))
+        return len({g for g in manifest["buckets"].values() if g is not None})
 
     def commit(self, df: DataFrame, touched_buckets: list[int], version: int) -> None:
         """Publish ``df`` (which must carry ``_bucket`` and contain the
@@ -226,14 +268,24 @@ class GenerationalStateStore:
             .partitionBy(BUCKET_COL)
             .parquet(f"{self.root}/{gen}")
         )
+        # Empty-bucket markers: partitionBy only creates a _bucket=<b>
+        # directory for buckets that received rows. A touched bucket
+        # with NO directory was committed empty (every key deleted /
+        # expired) — point it at null, never at a directory that has no
+        # parquet footers for it (an ALL-empty generation has no
+        # footers at all and would crash every later read).
+        present = self._present_buckets(self._io, gen)
         manifest = self._current_manifest() or {"n_buckets": self.n_buckets, "buckets": {}}
         buckets = dict(manifest["buckets"])
         for b in touched_buckets:
-            buckets[str(b)] = gen
+            buckets[str(b)] = gen if b in present else None
         new_manifest = {
             "n_buckets": self.n_buckets,
             "bucket_cols": self.bucket_cols,
             "buckets": buckets,
+            # committed schema: lets an all-empty store read back as a
+            # typed zero-row table (see _empty_state)
+            "schema": df.schema.json(),
         }
         self._io.write_text_atomic(
             self._io.path(f"manifest-{version}.json.tmp"),
@@ -264,10 +316,19 @@ class GenerationalStateStore:
         if io.exists(io.path("manifest-0.json")):
             raise ValueError(f"savepoint target {path!r} already exists")
         state.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(f"{path}/gen-0")
+        # same empty-bucket contract as commit: buckets with no rows at
+        # snapshot time (including the whole-store-empty case, whose
+        # gen-0 has no parquet footers) get the null marker, so the
+        # savepoint stays readable and restorable
+        present = self._present_buckets(io, "gen-0")
         manifest = {
             "n_buckets": self.n_buckets,
             "bucket_cols": self.bucket_cols,
-            "buckets": {str(b): "gen-0" for b in range(self.n_buckets)},
+            "buckets": {
+                str(b): ("gen-0" if b in present else None)
+                for b in range(self.n_buckets)
+            },
+            "schema": state.schema.json(),
         }
         io.write_text_atomic(
             io.path("manifest-0.json.tmp"), io.path("manifest-0.json"), json.dumps(manifest)
@@ -294,23 +355,28 @@ class GenerationalStateStore:
         dst = _Fs(spark, root)
         if dst.exists(dst.path("manifest-0.json")):
             raise ValueError(f"restore target {root!r} already has state")
-        spark.read.parquet(f"{savepoint_path}/gen-0").write.mode("errorifexists").partitionBy(
-            BUCKET_COL
-        ).parquet(f"{root}/gen-0")
+        # an all-empty savepoint (every bucket null-marked) has a gen-0
+        # with no parquet footers — nothing to copy, and reading it
+        # would crash; the restored manifest alone carries the state
+        if any(g is not None for g in manifest["buckets"].values()):
+            spark.read.parquet(f"{savepoint_path}/gen-0").write.mode(
+                "errorifexists"
+            ).partitionBy(BUCKET_COL).parquet(f"{root}/gen-0")
+        new_manifest = {
+            "n_buckets": n_buckets,
+            # record the source store's EFFECTIVE layout: a
+            # legacy savepoint without bucket_cols was written
+            # with full-key bucketing, so persist key_cols
+            # rather than propagating the null
+            "bucket_cols": list(manifest.get("bucket_cols") or key_cols),
+            "buckets": dict(manifest["buckets"]),
+        }
+        if manifest.get("schema") is not None:
+            new_manifest["schema"] = manifest["schema"]
         dst.write_text_atomic(
             dst.path("manifest-0.json.tmp"),
             dst.path("manifest-0.json"),
-            json.dumps(
-                {
-                    "n_buckets": n_buckets,
-                    # record the source store's EFFECTIVE layout: a
-                    # legacy savepoint without bucket_cols was written
-                    # with full-key bucketing, so persist key_cols
-                    # rather than propagating the null
-                    "bucket_cols": list(manifest.get("bucket_cols") or key_cols),
-                    "buckets": dict(manifest["buckets"]),
-                }
-            ),
+            json.dumps(new_manifest),
         )
         return cls(spark, root, key_cols, n_buckets=n_buckets, max_generations=max_generations)
 
@@ -324,7 +390,7 @@ class GenerationalStateStore:
         live_gens = set()
         for v in keep:
             m = json.loads(self._io.read_text(self._io.path(f"manifest-{v}.json")))
-            live_gens.update(m["buckets"].values())
+            live_gens.update(g for g in m["buckets"].values() if g is not None)
         for name in self._io.list_names(self._io.path()):
             if name.startswith("manifest-") and name.endswith(".json"):
                 try:

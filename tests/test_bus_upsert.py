@@ -641,11 +641,26 @@ def test_bus_spool_offsets_model_property(tmp_path):
 
         def drain(reader, start):
             """The micro-batch loop: latestOffset → partitions → read →
-            commit, until the offset stops advancing."""
+            commit, until the offset stops advancing.
+
+            Single-outstanding-batch contract (ADVICE r14): the
+            committed-floor carve-out in bus_upsert assumes the engine
+            only ever passes a committed offset (or the initial one) as
+            partitions() start — Spark MicroBatchExecution replans at
+            most one uncommitted batch, from the committed offset. This
+            loop MUST keep mirroring that, asserted against the set of
+            offsets actually committed (∪ the initial offset), so a
+            future edit that pipelines multiple uncommitted batches
+            through the model is caught loudly."""
             while True:
                 end = reader.latestOffset()
                 if end == start:
                     return end
+                assert _off_key(start) in known_floors, (
+                    "model property violated the single-outstanding-batch "
+                    "contract: partitions() start was never committed "
+                    "(nor the initial offset)"
+                )
                 batch_files = set()
                 for p in reader.partitions(start, end):
                     if p.path is None:
@@ -654,12 +669,17 @@ def test_bus_spool_offsets_model_property(tmp_path):
                     for row in reader.read(p):
                         delivered.append(row[0])
                 reader.commit(end)
+                known_floors.add(_off_key(end))
                 committed_files.update(batch_files)
                 start = end
+
+        def _off_key(off):
+            return _json.dumps(off, sort_keys=True)
 
         # engine bootstrap: fresh start, no checkpoint
         reader = BusUpsertStreamReader(spool)
         start = reader.initialOffset()
+        known_floors = {_off_key(start)}
         paced_reader = False
         for op, arg in schedule:
             if op == "publish":
@@ -684,6 +704,11 @@ def test_bus_spool_offsets_model_property(tmp_path):
                     path = os.path.join(spool, v)
                     if os.path.exists(path):
                         os.remove(path)
+                    # drop the victim from the committed set so the
+                    # NEXT retain deletes the next-oldest file instead
+                    # of re-targeting this one (ADVICE r14: widens the
+                    # schedules actually exercised)
+                    committed_files.discard(v)
         # final catch-up, then the books must balance exactly
         start = drain(reader, start)
         assert delivered == published

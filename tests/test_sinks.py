@@ -197,16 +197,14 @@ def test_parquet_upsert_sink_matches_pure_python_model_property(spark, tmp_path)
     from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks import ParquetUpsertSink
 
     # rows: (key, seq, value); (key, seq) unique within a batch so the
-    # within-batch winner is deterministic across partition layouts
-    # min_size=1: an ALL-EMPTY refresh batch is a known limitation —
-    # it commits a physically empty generation (zero parquet footers)
-    # that crashes later reads; pinned as a strict xfail below and
-    # scheduled for the r15 freeze commit (needs a store-level
-    # empty-bucket manifest marker, which pulls upsert_sink_shape —
-    # a row outside the current window — so it cannot land
-    # post-freeze without breaking window composition).
+    # within-batch winner is deterministic across partition layouts.
+    # min_size=0 (since r15): an ALL-EMPTY batch is in the schedule
+    # space — refresh mode must empty the whole table and keep the
+    # store readable via the empty-bucket manifest markers (the r14
+    # falsifying class: a footerless generation crashed every later
+    # read); non-refresh mode must be a no-op.
     batch_rows = st.lists(
-        st.tuples(st.integers(0, 4), st.integers(0, 9)), min_size=1, max_size=5,
+        st.tuples(st.integers(0, 4), st.integers(0, 9)), min_size=0, max_size=5,
         unique_by=lambda t: (t[0], t[1]),
     )
     ops = st.lists(
@@ -268,22 +266,15 @@ def test_parquet_upsert_sink_matches_pure_python_model_property(spark, tmp_path)
     check()
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN LIMITATION (found by the sink model property, r14): a "
-    "refresh-mode batch with ZERO rows — every group deleted, the limit "
-    "case of refresh's own delete contract — commits a physically empty "
-    "generation (partitionBy of an empty frame writes no parquet "
-    "footers), and every later read of the store fails with "
-    "UNABLE_TO_INFER_SCHEMA instead of returning the empty table. The "
-    "fix needs a store-level empty-bucket manifest marker "
-    "(statestore.commit detects a footerless write; read skips marked "
-    "buckets; the TTL read-back skips the marker) and lands in the r15 "
-    "freeze commit because jdbc_upsert.py pulls upsert_sink_shape — a "
-    "row OUTSIDE the r14 window — into the rotation. Strict xfail: the "
-    "r15 fix must flip this test to a real assertion.",
-)
 def test_parquet_upsert_sink_refresh_empty_batch_reads_as_empty(spark, tmp_path):
+    """Regression for the r14 sink-model-property find (fixed r15): a
+    refresh-mode batch with ZERO rows — every group deleted, the limit
+    case of refresh's own delete contract — used to commit a physically
+    empty generation (partitionBy of an empty frame writes no parquet
+    footers) and every later read crashed with UNABLE_TO_INFER_SCHEMA.
+    The store now records empty-bucket manifest markers (bucket → null)
+    plus the committed schema, so the emptied table reads back as a
+    typed zero-row DataFrame — and stays writable afterwards."""
     from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks import ParquetUpsertSink
 
     sink = ParquetUpsertSink(str(tmp_path / "s"), key_cols=["k"], refresh=True)
@@ -291,5 +282,18 @@ def test_parquet_upsert_sink_refresh_empty_batch_reads_as_empty(spark, tmp_path)
     assert {tuple(r) for r in sink.read(spark).collect()} == {(1, 10)}
     # the table empties: refresh with zero rows must DELETE every key...
     sink(spark.createDataFrame([], "k long, v long"), 2)
-    # ...and the emptied table must read back as zero rows, not crash
+    # ...and the emptied table must read back as zero rows, not crash —
+    # TYPED zero rows (the committed schema, not an untyped empty)
+    empty = sink.read(spark)
+    assert empty.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in empty.schema.fields] == [
+        ("k", "bigint"),
+        ("v", "bigint"),
+    ]
+    # the store stays writable after the empty generation: a later
+    # refresh re-populates through the marker manifest
+    sink(spark.createDataFrame([(2, 20), (3, 30)], "k long, v long"), 3)
+    assert {tuple(r) for r in sink.read(spark).collect()} == {(2, 20), (3, 30)}
+    # ...and can empty AGAIN (marker path is re-entrant)
+    sink(spark.createDataFrame([], "k long, v long"), 4)
     assert sink.read(spark).count() == 0
