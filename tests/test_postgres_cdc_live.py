@@ -2084,3 +2084,111 @@ def test_two_stage_topologies_kill_resume_live(scratch, spark):
     finally:
         q1.stop()
         q2.stop()
+
+
+def test_streaming_aggregate_empties_and_recovers_live(scratch, spark):
+    """End-to-end LIVE regression for the r15 empty-bucket-marker fix,
+    driven through its real production path: the postgres_cdc stream
+    tails a table whose rows are ALL DELETED, so the changelog-correct
+    aggregate's refresh batch arrives with ZERO rows — the exact shape
+    that used to commit a footerless generation and permanently crash
+    the ParquetUpsertSink store. The emptied sink must read back as a
+    typed zero-row table, the parallel JDBC refresh sink must truncate
+    (its own limit case), and a BRAND-NEW incarnation must resume and
+    keep tailing — a late insert repopulates both sinks THROUGH the
+    all-marked sink store (the refresh commit re-points the marker
+    manifest's buckets at a real generation again)."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.envelope import parse_cdc, project_flat
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.jdbc_upsert import JdbcUpsertSink, ParquetUpsertSink
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import register
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import run_compacted_aggregate
+
+    _setup_plugin(scratch, "pgoutput")
+    cur = scratch["cur"]
+    cur.execute(
+        f'CREATE TABLE "{scratch["schema"]}".empties '
+        f"(id BIGINT PRIMARY KEY, val TEXT)"
+    )
+    cur.execute(
+        f'INSERT INTO "{scratch["schema"]}".empties VALUES (1, \'a\'), (2, \'b\')'
+    )
+    register(spark)
+    p = _dsn_params()
+    work = tempfile.mkdtemp(prefix="cdc_live_empties_")
+    row_schema = StructType(
+        [StructField("id", LongType()), StructField("val", StringType())]
+    )
+    tbl = _sink_table(scratch, name="live_count_by_g")
+    jdbc_sink = JdbcUpsertSink(DSN, tbl, key_cols=["pgschema"], refresh=True)
+    pq_sink = ParquetUpsertSink(
+        os.path.join(work, "sink"), key_cols=["pgschema"], refresh=True
+    )
+
+    def both(df, batch_id):
+        out = df.withColumnRenamed("g", "pgschema")
+        pq_sink(out, batch_id)
+        jdbc_sink(out, batch_id)
+
+    def incarnation():
+        stream = (
+            spark.readStream.format("postgres_cdc")
+            .option("hostname", p.get("host", "localhost"))
+            .option("port", p.get("port", "5432"))
+            .option("database", p.get("dbname", "postgres"))
+            .option("username", p.get("user", "postgres"))
+            .option("password", p.get("password", ""))
+            .option("schema_list", scratch["schema"])
+            .option("table_list", "empties")
+            .option("slot_name", scratch["slot"])
+            .option("plugin_name", "pgoutput")
+            .option("publication_names", scratch["pub"])
+            .load()
+        )
+        flat = project_flat(
+            parse_cdc(stream.select("value"), row_schema), "empties", ["id", "val"]
+        ).withColumn("g", F.lit("all"))
+        return run_compacted_aggregate(
+            flat,
+            state_dir=os.path.join(work, "state"),
+            key_cols=["id"],
+            seq_cols=["ts_ms", "lsn"],
+            group_cols=["g"],
+            op_col="op",
+            agg_exprs=[F.count(F.lit(1)).alias("user_count")],
+            sink=both,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            query_name="live_empties",
+            n_buckets=4,
+        )
+
+    q = incarnation()
+    try:
+        q.processAllAvailable()
+        assert {tuple(r) for r in pq_sink.read(spark).collect()} == {("all", 2)}
+        assert jdbc_sink.read_rows() == [("all", 2)]
+        # every row deleted: the aggregate's next refresh batch is EMPTY
+        cur.execute(f'DELETE FROM "{scratch["schema"]}".empties')
+        q.processAllAvailable()
+        # pre-fix this read crashed with UNABLE_TO_INFER_SCHEMA
+        emptied = pq_sink.read(spark)
+        assert emptied.count() == 0
+        assert [f.name for f in emptied.schema.fields] == ["pgschema", "user_count"]
+        assert jdbc_sink.read_rows() == []
+    finally:
+        q.stop()
+    # a fresh incarnation resumes over the all-marked store and keeps
+    # tailing: a late insert repopulates both sinks through it
+    cur.execute(f'INSERT INTO "{scratch["schema"]}".empties VALUES (3, \'c\')')
+    q2 = incarnation()
+    try:
+        q2.processAllAvailable()
+        assert {tuple(r) for r in pq_sink.read(spark).collect()} == {("all", 1)}
+        assert jdbc_sink.read_rows() == [("all", 1)]
+    finally:
+        q2.stop()

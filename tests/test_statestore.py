@@ -1029,3 +1029,109 @@ def test_generational_store_matches_pure_python_model_property(spark, tmp_path):
         # threshold promotes itself to a full compaction -> 1)
         assert store.gen_count() <= max_generations
     check()
+
+
+def test_savepoint_restore_matches_pure_python_model_property(spark, tmp_path):
+    """Savepoint/restore under random schedules, composed with the r15
+    empty-bucket markers: merge-commits, empty-refresh commits,
+    savepoints at arbitrary points, and restores that CONTINUE working
+    from the snapshot in a fresh root are replayed against a
+    pure-Python dict. After every schedule: the live store matches the
+    model, and EVERY savepoint ever taken still reads back exactly the
+    rows at its trigger time (savepoints are immutable restore points,
+    like Flink's — later commits in source or restored stores must
+    never leak into them)."""
+    import uuid as _uuid
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("commit"),
+                st.lists(
+                    st.tuples(st.integers(0, 9), st.integers(0, 99)),
+                    min_size=1, max_size=3,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+            st.tuples(st.just("empty_refresh"), st.just(None)),
+            st.tuples(st.just("savepoint"), st.just(None)),
+            st.tuples(st.just("restore"), st.just(None)),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+
+    @given(ops)
+    @settings(max_examples=6, deadline=None)
+    def check(schedule):
+        base = tmp_path / f"sr_{_uuid.uuid4().hex[:8]}"
+        n_buckets = 4
+        store = GenerationalStateStore(
+            spark, str(base / "root0"), ["k"], n_buckets=n_buckets
+        )
+        model: dict[int, int] = {}
+        savepoints: list[tuple[str, dict[int, int]]] = []
+        version, n_roots = 0, 0
+
+        def merge_commit(rows):
+            nonlocal version
+            version += 1
+            batch = store.with_bucket(
+                spark.createDataFrame(rows, "k long, v long")
+            )
+            touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+            prev = store.read(buckets=touched)
+            merged = batch if prev is None else prev.unionByName(batch)
+            latest = (
+                merged.groupBy("k")
+                .agg(
+                    F.max_by(
+                        F.struct("k", "v", BUCKET_COL), F.struct(F.lit(version))
+                    ).alias("s")
+                )
+                .select("s.k", "s.v", f"s.{BUCKET_COL}")
+            )
+            store.commit(latest, touched, version)
+            for k, v in rows:
+                model[k] = v
+
+        for op, arg in schedule:
+            if op == "commit":
+                merge_commit(arg)
+            elif op == "empty_refresh":
+                version += 1
+                store.commit(
+                    store.with_bucket(spark.createDataFrame([], "k long, v long")),
+                    list(range(n_buckets)),
+                    version,
+                )
+                model.clear()
+            elif op == "savepoint":
+                if store.read() is None:
+                    continue  # no committed state yet: savepoint refuses
+                sp = str(base / f"sp{len(savepoints)}")
+                store.savepoint(sp)
+                savepoints.append((sp, dict(model)))
+            elif op == "restore":
+                if not savepoints:
+                    continue
+                sp, snap = savepoints[-1]
+                n_roots += 1
+                store = GenerationalStateStore.restore_from_savepoint(
+                    spark, sp, str(base / f"root{n_roots}"), ["k"],
+                )
+                model = dict(snap)
+        live = store.read()
+        got = {} if live is None else {r["k"]: r["v"] for r in live.collect()}
+        assert got == model
+        # every savepoint is still byte-frozen at its trigger state
+        for sp, snap in savepoints:
+            frozen = GenerationalStateStore(spark, sp, ["k"], n_buckets=n_buckets)
+            rows = frozen.read()
+            froze = {} if rows is None else {r["k"]: r["v"] for r in rows.collect()}
+            assert froze == snap, (sp, froze, snap)
+
+    check()
