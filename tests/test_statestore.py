@@ -1135,3 +1135,44 @@ def test_savepoint_restore_matches_pure_python_model_property(spark, tmp_path):
             assert froze == snap, (sp, froze, snap)
 
     check()
+
+
+def test_ttl_max_committed_ts_row_is_always_visible(spark, tmp_path):
+    """Invariant behind the TTL design (and the reason a 'fully
+    expired but physically populated' store is unreachable): the
+    watermark is the max COMMITTED event time, so with ttl >= 0 the
+    row that set it always satisfies ts >= wm - ttl — total expiry of
+    all visible rows can only happen through explicit deletion (the
+    empty-refresh marker path), never through aging alone. Pinned
+    with ttl=0, the tightest horizon."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.state_ttl import TTLStateStore
+
+    store = TTLStateStore(
+        spark, str(tmp_path / "state"), ["k"], n_buckets=4, ttl_col="ts", ttl=0
+    )
+    _ttl_commit(spark, store, [(1, "a", 10)], 0)
+    _ttl_commit(spark, store, [(2, "b", 100)], 1)
+    _ttl_commit(spark, store, [(3, "c", 200)], 2)
+    # ttl=0: everything strictly below the watermark is expired, but
+    # the watermark-setting row itself is always visible
+    vis = {(r["k"], r["ts"]) for r in store.read().collect()}
+    assert vis == {(3, 200)}
+    assert store._watermark() == 200
+
+
+def test_emptied_store_read_compiles_scan_free(spark, tmp_path):
+    """Scale pin for the marker path: reading a store whose buckets
+    are ALL empty-marked is O(0) I/O — the plan contains no FileScan
+    at all (the typed empty table comes from the manifest schema, not
+    from listing or scanning any generation directory). At 100 TB an
+    emptied state table costs nothing to consult."""
+    store = _mk(spark, tmp_path, n_buckets=4)
+    _commit_rows(spark, store, [(1, "a"), (2, "b")], version=0)
+    store.commit(
+        store.with_bucket(spark.createDataFrame([], "k long, v string")),
+        list(range(4)),
+        version=1,
+    )
+    df = store.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan
