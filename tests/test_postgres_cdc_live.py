@@ -2192,3 +2192,83 @@ def test_streaming_aggregate_empties_and_recovers_live(scratch, spark):
         assert jdbc_sink.read_rows() == [("all", 1)]
     finally:
         q2.stop()
+
+
+def test_jdbc_upsert_sink_matches_pure_python_model_property_live(scratch, spark):
+    """Model-based property over the REAL-Postgres K3 sink (the
+    ParquetUpsertSink twin property runs in the core suite; this one
+    drives the production INSERT…ON CONFLICT / refresh-delete SQL
+    against a live server): random schedules interleave merge-mode
+    batches, refresh-mode batches (the batch IS the whole table),
+    empty refresh batches (truncate), and retries of the last batch
+    (idempotent re-delivery), with a stage_threshold of 3 so refresh
+    deletes cross the staged-temp-table gate in BOTH directions within
+    one schedule. The table must equal a pure-Python dict replay after
+    every schedule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.jdbc_upsert import JdbcUpsertSink
+
+    cur = scratch["cur"]
+    batch_rows = st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 99)),
+        min_size=0, max_size=6,
+        unique_by=lambda t: t[0],
+    )
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("merge"), batch_rows),
+            st.tuples(st.just("refresh"), batch_rows),
+            st.tuples(st.just("retry"), st.just(None)),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+    counter = {"n": 0}
+
+    @given(ops)
+    @settings(max_examples=8, deadline=None)
+    def check(schedule):
+        counter["n"] += 1
+        tbl = _sink_table(scratch, name=f"model_sink_{counter['n']}")
+        model: dict[str, int] = {}
+        last = None
+
+        def run(mode, rows, bid):
+            sink = JdbcUpsertSink(
+                DSN, tbl, key_cols=["pgschema"],
+                refresh=(mode == "refresh"), stage_threshold=3,
+            )
+            df = (
+                spark.createDataFrame(
+                    [(f"s{k}", v) for k, v in rows],
+                    "pgschema string, user_count long",
+                )
+                if rows
+                else spark.createDataFrame([], "pgschema string, user_count long")
+            )
+            sink(df, bid)
+            return sink
+
+        sink = None
+        bid = 0
+        for op, arg in schedule:
+            if op == "retry":
+                if last is None:
+                    continue
+                mode, rows = last
+                sink = run(mode, rows, bid)  # same id, same rows
+                continue
+            bid += 1
+            sink = run(op, arg, bid)
+            if op == "refresh":
+                model.clear()
+            for k, v in arg:
+                model[f"s{k}"] = v
+            last = (op, arg)
+        if sink is not None:
+            assert sink.read_rows() == sorted(model.items())
+        cur.execute(f"DROP TABLE {tbl}")
+
+    check()
