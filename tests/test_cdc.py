@@ -606,3 +606,45 @@ def test_cdc_ttl_wal2json_translation_is_arrow_batched(spark):
     plan = wire._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=9),   # seq (validity axis)
+            st.integers(min_value=0, max_value=5),   # tiebreaker
+            st.integers(min_value=0, max_value=99),  # payload
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1], t[2]),  # per-key order is total
+    )
+)
+def test_scd2_history_matches_pure_python_model(spark, ops):
+    """SCD2 materialization == the interval reconstruction a pure-
+    Python replay produces on ANY changelog: per key, sort by
+    (seq, tie); each event's interval is [its seq, the NEXT event's
+    seq) — the tiebreaker orders same-seq events (zero-width
+    intervals are legitimate history) — and only the last event is
+    current. The window kernel (`lead` over the per-key total order)
+    must agree exactly, including keys with a single event and keys
+    whose events all share one seq."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.changelog import scd2_history
+
+    df = spark.createDataFrame(ops, "k long, seq long, tie long, v long")
+    got = {
+        (r["k"], r["seq"], r["tie"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, ["k"], ["seq", "tie"]).collect()
+    }
+    model = {}
+    by_key: dict[int, list[tuple[int, int, int]]] = {}
+    for k, seq, tie, v in ops:
+        by_key.setdefault(k, []).append((seq, tie, v))
+    for k, events in by_key.items():
+        events.sort()
+        for i, (seq, tie, _v) in enumerate(events):
+            nxt = events[i + 1][0] if i + 1 < len(events) else None
+            model[(k, seq, tie)] = (seq, nxt, nxt is None)
+    assert got == model
