@@ -947,6 +947,17 @@ def test_generational_store_matches_pure_python_model_property(spark, tmp_path):
             ),
             st.tuples(st.just("empty_refresh"), st.just(None)),
             st.tuples(st.just("reopen"), st.just(None)),
+            st.tuples(
+                st.just("partial"),  # crash mid-commit: generation
+                # written, manifest NEVER published — committed state
+                # must be untouched and later commits must stage around
+                # the orphan (gen-<v>-r<k>) exactly like a real replay
+                st.lists(
+                    st.tuples(st.integers(0, 9), st.integers(0, 99)),
+                    min_size=0, max_size=3,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
         ),
         min_size=1,
         max_size=6,
@@ -1006,6 +1017,16 @@ def test_generational_store_matches_pure_python_model_property(spark, tmp_path):
                     spark, root, ["k"], n_buckets=n_buckets,
                     max_generations=max_generations,
                 )
+            elif op == "partial":
+                # crash BETWEEN the generation write and the manifest
+                # publish: the directory lands, the atomic pointer flip
+                # never happens — recovery reads the previous manifest
+                # and the next commit to this version stages to an
+                # -r<k> attempt dir (the orphan is GC'd once no
+                # retained manifest could reference it). Model: no-op.
+                spark_df([(k, v) for k, v in arg]).write.mode(
+                    "overwrite"
+                ).partitionBy(BUCKET_COL).parquet(f"{root}/gen-{version}")
         state = store.read()
         if state is None:
             assert not model  # nothing ever committed
