@@ -648,3 +648,36 @@ def test_scd2_history_matches_pure_python_model(spark, ops):
             nxt = events[i + 1][0] if i + 1 < len(events) else None
             model[(k, seq, tie)] = (seq, nxt, nxt is None)
     assert got == model
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    before=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5)), min_size=0, max_size=12
+    ),
+    after=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5)), min_size=0, max_size=12
+    ),
+)
+def test_changelog_diff_matches_multiset_model(spark, before, after):
+    """Retract-stream diff == the multiset difference a pure-Python
+    Counter computes: a full-row value appears in the output iff its
+    net count changed, labeled by the SIGN of the change (the diff is
+    direction, not multiplicity — exact for keyed state tables, which
+    are duplicate-free, and pinned here on arbitrary multisets so the
+    aggregate-net semantics can't silently drift)."""
+    from collections import Counter
+
+    schema = "g long, n long"
+    b = spark.createDataFrame(before or None, schema) if before else spark.createDataFrame([], schema)
+    a = spark.createDataFrame(after or None, schema) if after else spark.createDataFrame([], schema)
+    got = {
+        (r["g"], r["n"]): r["change"]
+        for r in changelog_diff(b, a, ["g"]).collect()
+    }
+    net = Counter(after)
+    net.subtract(Counter(before))
+    expected = {
+        row: ("add" if c > 0 else "retract") for row, c in net.items() if c != 0
+    }
+    assert got == expected
