@@ -27,39 +27,35 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 # The correctness driver grades the FIRST 50 registered queries, in
 # registration order. Cumulative coverage is complete: every
 # registered query has a green driver CORRECTNESS row at its latest
-# grade; the r10-r14 windows were all 50/50 green (the registry-wide
-# rows-only count stays 3 by documented contract). Round-15 window
-# policy (same rotation contract as r4-r14, shared graded helpers
+# grade; the r10-r15 windows were all 50/50 green (the registry-wide
+# rows-only count stays 3 by documented contract). Round-16 window
+# policy (same rotation contract as r4-r15, shared graded helpers
 # FROZEN after the round's first commit per VERDICT r11 #2):
 # (1) every query whose code path changed since its last grade
-# re-enters: the r15 fix for the one open r14 defect — the
-# ParquetUpsertSink empty-refresh-batch crash (VERDICT r14 #1, found
-# by the r14 sink model property, pinned as a strict xfail now
-# flipped to a regression test) — landed the empty-bucket manifest
-# marker + committed-schema read-back in streaming/statestore.py
-# (commit null-points touched buckets that received zero rows; read
-# skips markers and serves a TYPED empty table from the manifest
-# schema; savepoint/restore carry both) with the TTL watermark
-# read-back skipping markers in streaming/state_ttl.py. That pulls
-# the K3 sink row `upsert_sink_shape` (last r11), the ParquetUpsert-
-# Sink-driven `cdc_scd2_streamed` (last r10), and the seven
-# run_compacted_aggregate/statestore streamed wrappers (all r14):
+# re-enters: the ADVICE-r15 statestore hardening (commit() now fails
+# loudly on a NULL/non-integer `_bucket` partition instead of
+# silently orphaning its rows, and validates the committed column
+# name/type set against the manifest's recorded schema so drift can
+# never mistype a pruned empty read — both in
+# streaming/statestore.py, no behavior change on any valid commit)
+# pulls the same set the r15 statestore fix did: the K3 sink row
+# `upsert_sink_shape`, the ParquetUpsertSink-driven
+# `cdc_scd2_streamed`, and the seven
+# run_compacted_aggregate/statestore streamed wrappers (all r15):
 # cdc_pipeline_streamed, bus_roundtrip_streamed,
 # changelog_agg_multi_streamed, cdc_toast_pipeline_streamed,
 # cdc_ttl_streamed, cdc_ttl_restart_streamed,
 # cdc_ttl_wal2json_streamed — 9 regrades, 0 additions (≤ 15 per the
 # freeze contract);
-# (2) the 12 round-9 rows displaced from the r14 window, exactly as
-# promised there — the rotation's stalest-row age bound moves to
-# round 10;
-# (3) remaining 29 slots take the round-10 rows alphabetically
-# (cdc_scd2_streamed is already in section (1)). Everything outside
-# the window stays registered and locally verified via
-# tools/verify_local.py.
+# (2) the 10 round-10 TPC-H rows, the promised r16 front of the
+# line — the rotation's stalest-row age bound moves to round 11;
+# (3) remaining 31 slots take the round-11 rows alphabetically.
+# Everything outside the window stays registered and locally
+# verified via tools/verify_local.py.
 _PRIORITY = [
-    # --- (1) code path changed since the last grade: the statestore
-    # empty-bucket manifest marker + schema read-back (VERDICT r14 #1
-    # fix across streaming/statestore.py + streaming/state_ttl.py)
+    # --- (1) code path changed since the last grade: the ADVICE-r15
+    # statestore commit hardening (non-int `_bucket` partition guard +
+    # committed-schema drift validation in streaming/statestore.py)
     # pulls the K3 sink row, the ParquetUpsertSink SCD2 stream, and
     # every run_compacted_aggregate wrapper ---
     "upsert_sink_shape", "cdc_scd2_streamed",
@@ -67,28 +63,27 @@ _PRIORITY = [
     "changelog_agg_multi_streamed", "cdc_toast_pipeline_streamed",
     "cdc_ttl_streamed", "cdc_ttl_restart_streamed",
     "cdc_ttl_wal2json_streamed",
-    # --- (2) the 12 round-9 rows, the promised r15 front of the line ---
-    "session_window", "stratified_sample", "string_functions",
-    "tpch_q16", "tumbling_window_late_streamed",
-    "unigram_kl_by_source", "variant_extract", "window_first_last",
-    "window_moving_avg", "window_running_sum", "winsorized_stats",
-    "zorder_layout",
-    # --- (3) round-10 rows, 29 of the 39 remaining (cdc_scd2_streamed
-    # is a section-(1) regrade), A-Z ---
-    "ann_recall_lsh", "approx_distinct_users",
-    "approx_percentile_by_type", "cdc_scd2_history",
-    "cdc_schema_drop_column", "cdc_schema_widen_type",
-    "cdc_toast_pipeline", "collect_sorted_ids", "dedup_keep_best",
-    "dup_rate_by_source_pair", "heavy_hitters_sketch",
-    "label_centroids", "minhash_calibration",
-    "mixture_budget_allocation", "mixture_interleave_schedule",
-    "multimodal_decode", "multimodal_frames", "multimodal_resize",
-    "scd2_as_of_state", "semantic_dedup_reps",
-    "temperature_mixture_weights", "tpch_q10", "tpch_q11", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19",
-    # Still outside the window, last green in round 10, displaced to
-    # the FRONT of the r16 rotation: tpch_q2, tpch_q20, tpch_q21,
-    # tpch_q3, tpch_q4, tpch_q5, tpch_q6, tpch_q7, tpch_q8, tpch_q9.
+    # --- (2) the 10 round-10 TPC-H rows, the promised r16 front of
+    # the line ---
+    "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q3", "tpch_q4",
+    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    # --- (3) round-11 rows, 31 of the 40, A-Z ---
+    "agg_stats", "cdc_toast_wal2json", "chunk_dedup_stats",
+    "content_defined_chunks", "customers_with_orders",
+    "dedup_apply_fuzzy", "dedup_clusters", "dedup_clusters_star",
+    "dedup_containment", "dedup_minhash_streamed", "derived_key",
+    "doc_fingerprint", "doc_perplexity", "gopher_quality_flags",
+    "grouped_count_alias", "k_anonymity_audit", "keyed_count",
+    "lang_id", "quality_filter_funnel", "quality_score",
+    "revenue_by_nation", "rollup_counts", "route_demux", "set_ops",
+    "similarity_topk", "sliding_window_streamed", "sql_group_count",
+    "stream_stream_full_outer_streamed",
+    "stream_stream_left_join_streamed", "text_stats_by_source",
+    "tfidf_cosine_pairs",
+    # Still outside the window, last green in round 11, displaced to
+    # the FRONT of the r17 rotation: token_count, tokenize,
+    # tokenizer_coverage, top_k_orders, tpch_q1, tpch_q12, tpch_q22,
+    # union_schemas, window_lag_delta.
 ]
 
 

@@ -225,16 +225,49 @@ class GenerationalStateStore:
     @staticmethod
     def _present_buckets(io: _Fs, gen: str) -> set[int]:
         """Bucket ids that physically exist (as ``_bucket=<b>`` dirs)
-        inside a just-written generation directory."""
+        inside a just-written generation directory.
+
+        A ``_bucket=`` partition whose value does not parse as an int
+        (e.g. Hive's ``__HIVE_DEFAULT_PARTITION__`` from a NULL bucket
+        value) is a commit-contract violation, not noise: the rows
+        were physically written, but no manifest entry could ever own
+        them — continuing would null-mark their bucket and silently
+        orphan the data (ADVICE r15). Fail the commit loudly instead;
+        ``bucket_expr`` over non-null key columns can never produce
+        such a value, so this is only reachable by handing ``commit``
+        a frame with a corrupted/NULL ``_bucket`` column."""
         prefix = f"{BUCKET_COL}="
         out = set()
         for name in io.list_names(io.path(gen)):
             if name.startswith(prefix):
+                raw = name[len(prefix):]
                 try:
-                    out.add(int(name[len(prefix):]))
+                    out.add(int(raw))
                 except ValueError:
-                    continue
+                    raise ValueError(
+                        f"state store: generation {gen!r} contains partition "
+                        f"directory {name!r} whose bucket id is not an "
+                        f"integer — the committed frame carried a NULL or "
+                        f"non-integer {BUCKET_COL!r} value, and its rows "
+                        f"could never be owned by a manifest entry. Bucket "
+                        f"ids must come from bucket_expr() over non-null "
+                        f"key columns."
+                    ) from None
         return out
+
+    @staticmethod
+    def _schema_fingerprint(schema: StructType) -> dict[str, str]:
+        """Column name → type map used for drift detection. Field ORDER
+        and NULLABILITY are deliberately excluded: reads union
+        generations with ``unionByName`` (order-insensitive), and
+        nullability legitimately flips between a first commit's plan
+        schema and later commits whose state side is a parquet
+        read-back (all-nullable) — neither can corrupt a read. A
+        name/type change CAN: the manifest records only the latest
+        commit's schema, so a pruned read whose selected buckets are
+        all empty-marked would be typed with a schema that diverges
+        from rows still owned by older generations (ADVICE r15)."""
+        return {f.name: f.dataType.simpleString() for f in schema.fields}
 
     def gen_count(self) -> int:
         manifest = self._current_manifest()
@@ -257,7 +290,40 @@ class GenerationalStateStore:
         a directory that does not exist yet (``gen-<v>``, then
         ``gen-<v>-r<k>``), never deleting a prior attempt; the manifest
         flip re-points buckets at the new attempt and ``_gc`` reaps the
-        orphaned one once no retained manifest references it."""
+        orphaned one once no retained manifest references it.
+
+        The committed column set must be STABLE across commits (same
+        names and types; order and nullability are free — see
+        :meth:`_schema_fingerprint`): the manifest records only the
+        latest commit's schema, and typed-empty reads are served from
+        it. Drift is validated BEFORE any write and fails loudly.
+        A legacy manifest that predates schema recording (pre-r15) has
+        nothing to validate against; the first commit on such a store
+        backfills the ``schema`` key, making the typed-empty read
+        contract universal from then on."""
+        manifest = self._current_manifest()
+        prev_schema_json = (manifest or {}).get("schema")
+        if prev_schema_json is not None:
+            prev_fp = self._schema_fingerprint(
+                StructType.fromJson(json.loads(prev_schema_json))
+            )
+            new_fp = self._schema_fingerprint(df.schema)
+            if new_fp != prev_fp:
+                added = sorted(set(new_fp) - set(prev_fp))
+                dropped = sorted(set(prev_fp) - set(new_fp))
+                retyped = sorted(
+                    c for c in set(new_fp) & set(prev_fp) if new_fp[c] != prev_fp[c]
+                )
+                raise ValueError(
+                    f"state store at {self.root!r}: committed schema drifted "
+                    f"from the store's recorded schema (added={added}, "
+                    f"dropped={dropped}, "
+                    f"retyped={[(c, prev_fp[c], new_fp[c]) for c in retyped]}). "
+                    f"The manifest records only the latest commit's schema, "
+                    f"so drift would mistype pruned empty reads against rows "
+                    f"still owned by older generations; the committed column "
+                    f"set must be stable for the store's lifetime."
+                )
         gen = f"gen-{version}"
         attempt = 0
         while self._io.exists(self._io.path(gen)):
@@ -275,7 +341,8 @@ class GenerationalStateStore:
         # parquet footers for it (an ALL-empty generation has no
         # footers at all and would crash every later read).
         present = self._present_buckets(self._io, gen)
-        manifest = self._current_manifest() or {"n_buckets": self.n_buckets, "buckets": {}}
+        if manifest is None:
+            manifest = {"n_buckets": self.n_buckets, "buckets": {}}
         buckets = dict(manifest["buckets"])
         for b in touched_buckets:
             buckets[str(b)] = gen if b in present else None

@@ -681,3 +681,241 @@ def test_changelog_diff_matches_multiset_model(spark, before, after):
         row: ("add" if c > 0 else "retract") for row, c in net.items() if c != 0
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------- VERDICT r15 #3
+# Model property over the wal2json translation kernel — the one
+# changelog kernel that had no property (SCD2/retract/store/savepoint/
+# sink/offsets all gained one in r14-r15). Random format-v2 records —
+# TOAST omissions as random column subsets, REPLICA IDENTITY FULL vs
+# DEFAULT identity blocks, real NULL writes, deletes, re-inserts,
+# multi-table interleavings, non-row records — against a pure-Python
+# envelope model, plus the end-to-end claim the kernel exists for:
+# replaying its envelopes under the documented consumer semantics
+# reconstructs the source table.
+
+
+def _w2j_history():
+    """Hypothesis strategy: (tables, ops) — a realistic multi-table
+    wal2json change history. Each table: value columns, a TOASTable
+    subset, and a replica identity mode; each op: insert / update
+    (with a random unchanged-TOAST omission subset) / delete against
+    live rows only, plus interleaved non-row records."""
+    col_pool = ["body", "val", "note"]
+
+    @st.composite
+    def hist(draw):
+        n_tables = draw(st.integers(1, 2))
+        tables = {}
+        for t in range(n_tables):
+            cols = draw(
+                st.lists(st.sampled_from(col_pool), min_size=1, max_size=3, unique=True)
+            )
+            toastable = [c for c in cols if draw(st.booleans())]
+            identity = draw(st.sampled_from(["full", "default"]))
+            tables[f"t{t}"] = {"cols": cols, "toastable": toastable, "identity": identity}
+        ops = []
+        live: dict[tuple[str, int], dict] = {}
+        n_ops = draw(st.integers(1, 14))
+        for _ in range(n_ops):
+            kind = draw(st.sampled_from(["ins", "ins", "upd", "upd", "upd", "del", "noop"]))
+            if kind == "noop":
+                ops.append(("noop", draw(st.sampled_from(["B", "C", "T", "M"])), None, None))
+                continue
+            table = draw(st.sampled_from(sorted(tables)))
+            spec = tables[table]
+            if kind == "ins":
+                k = draw(st.integers(0, 3))
+                if (table, k) in live:
+                    continue
+                row = {
+                    c: draw(st.one_of(st.none(), st.integers(0, 99)))
+                    for c in spec["cols"]
+                }
+                live[(table, k)] = row
+                ops.append(("I", table, k, dict(row)))
+            else:
+                keys = sorted(kk for tt, kk in live if tt == table)
+                if not keys:
+                    continue
+                k = draw(st.sampled_from(keys))
+                if kind == "del":
+                    ops.append(("D", table, k, dict(live.pop((table, k)))))
+                else:
+                    old = live[(table, k)]
+                    new = dict(old)
+                    for c in spec["cols"]:
+                        if draw(st.booleans()):
+                            new[c] = draw(st.one_of(st.none(), st.integers(100, 199)))
+                    # unchanged TOASTed columns may be omitted from the wire
+                    omit = [
+                        c
+                        for c in spec["toastable"]
+                        if new[c] == old[c] and draw(st.booleans())
+                    ]
+                    live[(table, k)] = new
+                    ops.append(("U", table, k, {"old": dict(old), "new": new, "omit": omit}))
+        return tables, ops, live
+
+    return hist()
+
+
+def _w2j_render(tables, ops):
+    """Render the history as wal2json format-v2 records, faithfully:
+    inserts carry no identity block; updates/deletes carry the old
+    tuple under REPLICA IDENTITY FULL but only the key under DEFAULT;
+    an update omits unchanged-TOAST columns from its new-tuple list
+    with no in-band marker (the wire behavior the kernel must diff
+    against the identity block); non-row records pass through."""
+    records = []
+    lsn = 100
+    for op in ops:
+        lsn += 7
+        kind, a, b, c = op
+        if kind == "noop":
+            records.append(({"action": a, "schema": "public"}, op, lsn))
+            continue
+        table, k = a, b
+        spec = tables[table]
+
+        def cols_list(row, skip=()):
+            out = [{"name": "id", "value": k}]
+            out += [
+                {"name": n, "value": row[n]} for n in spec["cols"] if n not in skip
+            ]
+            return out
+
+        rec = {
+            "action": kind,
+            "schema": "public",
+            "table": table,
+            "lsn_int": lsn,
+            "timestamp_ms": lsn * 10,
+            "xid": lsn * 2,
+        }
+        if kind == "I":
+            rec["columns"] = cols_list(c)
+        elif kind == "U":
+            rec["columns"] = cols_list(c["new"], skip=c["omit"])
+            rec["identity"] = (
+                cols_list(c["old"]) if spec["identity"] == "full"
+                else [{"name": "id", "value": k}]
+            )
+        else:  # D
+            rec["identity"] = (
+                cols_list(c) if spec["identity"] == "full"
+                else [{"name": "id", "value": k}]
+            )
+        records.append((rec, op, lsn))
+    return records
+
+
+def _w2j_model_envelope(rec, database):
+    """Independent pure-Python model of the kernel's contract, written
+    from the wal2json v2 + Debezium envelope spec: op mapping, before
+    = identity map, after = new-tuple map with identity-minus-columns
+    names marked unavailable and null-filled, source block from the
+    record's lsn/ts/xid/schema/table."""
+    action = rec.get("action")
+    if action not in ("I", "U", "D"):
+        return None
+    before = (
+        {c["name"]: c["value"] for c in rec["identity"]} if "identity" in rec else None
+    )
+    after = (
+        {c["name"]: c["value"] for c in rec["columns"]} if "columns" in rec else None
+    )
+    unavailable = []
+    if action == "U":
+        unavailable = [n for n in before if n not in after]
+        for n in unavailable:
+            after[n] = None
+    env = {
+        "before": before,
+        "after": after,
+        "source": {
+            "version": "wal2json-2",
+            "connector": "postgresql",
+            "name": "experiment_flink_cdc_connectors_postgres_datastream_spark",
+            "ts_ms": rec["timestamp_ms"],
+            "db": database,
+            "schema": rec["schema"],
+            "table": rec["table"],
+            "txId": rec["xid"],
+            "lsn": rec["lsn_int"],
+        },
+        "op": {"I": "c", "U": "u", "D": "d"}[action],
+        "ts_ms": rec["timestamp_ms"],
+    }
+    if unavailable:
+        env["unavailable"] = unavailable
+    return env
+
+
+@given(_w2j_history())
+@settings(max_examples=120, deadline=None)
+def test_wal2json_to_envelope_matches_pure_python_model_property(hist):
+    import json as _json
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import wal2json_to_envelope
+
+    tables, ops, truth = hist
+    records = _w2j_render(tables, ops)
+
+    # (1) envelope-for-envelope against the independent model
+    envelopes = []
+    for rec, op, lsn in records:
+        got = wal2json_to_envelope(rec, "postgres")
+        want = _w2j_model_envelope(rec, "postgres")
+        if want is None:
+            assert got is None, (op, got)
+            continue
+        assert got is not None, op
+        assert _json.loads(got) == want, (op, got, want)
+        envelopes.append(_json.loads(got))
+
+    # (2) end-to-end: replaying the envelopes under the documented
+    # consumer semantics (latest per key by lsn; a marked column takes
+    # the most recent prior value of that column from a non-delete row
+    # that did not mark it; deletes never seed; drop deleted keys)
+    # reconstructs the source table — exactly, under REPLICA IDENTITY
+    # FULL; under DEFAULT the omission is invisible (the documented
+    # caveat), so a column the LATEST update omitted materializes NULL.
+    for table, spec in tables.items():
+        carry: dict[int, dict] = {}
+        latest: dict[int, dict] = {}
+        for env in envelopes:
+            if env["source"]["table"] != table:
+                continue
+            k = (env["after"] or env["before"])["id"]
+            marked = set(env.get("unavailable") or [])
+            row = {
+                c: (carry.get(k, {}).get(c) if c in marked else (env["after"] or {}).get(c))
+                for c in spec["cols"]
+            }
+            if env["op"] != "d":
+                seed = carry.setdefault(k, {})
+                for c in spec["cols"]:
+                    if c not in marked:
+                        seed[c] = row[c]
+                latest[k] = row
+            else:
+                latest.pop(k, None)
+        want = {}
+        for (tt, k), row in truth.items():
+            if tt != table:
+                continue
+            if spec["identity"] == "full":
+                want[k] = dict(row)
+            else:
+                # find the last op for this key; columns it omitted are NULL
+                last = next(
+                    (o for o in reversed(ops) if o[0] in "IUD" and o[1] == table and o[2] == k),
+                    None,
+                )
+                r = dict(row)
+                if last is not None and last[0] == "U":
+                    for c in last[3]["omit"]:
+                        r[c] = None
+                want[k] = r
+        assert latest == want, (table, spec, latest, want)

@@ -1197,3 +1197,130 @@ def test_emptied_store_read_compiles_scan_free(spark, tmp_path):
     df = store.read()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan, plan
+
+
+def test_commit_rejects_null_bucket_partition_loudly(spark, tmp_path):
+    """ADVICE r15: a frame whose `_bucket` column carries NULL (or any
+    non-integer) writes a `_bucket=__HIVE_DEFAULT_PARTITION__`
+    partition that no manifest entry could ever own — silently
+    null-marking the bucket would orphan the rows. commit() must fail
+    loudly BEFORE publishing a manifest, leaving the prior state
+    intact and the store writable."""
+    import pytest
+
+    store = _mk(spark, tmp_path, n_buckets=4)
+    _commit_rows(spark, store, [(1, "a"), (2, "b")], version=0)
+    before = {(r["k"], r["v"]) for r in store.read().collect()}
+
+    bad = spark.createDataFrame([(9, "x")], "k long, v string").withColumn(
+        BUCKET_COL, F.lit(None).cast("int")
+    )
+    with pytest.raises(ValueError, match="not an integer"):
+        store.commit(bad, [0], version=1)
+
+    # no manifest was published: state is unchanged and still readable
+    assert not (tmp_path / "state" / "manifest-1.json").exists()
+    assert {(r["k"], r["v"]) for r in store.read().collect()} == before
+    # and the store remains writable (the orphaned attempt dir is
+    # staged around, then reaped by the next successful commit's gc)
+    _commit_rows(spark, store, [(3, "c")], version=2)
+    assert (3, "c") in {(r["k"], r["v"]) for r in store.read().collect()}
+
+
+def test_commit_rejects_schema_drift_loudly(spark, tmp_path):
+    """ADVICE r15: the manifest records only the LATEST commit's
+    schema, and typed-empty reads are served from it — a commit whose
+    column name/type set differs from the recorded schema would
+    mistype pruned empty reads against rows still owned by older
+    generations. commit() validates BEFORE any write and names the
+    added / dropped / retyped columns."""
+    import pytest
+
+    store = _mk(spark, tmp_path, n_buckets=4)
+    _commit_rows(spark, store, [(1, "a")], version=0)
+
+    renamed = store.with_bucket(
+        spark.createDataFrame([(2, "b")], "k long, v2 string")
+    )
+    with pytest.raises(ValueError, match=r"added=\['v2'\].*dropped=\['v'\]"):
+        store.commit(renamed, [0], version=1)
+    retyped = store.with_bucket(spark.createDataFrame([(2, 7)], "k long, v long"))
+    with pytest.raises(ValueError, match=r"retyped=\[\('v', 'string', 'bigint'\)\]"):
+        store.commit(retyped, [0], version=1)
+
+    # validation is pre-write: no generation dir or manifest appeared
+    assert not (tmp_path / "state" / "manifest-1.json").exists()
+    assert store.read().count() == 1
+    # a conforming commit still lands
+    _commit_rows(spark, store, [(2, "b")], version=2)
+    assert {(r["k"], r["v"]) for r in store.read().collect()} == {(1, "a"), (2, "b")}
+
+
+def test_commit_tolerates_column_order_and_nullability_drift(spark, tmp_path):
+    """Field ORDER and NULLABILITY legitimately differ between a first
+    commit's plan schema and later commits whose state side is a
+    parquet read-back (all-nullable, partition column last); the drift
+    check must ignore both — reads union generations by NAME."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    store = _mk(spark, tmp_path, n_buckets=4)
+    # non-nullable first commit
+    seed = spark.createDataFrame(
+        [(1, "a")],
+        StructType(
+            [StructField("k", LongType(), False), StructField("v", StringType(), False)]
+        ),
+    )
+    df = store.with_bucket(seed)
+    store.commit(df, [r[0] for r in df.select(BUCKET_COL).distinct().collect()], version=0)
+    # reordered + all-nullable second commit (the parquet read-back shape)
+    again = store.with_bucket(
+        spark.createDataFrame([(2, "b")], "k long, v string")
+    ).select("v", BUCKET_COL, "k")
+    store.commit(again, [r[0] for r in again.select(BUCKET_COL).distinct().collect()], version=1)
+    assert {(r["k"], r["v"]) for r in store.read().collect()} == {(1, "a"), (2, "b")}
+
+
+def test_legacy_manifest_schema_backfilled_on_first_commit(spark, tmp_path):
+    """VERDICT r15 #7: a pre-r15 manifest carries no `schema` key, so
+    its pruned empty reads return None (the legacy contract). The
+    FIRST commit on such a store must backfill the key — from then on
+    the typed-empty read contract is universal."""
+    store = _mk(spark, tmp_path, n_buckets=4)
+    _commit_rows(spark, store, [(1, "a"), (2, "b")], version=0)
+
+    # simulate the legacy layout: strip `schema` from the manifest
+    root = str(tmp_path / "state")
+    names = sorted(n for n in os.listdir(root) if n.startswith("manifest-") and n.endswith(".json"))
+    path = os.path.join(root, names[-1])
+    manifest = json.loads(open(path).read())
+    manifest.pop("schema", None)
+    open(path, "w").write(json.dumps(manifest))
+    crc = os.path.join(root, f".{names[-1]}.crc")
+    if os.path.exists(crc):  # hadoop local-fs checksum sidecar
+        os.remove(crc)
+
+    reopened = _mk(spark, tmp_path, n_buckets=4)
+    unowned = [b for b in range(4) if str(b) not in {
+        k for k, g in json.loads(open(path).read())["buckets"].items() if g is not None
+    }]
+    if unowned:  # legacy contract: pruned read of never-touched buckets is None
+        assert reopened.read(buckets=unowned[:1]) is None
+
+    # first commit backfills (and has nothing to drift-check against)
+    _commit_rows(spark, reopened, [(3, "c")], version=1)
+    m1 = json.loads((tmp_path / "state" / "manifest-1.json").read_text())
+    assert "schema" in m1
+    # the typed-empty contract now holds: empty a bucket, read it pruned
+    seed = reopened.with_bucket(spark.createDataFrame([(1, "a")], "k long, v string"))
+    keep = [r[0] for r in seed.select(BUCKET_COL).distinct().collect()]
+    all_touched = sorted({r[0] for r in reopened.with_bucket(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    ).select(BUCKET_COL).distinct().collect()})
+    store_wide = seed  # complete rows for every touched bucket: only key 1 survives
+    reopened.commit(store_wide, all_touched, version=2)
+    emptied = [b for b in all_touched if b not in keep]
+    if emptied:
+        pruned = reopened.read(buckets=emptied)
+        assert pruned is not None and pruned.count() == 0
+        assert {f.name for f in pruned.schema.fields} == {"k", "v", BUCKET_COL}
