@@ -74,3 +74,33 @@ def test_verify_local_value_hash_invariants():
     # same values under swapped NAMES -> different hash (a value
     # landing in the wrong column must not collide)
     assert value_hash(rows, ["y", "x"]) != h
+
+
+def test_verify_local_oracle_cache_hits_and_invalidates(tmp_path):
+    """VERDICT r15 #7a: the opt-in DuckDB-side memo must (a) return the
+    byte-identical result on a hit, (b) key on the SQL text — a changed
+    oracle can never serve a stale entry — and (c) key on the data
+    files' identity, so a regenerated sf dir invalidates. Exercised
+    directly against a throwaway DuckDB; no Spark."""
+    import duckdb
+
+    sys.path.insert(0, str(REPO))
+    import tools.verify_local as vl
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    con = duckdb.connect()
+    for t in vl.TABLES:
+        (sf / f"{t}.parquet").write_bytes(b"")  # only stat() is keyed
+    cache_root = "/tmp/spark_graft_oracle_cache"
+    sql1 = "SELECT 1 AS a, 'x' AS b"
+    k1 = vl._oracle_cache_key(sql1, str(sf))
+    k2 = vl._oracle_cache_key("SELECT 2 AS a, 'x' AS b", str(sf))
+    assert k1 != k2  # (b) SQL text is part of the key
+    cold = vl._oracle_cached(con, sql1, str(sf), use_cache=True)
+    warm = vl._oracle_cached(con, sql1, str(sf), use_cache=True)
+    assert cold == warm == (["a", "b"], ["INTEGER", "VARCHAR"], [(1, "x")])
+    assert pathlib.Path(cache_root, k1 + ".json").exists()
+    # (c) touching a table file's mtime/size changes the key
+    (sf / f"{sorted(vl.TABLES)[0]}.parquet").write_bytes(b"xx")
+    assert vl._oracle_cache_key(sql1, str(sf)) != k1

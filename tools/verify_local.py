@@ -2,7 +2,18 @@
 registry query on Spark AND its DuckDB oracle, compare row count,
 column names, and an order-insensitive value hash.
 
-Usage: python tools/verify_local.py [--strict-types] [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--strict-types] [--oracle-cache]
+       [sf_dir] [query ...]
+
+``--oracle-cache`` (VERDICT r15 #7a) memoizes the DuckDB side of the
+compare under ``/tmp/spark_graft_oracle_cache/``, keyed on the md5 of
+(oracle SQL text, resolved sf_dir, per-table parquet size+mtime) —
+any change to the query's oracle, the scale factor, or the data
+invalidates the entry, so a hit is always the byte-identical result
+DuckDB would return. The SPARK side always runs (it is the thing
+being verified); the cache only cuts the redundant oracle re-runs in
+full-registry multi-scale sweeps. Results whose values don't survive
+a JSON round-trip (BLOBs) are transparently not cached.
 
 ``--strict-types`` additionally FAILS any oracle whose DuckDB result
 column type is outside the portable set (BIGINT / DOUBLE / VARCHAR /
@@ -72,18 +83,78 @@ PORTABLE_TYPES = {
 }
 
 
+def _oracle_cache_key(sql: str, sf_dir: str) -> str:
+    import os
+
+    h = hashlib.md5()
+    h.update(sql.encode())
+    real = os.path.realpath(sf_dir)
+    h.update(real.encode())
+    for t in sorted(TABLES):
+        p = os.path.join(real, f"{t}.parquet")
+        try:
+            st_ = os.stat(p)
+            h.update(f"{t}:{st_.st_size}:{st_.st_mtime_ns}".encode())
+        except OSError:
+            h.update(f"{t}:absent".encode())
+    return h.hexdigest()
+
+
+def _oracle_cached(con, sql: str, sf_dir: str, use_cache: bool):
+    """(cols, types, rows) for the oracle, through the opt-in cache.
+    Types are cached as their rendered names — exactly what the
+    strict-types gate compares against PORTABLE_TYPES."""
+    import json
+    import os
+
+    cache_dir = "/tmp/spark_graft_oracle_cache"
+    path = None
+    if use_cache:
+        path = os.path.join(cache_dir, _oracle_cache_key(sql, sf_dir) + ".json")
+        try:
+            with open(path) as fh:
+                hit = json.load(fh)
+            return hit["cols"], hit["types"], [tuple(r) for r in hit["rows"]]
+        except OSError:
+            pass
+    res = con.sql(sql)
+    cols = [d[0] for d in res.description]
+    types = [str(t) for t in res.types]
+    rows = [tuple(normalize(v) for v in r) for r in res.fetchall()]
+    if path is not None:
+        try:
+            payload = json.dumps({"cols": cols, "types": types, "rows": rows})
+            # round-trip guard: only cache what decodes back identical
+            back = json.loads(payload)
+            if [tuple(r) for r in back["rows"]] == rows:
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "w") as fh:
+                    fh.write(payload)
+                os.replace(tmp, path)
+        except (TypeError, ValueError, OSError):
+            pass  # unserializable (BLOBs) or disk trouble: just don't cache
+    return cols, types, rows
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     # same foot-gun class as the unknown-name check below: a
     # misspelled flag (--strict-type) would silently run WITHOUT the
     # type gate — the strictness the caller asked for vacuously off
     unknown_flags = sorted(
-        {a for a in sys.argv[1:] if a.startswith("--")} - {"--strict-types"}
+        {a for a in sys.argv[1:] if a.startswith("--")}
+        - {"--strict-types", "--oracle-cache"}
     )
     if unknown_flags:
-        print(f"ERROR: unknown flag(s) {unknown_flags}: only --strict-types is supported; ran nothing")
+        print(
+            "ERROR: unknown flag(s) "
+            f"{unknown_flags}: only --strict-types / --oracle-cache are "
+            "supported; ran nothing"
+        )
         return 2
     strict_types = "--strict-types" in sys.argv[1:]
+    oracle_cache = "--oracle-cache" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
     # A name that matches no registered query must be a hard error,
@@ -117,16 +188,15 @@ def main() -> int:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.sql(ORACLES[name])
-            dcols = [d[0] for d in res.description]
-            drows = [tuple(normalize(v) for v in r) for r in res.fetchall()]
+            dcols, dtypes, drows = _oracle_cached(
+                con, ORACLES[name], sf_dir, oracle_cache
+            )
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
         problems = []
         if strict_types:
-            dtypes = [str(t) for t in res.types]
             bad = [f"{c}:{t}" for c, t in zip(dcols, dtypes) if t not in PORTABLE_TYPES]
             if bad:
                 problems.append(f"non-portable oracle types {bad}")
