@@ -958,6 +958,11 @@ def test_generational_store_matches_pure_python_model_property(spark, tmp_path):
                     unique_by=lambda t: t[0],
                 ),
             ),
+            # r16 guard ops, composed into the schedule space: both
+            # must raise and leave committed state untouched (model:
+            # no-op), at ANY point of any schedule
+            st.tuples(st.just("drift"), st.sampled_from(["rename", "retype"])),
+            st.tuples(st.just("nullbucket"), st.just(None)),
         ),
         min_size=1,
         max_size=6,
@@ -1027,6 +1032,44 @@ def test_generational_store_matches_pure_python_model_property(spark, tmp_path):
                 spark_df([(k, v) for k, v in arg]).write.mode(
                     "overwrite"
                 ).partitionBy(BUCKET_COL).parquet(f"{root}/gen-{version}")
+            elif op == "drift":
+                # ADVICE r15: a commit whose column name/type set
+                # drifts from the recorded schema raises BEFORE any
+                # write — nothing lands, not even an orphan dir. Only
+                # attemptable once a schema is recorded; model: no-op.
+                import pytest as _pytest
+
+                if store._current_manifest() is None:
+                    version -= 1
+                    continue
+                bad_rows = (
+                    spark.createDataFrame([(1, 1)], "k long, w long")
+                    if arg == "rename"
+                    else spark.createDataFrame([(1, "x")], "k long, v string")
+                )
+                with _pytest.raises(ValueError, match="schema drifted"):
+                    store.commit(store.with_bucket(bad_rows), [0], version)
+                assert not os.path.exists(f"{root}/gen-{version}")
+                version -= 1
+            elif op == "nullbucket":
+                # ADVICE r15: a NULL `_bucket` writes a
+                # __HIVE_DEFAULT_PARTITION__ dir no manifest entry can
+                # own — commit raises AFTER the physical write but
+                # BEFORE the manifest flip, so the orphan generation at
+                # this version must be staged around by later commits
+                # and GC'd, exactly like the `partial` crash. Model:
+                # no-op.
+                import pytest as _pytest
+
+                bad = spark.createDataFrame([(99, 99)], "k long, v long").withColumn(
+                    BUCKET_COL, F.lit(None).cast("int")
+                )
+                with _pytest.raises(ValueError, match="not an integer"):
+                    store.commit(bad, [0], version)
+                # hand the version back: the next real commit replays
+                # the SAME batch id (the foreachBatch retry shape) and
+                # must stage around the failed attempt's orphan dir
+                version -= 1
         state = store.read()
         if state is None:
             assert not model  # nothing ever committed
