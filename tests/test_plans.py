@@ -893,6 +893,13 @@ _EXCLUDED_ROW_PINS = {
     "stream_stream_join_streamed": "test_streaming.py",
     "tumbling_window_late_streamed": "test_streaming.py",
     "dedup_streamed": "test_streaming.py",
+    # r16 window rotation additions: sliding window double-assignment,
+    # one/both-sided watermark-driven outer emission, incremental
+    # MinHash cross-batch state (model property + live kill/resume)
+    "sliding_window_streamed": "test_streaming.py",
+    "stream_stream_left_join_streamed": "test_streaming.py",
+    "stream_stream_full_outer_streamed": "test_streaming.py",
+    "dedup_minhash_streamed": "test_streaming.py",
 }
 
 

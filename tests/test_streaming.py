@@ -11,8 +11,13 @@ parity, cross-batch TOAST resolution, TTL),
 `tumbling_window_streamed` / `tumbling_window_late_streamed`
 (tumbling window + watermark-boundary goldens),
 `session_window_streamed` (append-mode session flush),
-`stream_static_join_streamed` (broadcast stream-static join), and
-`dedup_streamed` (cross-batch dropDuplicates state)."""
+`sliding_window_streamed` (two overlapping window states per event),
+`stream_static_join_streamed` (broadcast stream-static join),
+`stream_stream_left_join_streamed` /
+`stream_stream_full_outer_streamed` (watermark-driven outer-row
+emission on one/both sides),
+`dedup_streamed` (cross-batch dropDuplicates state), and
+`dedup_minhash_streamed` (incremental MinHash state model)."""
 
 from __future__ import annotations
 
@@ -1611,3 +1616,133 @@ def test_incremental_dedup_matches_pure_python_model_property(spark, tmp_path):
         assert sigs.count() == sigs.select("_id").distinct().count() == len(texts)
 
     check()
+
+
+def test_sliding_window_two_windows_per_event_machinery(spark, tmp_path):
+    """`sliding_window_streamed`'s engine mechanics on a tiny
+    synthetic stream: a 10min/5min sliding window assigns EVERY event
+    to exactly two overlapping windows (the engine maintains multiple
+    concurrent window states per event), and the complete-mode
+    streamed aggregate equals the identical batch aggregate — the
+    stream-batch consistency the graded row hashes at corpus scale."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(minutes=1), 1.0),
+        (t0 + dt.timedelta(minutes=6), 2.0),   # shares one window with the first
+        (t0 + dt.timedelta(minutes=23), 4.0),  # isolated: its own two windows
+    ]
+    src = os.path.join(str(tmp_path), "src")
+    spark.createDataFrame(rows, "ts timestamp, value double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    win = F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w")
+    agg_cols = [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")]
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+    tbl = "sliding_pin"
+    q = (
+        stream.groupBy(win).agg(*agg_cols)
+        .writeStream.format("memory")
+        .queryName(tbl)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["w"]["start"], r["n"], r["total"]) for r in spark.table(tbl).collect()
+    }
+    want = {
+        (r["w"]["start"], r["n"], r["total"])
+        for r in spark.read.parquet(src).groupBy(win).agg(*agg_cols).collect()
+    }
+    assert got == want and got
+    # every event sits in exactly TWO windows: summed per-window
+    # counts double the row count
+    assert sum(n for _, n, _ in got) == 2 * len(rows)
+
+
+def test_stream_stream_outer_join_watermark_null_emission_machinery(spark, tmp_path):
+    """`stream_stream_left_join_streamed` /
+    `stream_stream_full_outer_streamed` engine mechanics on a tiny
+    synthetic pair of streams with a 1h event-time join bound: a
+    matched view emits its pair (exactly once); an unmatched view
+    emits a null-click row ONLY once the watermark (driven past the
+    eviction bound by a sentinel, the graded rows' own trick) proves
+    no click can still arrive; a click outside the bound never
+    matches; and under FULL OUTER that late click ALSO emits its own
+    null-view row exactly once — the both-sides outer semantics the
+    full-outer graded row adds over the left twin."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "view"), (1, t0 + dt.timedelta(minutes=30), "click"),  # matched
+        (2, t0, "view"),                                               # view, no click
+        (3, t0, "view"), (3, t0 + dt.timedelta(hours=2), "click"),     # click PAST bound
+        (4, t0, "click"),                                              # click, no view
+    ]
+    src = os.path.join(str(tmp_path), "src")
+    schema = "user_id long, ts timestamp, event_type string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    # sentinel pair far in the future: drives BOTH watermarks past
+    # every real row's eviction bound so outer rows flush before stop
+    spark.createDataFrame(
+        [(99, t0 + dt.timedelta(days=7), "view"), (99, t0 + dt.timedelta(days=7), "click")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run(join_type, tbl):
+        views = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+            .filter(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "0 seconds")
+        )
+        clicks = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+            .filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "0 seconds")
+        )
+        joined = views.join(
+            clicks,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            join_type,
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(tbl)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(str(tmp_path), f"ckpt_{tbl}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return [
+            (
+                r["v_user"] if r["v_user"] is not None else r["c_user"],
+                r["v_ts"] is not None,
+                r["c_ts"] is not None,
+            )
+            for r in spark.table(tbl).collect()
+            if (r["v_user"] or r["c_user"]) != 99
+        ]
+
+    left = run("leftOuter", "ssl_pin")
+    # matched pair once; unmatched views 2 AND 3 exactly once as null
+    # clicks; user 3's late click and user 4's view-less click emit
+    # NOTHING under left outer
+    assert sorted(left) == [(1, True, True), (2, True, False), (3, True, False)]
+    full = run("fullOuter", "ssf_pin")
+    # same three rows PLUS each unmatched click's null-view row
+    assert sorted(full) == sorted(
+        [
+            (1, True, True), (2, True, False), (3, True, False),
+            (3, False, True), (4, False, True),
+        ]
+    )
