@@ -1258,7 +1258,14 @@ def test_run_compacted_aggregate_ttl_full_compaction_drops_expired_everywhere(sp
     # disk even though their buckets were never touched again; rank 6
     # (id 6) was alive then, so it rode the rewrite and is merely
     # hidden now)
-    gen = set(store._current_manifest()["buckets"].values()).pop()
+    # the compacted manifest holds ONE owning generation plus NULL
+    # empty-bucket markers (r15) for the never-owned/expired-empty
+    # buckets — filter the markers, or set.pop() returns None on
+    # roughly half of all PYTHONHASHSEEDs (the flake r15's ledger
+    # misread as a Py4J transient)
+    gens = {g for g in store._current_manifest()["buckets"].values() if g is not None}
+    assert len(gens) == 1
+    gen = gens.pop()
     on_disk = {
         r["id"]
         for r in spark.read.parquet(f"{tmp_path}/state/state/{gen}").collect()
