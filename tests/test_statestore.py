@@ -1035,8 +1035,12 @@ def test_generational_store_matches_pure_python_model_property(spark, tmp_path):
             elif op == "drift":
                 # ADVICE r15: a commit whose column name/type set
                 # drifts from the recorded schema raises BEFORE any
-                # write — nothing lands, not even an orphan dir. Only
-                # attemptable once a schema is recorded; model: no-op.
+                # write — the store root is byte-level untouched (a
+                # dir at this version may PRE-exist from an earlier
+                # failed attempt at the same batch id — the soak's
+                # falsifying schedule — so assert "nothing new", not
+                # "nothing there"). Only attemptable once a schema is
+                # recorded; model: no-op.
                 import pytest as _pytest
 
                 if store._current_manifest() is None:
@@ -1047,9 +1051,10 @@ def test_generational_store_matches_pure_python_model_property(spark, tmp_path):
                     if arg == "rename"
                     else spark.createDataFrame([(1, "x")], "k long, v string")
                 )
+                before_entries = sorted(os.listdir(root))
                 with _pytest.raises(ValueError, match="schema drifted"):
                     store.commit(store.with_bucket(bad_rows), [0], version)
-                assert not os.path.exists(f"{root}/gen-{version}")
+                assert sorted(os.listdir(root)) == before_entries
                 version -= 1
             elif op == "nullbucket":
                 # ADVICE r15: a NULL `_bucket` writes a
