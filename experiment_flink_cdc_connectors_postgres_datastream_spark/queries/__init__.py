@@ -27,63 +27,67 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 # The correctness driver grades the FIRST 50 registered queries, in
 # registration order. Cumulative coverage is complete: every
 # registered query has a green driver CORRECTNESS row at its latest
-# grade; the r10-r15 windows were all 50/50 green (the registry-wide
-# rows-only count stays 3 by documented contract). Round-16 window
-# policy (same rotation contract as r4-r15, shared graded helpers
+# grade; the r10-r16 windows were all 50/50 green (the registry-wide
+# rows-only count stays 3 by documented contract). Round-17 window
+# policy (same rotation contract as r4-r16, shared graded helpers
 # FROZEN after the round's first commit per VERDICT r11 #2):
 # (1) every query whose code path changed since its last grade
-# re-enters: the ADVICE-r15 statestore hardening (commit() now fails
-# loudly on a NULL/non-integer `_bucket` partition instead of
-# silently orphaning its rows, and validates the committed column
-# name/type set against the manifest's recorded schema so drift can
-# never mistype a pruned empty read — both in
-# streaming/statestore.py, no behavior change on any valid commit)
-# pulls the same set the r15 statestore fix did: the K3 sink row
-# `upsert_sink_shape`, the ParquetUpsertSink-driven
-# `cdc_scd2_streamed`, and the seven
-# run_compacted_aggregate/statestore streamed wrappers (all r15):
+# re-enters: the ADVICE-r16 statestore polish (savepoint() now
+# best-effort deletes a partial gen-0 when the export fails after the
+# write began — guarded on manifest-0.json NOT existing — and
+# pre-checks for a stranded partial gen-0 with a friendly message;
+# the schema-drift guard's error text now states the sanctioned
+# migration recipe. Failure-path/message-only — no behavior change
+# on any successful commit or savepoint) pulls the same set the
+# r15/r16 statestore changes did: the K3 sink row `upsert_sink_shape`,
+# the ParquetUpsertSink-driven `cdc_scd2_streamed`, and the seven
+# run_compacted_aggregate/statestore streamed wrappers:
 # cdc_pipeline_streamed, bus_roundtrip_streamed,
 # changelog_agg_multi_streamed, cdc_toast_pipeline_streamed,
 # cdc_ttl_streamed, cdc_ttl_restart_streamed,
 # cdc_ttl_wal2json_streamed — 9 regrades, 0 additions (≤ 15 per the
 # freeze contract);
-# (2) the 10 round-10 TPC-H rows, the promised r16 front of the
-# line — the rotation's stalest-row age bound moves to round 11;
-# (3) remaining 31 slots take the round-11 rows alphabetically.
+# (2) the 9 round-11 rows, the promised r17 front of the line — the
+# rotation's stalest-row age bound moves to round 12;
+# (3) remaining 32 slots take the round-12 rows A-Z (32 of the 40).
 # Everything outside the window stays registered and locally
 # verified via tools/verify_local.py.
 _PRIORITY = [
-    # --- (1) code path changed since the last grade: the ADVICE-r15
-    # statestore commit hardening (non-int `_bucket` partition guard +
-    # committed-schema drift validation in streaming/statestore.py)
-    # pulls the K3 sink row, the ParquetUpsertSink SCD2 stream, and
-    # every run_compacted_aggregate wrapper ---
+    # --- (1) code path changed since the last grade: the ADVICE-r16
+    # statestore polish (savepoint partial-gen-0 cleanup + drift-guard
+    # remediation text in streaming/statestore.py) pulls the K3 sink
+    # row, the ParquetUpsertSink SCD2 stream, and every
+    # run_compacted_aggregate wrapper ---
     "upsert_sink_shape", "cdc_scd2_streamed",
     "cdc_pipeline_streamed", "bus_roundtrip_streamed",
     "changelog_agg_multi_streamed", "cdc_toast_pipeline_streamed",
     "cdc_ttl_streamed", "cdc_ttl_restart_streamed",
     "cdc_ttl_wal2json_streamed",
-    # --- (2) the 10 round-10 TPC-H rows, the promised r16 front of
-    # the line ---
-    "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q3", "tpch_q4",
-    "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    # --- (3) round-11 rows, 31 of the 40, A-Z ---
-    "agg_stats", "cdc_toast_wal2json", "chunk_dedup_stats",
-    "content_defined_chunks", "customers_with_orders",
-    "dedup_apply_fuzzy", "dedup_clusters", "dedup_clusters_star",
-    "dedup_containment", "dedup_minhash_streamed", "derived_key",
-    "doc_fingerprint", "doc_perplexity", "gopher_quality_flags",
-    "grouped_count_alias", "k_anonymity_audit", "keyed_count",
-    "lang_id", "quality_filter_funnel", "quality_score",
-    "revenue_by_nation", "rollup_counts", "route_demux", "set_ops",
-    "similarity_topk", "sliding_window_streamed", "sql_group_count",
-    "stream_stream_full_outer_streamed",
-    "stream_stream_left_join_streamed", "text_stats_by_source",
-    "tfidf_cosine_pairs",
-    # Still outside the window, last green in round 11, displaced to
-    # the FRONT of the r17 rotation: token_count, tokenize,
-    # tokenizer_coverage, top_k_orders, tpch_q1, tpch_q12, tpch_q22,
-    # union_schemas, window_lag_delta.
+    # --- (2) the 9 round-11 rows, the promised r17 front of the
+    # line ---
+    "token_count", "tokenize", "tokenizer_coverage", "top_k_orders",
+    "tpch_q1", "tpch_q12", "tpch_q22", "union_schemas",
+    "window_lag_delta",
+    # --- (3) round-12 rows, 32 of the 40, A-Z ---
+    "asof_join", "bigram_logprob_by_source", "bpe_learn_merges",
+    "bpe_pair_counts", "changelog_topk_per_group",
+    "cluster_safe_splits", "contamination_check",
+    "decontaminate_fuzzy", "decontaminate_spans",
+    "dedup_jaccard_prefix", "dedup_spans", "doc_chunking",
+    "dsir_importance_weights", "embedding_int8_quant",
+    "embedding_near_dup", "embedding_norm_stats",
+    "embedding_quantize_error", "embedding_sparse_projection",
+    "embedding_stats", "hash_sample_per_group",
+    "minhash_recall_curve", "pii_redact",
+    "priority_sample_per_source", "project_filter",
+    "repeat_factor_sampling", "sequence_packing",
+    "similarity_topk_ivf", "similarity_topk_ivf_sampled",
+    "similarity_topk_lsh", "similarity_topk_pq",
+    "similarity_topk_pq_sampled", "similarity_topk_pq_sampled_rerank",
+    # Still outside the window, last green in round 12, displaced to
+    # the FRONT of the r18 rotation: sliding_window, tfidf_top_terms,
+    # token_budget_selection, top_bigrams, top_terms_by_source,
+    # vocab_top_terms, word_pmi_top, zipf_slope_by_source.
 ]
 
 

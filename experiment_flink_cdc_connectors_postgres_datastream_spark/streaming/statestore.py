@@ -322,7 +322,11 @@ class GenerationalStateStore:
                     f"The manifest records only the latest commit's schema, "
                     f"so drift would mistype pruned empty reads against rows "
                     f"still owned by older generations; the committed column "
-                    f"set must be stable for the store's lifetime."
+                    f"set must be stable for the store's lifetime. To migrate "
+                    f"intentionally (ADVICE r16): savepoint() this store, read "
+                    f"the snapshot, apply the column change, and commit() the "
+                    f"transformed rows (all buckets) into a store at a FRESH "
+                    f"root — in-place drift is never sanctioned."
                 )
         gen = f"gen-{version}"
         attempt = 0
@@ -382,24 +386,47 @@ class GenerationalStateStore:
         io = _Fs(self.spark, path)
         if io.exists(io.path("manifest-0.json")):
             raise ValueError(f"savepoint target {path!r} already exists")
-        state.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(f"{path}/gen-0")
-        # same empty-bucket contract as commit: buckets with no rows at
-        # snapshot time (including the whole-store-empty case, whose
-        # gen-0 has no parquet footers) get the null marker, so the
-        # savepoint stays readable and restorable
-        present = self._present_buckets(io, "gen-0")
-        manifest = {
-            "n_buckets": self.n_buckets,
-            "bucket_cols": self.bucket_cols,
-            "buckets": {
-                str(b): ("gen-0" if b in present else None)
-                for b in range(self.n_buckets)
-            },
-            "schema": state.schema.json(),
-        }
-        io.write_text_atomic(
-            io.path("manifest-0.json.tmp"), io.path("manifest-0.json"), json.dumps(manifest)
-        )
+        if io.exists(io.path("gen-0")):
+            # a gen-0 with no manifest-0.json is a partial export from a
+            # crashed attempt, not a savepoint; say so instead of letting
+            # the errorifexists parquet write produce a confusing error
+            raise ValueError(
+                f"savepoint target {path!r} contains a partial gen-0 from "
+                f"an interrupted export (no manifest-0.json was published); "
+                f"delete the target directory and retry"
+            )
+        try:
+            state.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(f"{path}/gen-0")
+            # same empty-bucket contract as commit: buckets with no rows at
+            # snapshot time (including the whole-store-empty case, whose
+            # gen-0 has no parquet footers) get the null marker, so the
+            # savepoint stays readable and restorable
+            present = self._present_buckets(io, "gen-0")
+            manifest = {
+                "n_buckets": self.n_buckets,
+                "bucket_cols": self.bucket_cols,
+                "buckets": {
+                    str(b): ("gen-0" if b in present else None)
+                    for b in range(self.n_buckets)
+                },
+                "schema": state.schema.json(),
+            }
+            io.write_text_atomic(
+                io.path("manifest-0.json.tmp"), io.path("manifest-0.json"), json.dumps(manifest)
+            )
+        except BaseException:
+            # Failure after the gen-0 write began would otherwise strand
+            # a partial snapshot with no GC (ADVICE r16): the savepoint
+            # target has no manifest chain, so nothing ever reaps it and
+            # a retry dies on errorifexists. Best-effort delete the
+            # partial gen-0 — guarded on the manifest NOT existing, so a
+            # published savepoint can never be deleted.
+            if not io.exists(io.path("manifest-0.json")):
+                try:
+                    io.delete(io.path("gen-0"))
+                except Exception:
+                    pass
+            raise
 
     @classmethod
     def restore_from_savepoint(
