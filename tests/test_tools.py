@@ -76,12 +76,19 @@ def test_verify_local_value_hash_invariants():
     assert value_hash(rows, ["y", "x"]) != h
 
 
-def test_verify_local_oracle_cache_hits_and_invalidates(tmp_path):
-    """VERDICT r15 #7a: the opt-in DuckDB-side memo must (a) return the
-    byte-identical result on a hit, (b) key on the SQL text — a changed
-    oracle can never serve a stale entry — and (c) key on the data
-    files' identity, so a regenerated sf dir invalidates. Exercised
-    directly against a throwaway DuckDB; no Spark."""
+def test_verify_local_oracle_cache_hits_and_invalidates(tmp_path, monkeypatch):
+    """VERDICT r15 #7a + r16 #3 + ADVICE r16: the opt-in DuckDB-side
+    memo must (a) return the byte-identical result on a hit, (b) key on
+    the SQL text — a changed oracle can never serve a stale entry —
+    (c) key on the data files' identity, so a regenerated sf dir
+    invalidates, (d) key on the DuckDB version AND the normalize()
+    source, so an engine upgrade or a normalization-rule change can
+    never serve stale rows, (e) recover from a corrupt/truncated/
+    wrong-shape cache entry by recomputing (never a FAIL), and (f) live
+    in a user-private dir (here: tmp_path via the env override; default
+    is the repo-local .oracle_cache, mode 0700). No Spark."""
+    import json
+
     import duckdb
 
     sys.path.insert(0, str(REPO))
@@ -89,10 +96,11 @@ def test_verify_local_oracle_cache_hits_and_invalidates(tmp_path):
 
     sf = tmp_path / "sf"
     sf.mkdir()
+    cache_root = tmp_path / "cache"
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_CACHE_DIR", str(cache_root))
     con = duckdb.connect()
     for t in vl.TABLES:
         (sf / f"{t}.parquet").write_bytes(b"")  # only stat() is keyed
-    cache_root = "/tmp/spark_graft_oracle_cache"
     sql1 = "SELECT 1 AS a, 'x' AS b"
     k1 = vl._oracle_cache_key(sql1, str(sf))
     k2 = vl._oracle_cache_key("SELECT 2 AS a, 'x' AS b", str(sf))
@@ -100,7 +108,27 @@ def test_verify_local_oracle_cache_hits_and_invalidates(tmp_path):
     cold = vl._oracle_cached(con, sql1, str(sf), use_cache=True)
     warm = vl._oracle_cached(con, sql1, str(sf), use_cache=True)
     assert cold == warm == (["a", "b"], ["INTEGER", "VARCHAR"], [(1, "x")])
-    assert pathlib.Path(cache_root, k1 + ".json").exists()
+    entry = cache_root / (k1 + ".json")
+    assert entry.exists()
+    # (f) the cache landed in the overridden (user-private) dir
+    assert (cache_root.stat().st_mode & 0o777) == 0o700
+    # (e) corrupt entry -> recompute, bad file dropped, then re-cached
+    entry.write_text("{ truncated")
+    assert vl._oracle_cached(con, sql1, str(sf), use_cache=True) == cold
+    # wrong-shape entry (valid JSON, missing 'cols') -> same recovery
+    entry.write_text(json.dumps({"rows": []}))
+    assert vl._oracle_cached(con, sql1, str(sf), use_cache=True) == cold
+    assert json.loads(entry.read_text())["cols"] == ["a", "b"]
+    # (d) the engine version and normalize() source are part of the key
+    monkeypatch.setattr(vl.duckdb, "__version__", "999.0.0-test")
+    assert vl._oracle_cache_key(sql1, str(sf)) != k1
+    monkeypatch.undo()
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_CACHE_DIR", str(cache_root))
+    monkeypatch.setattr(vl, "normalize", lambda v: v)
+    assert vl._oracle_cache_key(sql1, str(sf)) != k1
+    monkeypatch.undo()
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_CACHE_DIR", str(cache_root))
+    assert vl._oracle_cache_key(sql1, str(sf)) == k1
     # (c) touching a table file's mtime/size changes the key
     (sf / f"{sorted(vl.TABLES)[0]}.parquet").write_bytes(b"xx")
     assert vl._oracle_cache_key(sql1, str(sf)) != k1

@@ -6,14 +6,21 @@ Usage: python tools/verify_local.py [--strict-types] [--oracle-cache]
        [sf_dir] [query ...]
 
 ``--oracle-cache`` (VERDICT r15 #7a) memoizes the DuckDB side of the
-compare under ``/tmp/spark_graft_oracle_cache/``, keyed on the md5 of
-(oracle SQL text, resolved sf_dir, per-table parquet size+mtime) —
-any change to the query's oracle, the scale factor, or the data
-invalidates the entry, so a hit is always the byte-identical result
-DuckDB would return. The SPARK side always runs (it is the thing
-being verified); the cache only cuts the redundant oracle re-runs in
-full-registry multi-scale sweeps. Results whose values don't survive
-a JSON round-trip (BLOBs) are transparently not cached.
+compare under ``<repo>/.oracle_cache/`` (override:
+``$SPARK_GRAFT_ORACLE_CACHE_DIR``; repo-local + mode 0700 per ADVICE
+r16 — never a world-shared /tmp path another user could pre-seed),
+keyed on the md5 of (oracle SQL text, resolved sf_dir, per-table
+parquet size+mtime, ``duckdb.__version__``, the source of
+``normalize``) — any change to the query's oracle, the scale factor,
+the data, the DuckDB engine, or the value-normalization rules
+invalidates the entry (VERDICT r16 #3: without the version a duckdb
+upgrade would silently serve stale oracle rows), so a hit is always
+the byte-identical result DuckDB would return. A corrupt or truncated
+cache entry is deleted and recomputed, never surfaced as a failure.
+The SPARK side always runs (it is the thing being verified); the
+cache only cuts the redundant oracle re-runs in full-registry
+multi-scale sweeps. Results whose values don't survive a JSON
+round-trip (BLOBs) are transparently not cached.
 
 ``--strict-types`` additionally FAILS any oracle whose DuckDB result
 column type is outside the portable set (BIGINT / DOUBLE / VARCHAR /
@@ -84,10 +91,16 @@ PORTABLE_TYPES = {
 
 
 def _oracle_cache_key(sql: str, sf_dir: str) -> str:
+    import inspect
     import os
 
     h = hashlib.md5()
     h.update(sql.encode())
+    # engine + normalization identity (VERDICT r16 #3): a cached row is
+    # only byte-identical to a fresh run if the SAME duckdb version
+    # executes it and the SAME normalize() renders it
+    h.update(duckdb.__version__.encode())
+    h.update(inspect.getsource(normalize).encode())
     real = os.path.realpath(sf_dir)
     h.update(real.encode())
     for t in sorted(TABLES):
@@ -100,6 +113,22 @@ def _oracle_cache_key(sql: str, sf_dir: str) -> str:
     return h.hexdigest()
 
 
+def _cache_dir() -> str:
+    """Repo-local, user-private cache location (ADVICE r16): a
+    world-shared /tmp dir with predictable keys would let another user
+    pre-seed entries and silently alter what a correctness-gating tool
+    reports."""
+    import os
+
+    return os.environ.get(
+        "SPARK_GRAFT_ORACLE_CACHE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".oracle_cache",
+        ),
+    )
+
+
 def _oracle_cached(con, sql: str, sf_dir: str, use_cache: bool):
     """(cols, types, rows) for the oracle, through the opt-in cache.
     Types are cached as their rendered names — exactly what the
@@ -107,7 +136,7 @@ def _oracle_cached(con, sql: str, sf_dir: str, use_cache: bool):
     import json
     import os
 
-    cache_dir = "/tmp/spark_graft_oracle_cache"
+    cache_dir = _cache_dir()
     path = None
     if use_cache:
         path = os.path.join(cache_dir, _oracle_cache_key(sql, sf_dir) + ".json")
@@ -117,6 +146,14 @@ def _oracle_cached(con, sql: str, sf_dir: str, use_cache: bool):
             return hit["cols"], hit["types"], [tuple(r) for r in hit["rows"]]
         except OSError:
             pass
+        except (ValueError, KeyError):
+            # corrupt/truncated entry or missing field (ADVICE r16):
+            # recompute instead of misreporting a passing query as a
+            # "duckdb error" FAIL, and drop the bad file
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
     res = con.sql(sql)
     cols = [d[0] for d in res.description]
     types = [str(t) for t in res.types]
@@ -127,7 +164,7 @@ def _oracle_cached(con, sql: str, sf_dir: str, use_cache: bool):
             # round-trip guard: only cache what decodes back identical
             back = json.loads(payload)
             if [tuple(r) for r in back["rows"]] == rows:
-                os.makedirs(cache_dir, exist_ok=True)
+                os.makedirs(cache_dir, mode=0o700, exist_ok=True)
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "w") as fh:
                     fh.write(payload)
