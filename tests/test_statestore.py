@@ -1372,3 +1372,70 @@ def test_legacy_manifest_schema_backfilled_on_first_commit(spark, tmp_path):
         pruned = reopened.read(buckets=emptied)
         assert pruned is not None and pruned.count() == 0
         assert {f.name for f in pruned.schema.fields} == {"k", "v", BUCKET_COL}
+
+
+def test_savepoint_failure_after_write_cleans_partial_gen0(spark, tmp_path):
+    """ADVICE r16: a savepoint that fails AFTER the gen-0 write began
+    would otherwise strand a partial snapshot nothing ever GCs (the
+    target has no manifest chain), and the retry would die on the
+    parquet errorifexists write instead of anything actionable. The
+    failure path best-effort deletes the partial gen-0 — guarded on
+    manifest-0.json NOT existing — so a retry at the same path
+    succeeds."""
+    import pytest
+
+    store = _mk(spark, tmp_path, n_buckets=4)
+    _commit_rows(spark, store, [(k, f"v{k}") for k in range(8)], version=0)
+    sp = tmp_path / "savepoint-fail"
+
+    real = GenerationalStateStore._present_buckets
+
+    def boom(io, gen):
+        raise RuntimeError("injected post-write savepoint failure")
+
+    GenerationalStateStore._present_buckets = staticmethod(boom)
+    try:
+        with pytest.raises(RuntimeError, match="injected post-write"):
+            store.savepoint(str(sp))
+    finally:
+        GenerationalStateStore._present_buckets = staticmethod(real)
+
+    # the partial gen-0 was reaped; no manifest was ever published
+    assert not (sp / "gen-0").exists()
+    assert not (sp / "manifest-0.json").exists()
+    # retry at the SAME path now succeeds and restores faithfully
+    store.savepoint(str(sp))
+    restored = GenerationalStateStore.restore_from_savepoint(
+        spark, str(sp), str(tmp_path / "restored"), ["k"]
+    )
+    assert {(r["k"], r["v"]) for r in restored.read().collect()} == {
+        (k, f"v{k}") for k in range(8)
+    }
+
+
+def test_savepoint_precheck_names_stranded_partial_gen0(spark, tmp_path):
+    """ADVICE r16, the crash case cleanup can't reach: a process death
+    between the gen-0 write and the manifest publish leaves a stranded
+    partial. A later savepoint to that path must fail with a message
+    naming the partial gen-0 and the remedy — not the opaque parquet
+    errorifexists error — and must NOT delete a PUBLISHED savepoint's
+    gen-0 when refusing a double-savepoint."""
+    import pytest
+
+    store = _mk(spark, tmp_path, n_buckets=4)
+    _commit_rows(spark, store, [(1, "a")], version=0)
+
+    stranded = tmp_path / "savepoint-stranded"
+    (stranded / "gen-0").mkdir(parents=True)
+    with pytest.raises(ValueError, match="partial gen-0 from\nan interrupted export".replace("\n", " ")):
+        store.savepoint(str(stranded))
+    # the pre-check refuses without touching the stranded dir (it is
+    # the operator's evidence); deletion is the operator's call
+    assert (stranded / "gen-0").exists()
+
+    # a PUBLISHED savepoint refuses a re-export and keeps its data
+    sp = tmp_path / "savepoint-ok"
+    store.savepoint(str(sp))
+    with pytest.raises(ValueError, match="already exists"):
+        store.savepoint(str(sp))
+    assert (sp / "gen-0").exists() and (sp / "manifest-0.json").exists()

@@ -1,41 +1,82 @@
 #!/usr/bin/env bash
-# Steal-gated headline lap: run tools/ab_headline.py until a lap
-# lands under the steal gate (default 0.15%), sleeping between
-# attempts — the host injects multi-percent steal in bursts, and the
-# bench discipline only trusts quiet laps for ratchet comparisons.
-# Contaminated laps are printed to stderr (they still upper-bound the
-# quiet number); the first passing lap goes to stdout and the script
-# exits 0. Exits 1 if no quiet lap landed within the attempt budget.
+# Probe-then-fire headline lap (VERDICT r16 #4). The host injects
+# hypervisor steal in multi-minute bursts (observed 0.3-9.7%; a 5.4x
+# swing on byte-identical code in r16), and the bench discipline only
+# trusts quiet laps for ratchet comparisons. The r16 methodology that
+# landed the records, codified:
 #
-# A failed or non-JSON attempt (environment hiccup, OOM, import error)
-# counts as a contaminated attempt and the loop RETRIES instead of
-# aborting under set -e; the attempt's stderr is preserved in
+#   1. DRAIN: don't fire while the box is still busy — a full pytest
+#      run leaves loadavg ~5 for minutes after it exits, inflating
+#      laps by self-load without showing steal. Wait for load1 below
+#      a threshold first.
+#   2. PROBE: sample /proc/stat steal over a 30-45 s window and fire
+#      only when the probe reads under the gate. Blind
+#      retry-until-quiet burned 15 laps in r16; the probe costs ~35 s
+#      and no lap.
+#   3. VERIFY: a burst can still land mid-lap, so the lap's own
+#      measured steal_pct is re-checked against the gate before the
+#      lap is trusted.
+#
+# Contaminated/failed attempts go to stderr (they still upper-bound
+# the quiet number); the first passing lap's JSON goes to stdout and
+# the script exits 0. Exits 1 if no quiet lap landed within the
+# attempt budget. A failed or non-JSON attempt counts as contaminated
+# and the loop retries; its stderr is preserved in
 # /tmp/quiet_lap.<pid>.log for diagnosis.
 #
-# Usage: tools/quiet_lap.sh [max_attempts] [sleep_seconds] [gate_pct]
+# Usage: tools/quiet_lap.sh [max_attempts] [probe_seconds] [gate_pct] [load_max]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-ATTEMPTS=${1:-6}
-SLEEP=${2:-600}
-GATE=${3:-0.15}
+ATTEMPTS=${1:-12}
+PROBE=${2:-35}
+GATE=${3:-0.1}
+LOADMAX=${4:-2.0}
 ERRLOG="/tmp/quiet_lap.$$.log"
+
+probe_steal() { # steal % of total cpu time over $PROBE seconds
+    python3 - "$PROBE" <<'PY'
+import sys, time
+def snap():
+    with open("/proc/stat") as fh:
+        v = list(map(int, fh.readline().split()[1:]))
+    return sum(v), v[7]  # (total jiffies, steal jiffies)
+t0, s0 = snap()
+time.sleep(float(sys.argv[1]))
+t1, s1 = snap()
+print(f"{100.0 * (s1 - s0) / max(1, t1 - t0):.3f}")
+PY
+}
+
+lt() { python3 -c "import sys; sys.exit(0 if float(sys.argv[1]) < float(sys.argv[2]) else 1)" "$1" "$2"; }
+
 for i in $(seq 1 "$ATTEMPTS"); do
+    load=$(cut -d' ' -f1 /proc/loadavg)
+    if ! lt "$load" "$LOADMAX"; then
+        echo "attempt $i: box not drained (load1 ${load} >= ${LOADMAX}); waiting" >&2
+        sleep 60
+        continue
+    fi
+    steal=$(probe_steal)
+    if ! lt "$steal" "$GATE"; then
+        echo "attempt $i: probe read ${steal}% steal over ${PROBE}s (gate ${GATE}%); not firing" >&2
+        sleep 30
+        continue
+    fi
     if ! lap=$(python tools/ab_headline.py 2>>"$ERRLOG" | tail -1); then
         echo "attempt $i: ab_headline.py failed (stderr in $ERRLOG)" >&2
-        [ "$i" -lt "$ATTEMPTS" ] && sleep "$SLEEP"
+        sleep 30
         continue
     fi
-    if ! steal=$(python3 -c "import json,sys; print(json.loads(sys.argv[1])['steal_pct'])" "$lap" 2>>"$ERRLOG"); then
+    if ! lapsteal=$(python3 -c "import json,sys; print(json.loads(sys.argv[1])['steal_pct'])" "$lap" 2>>"$ERRLOG"); then
         echo "attempt $i: non-JSON lap output (treated as contaminated; stderr in $ERRLOG): $lap" >&2
-        [ "$i" -lt "$ATTEMPTS" ] && sleep "$SLEEP"
+        sleep 30
         continue
     fi
-    if python3 -c "import sys; sys.exit(0 if float(sys.argv[1]) < float(sys.argv[2]) else 1)" "$steal" "$GATE"; then
+    if lt "$lapsteal" "$GATE"; then
         echo "$lap"
         exit 0
     fi
-    echo "attempt $i contaminated (steal ${steal}%): $lap" >&2
-    [ "$i" -lt "$ATTEMPTS" ] && sleep "$SLEEP"
+    echo "attempt $i: burst landed mid-lap (steal ${lapsteal}%, probe was ${steal}%): $lap" >&2
 done
 echo "no quiet lap in $ATTEMPTS attempts" >&2
 exit 1
