@@ -2440,3 +2440,191 @@ def test_streaming_engine_savepoint_restore_live(scratch, spark):
     assert {r["id"]: r["val"] for r in third.read().collect()} == {3: "three"}
     rows_a = {r["id"] for r in store_a.read().collect()}
     assert rows_a == {3}  # A's store still at its kill-time state
+
+
+def test_statestore_commit_guard_blocks_poisoned_relaunch_live(scratch, spark):
+    """VERDICT r16 #5: drive the r16 statestore commit guards through a
+    LIVE failed-commit-then-replay against a real Postgres topology,
+    exactly the way `run_compacted_aggregate` sees it.
+
+    Incarnation A materializes a pgoutput-tailed table into a compacted
+    aggregate, then is killed; the table mutates while the job is down.
+
+    Failure 1 — poisoned RELAUNCH (projection gained a column, the
+    classic operator error of editing the job between relaunches
+    against a long-lived store): the batch dies loudly at the
+    state∪batch merge (unionByName column mismatch — EARLIER than the
+    drift commit guard, which on this topology is commit-boundary
+    defense in depth), the sink never fires, and the store directory is
+    byte-identically untouched.
+
+    Failure 2 — guard-tripping batch (a corrupted/NULL `_bucket`,
+    injected by wrapping `with_bucket` for one incarnation): the
+    r16 `_present_buckets` guard raises POST-write, PRE-manifest-flip —
+    the exact orphan-replay shape the store's model property schedules.
+    Pins: the query fails with the guard's message; a CONCURRENT reader
+    on the store root still serves exactly incarnation A's state (the
+    orphaned generation is staged but NO manifest was published).
+
+    Recovery — the corrected incarnation REPLAYS the same batch from
+    the same checkpoint at the same version: the commit stages AROUND
+    the orphan (`gen-<v>-r1`), the aggregate converges on the
+    while-down insert, and the orphan is reaped by the commit's own GC
+    once no retained manifest references it."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.envelope import parse_cdc, project_flat
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_cdc import register
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.compaction import run_compacted_aggregate
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statestore import BUCKET_COL, GenerationalStateStore
+
+    _setup_plugin(scratch, "pgoutput")
+    cur = scratch["cur"]
+    cur.execute(
+        f'CREATE TABLE "{scratch["schema"]}".guarded '
+        f"(id BIGINT PRIMARY KEY, val TEXT)"
+    )
+    cur.execute(
+        f'INSERT INTO "{scratch["schema"]}".guarded VALUES (1, \'a\'), (2, \'b\')'
+    )
+    register(spark)
+    p = _dsn_params()
+    work = tempfile.mkdtemp(prefix="cdc_live_guard_")
+    row_schema = StructType(
+        [StructField("id", LongType()), StructField("val", StringType())]
+    )
+    got = {}
+
+    def capture(df, batch_id):
+        got["last"] = {(r["g"], r["live_keys"]) for r in df.collect()}
+
+    def incarnation(poison: bool):
+        stream = (
+            spark.readStream.format("postgres_cdc")
+            .option("hostname", p.get("host", "localhost"))
+            .option("port", p.get("port", "5432"))
+            .option("database", p.get("dbname", "postgres"))
+            .option("username", p.get("user", "postgres"))
+            .option("password", p.get("password", ""))
+            .option("schema_list", scratch["schema"])
+            .option("table_list", "guarded")
+            .option("slot_name", scratch["slot"])
+            .option("plugin_name", "pgoutput")
+            .option("publication_names", scratch["pub"])
+            .load()
+        )
+        flat = project_flat(
+            parse_cdc(stream.select("value"), row_schema), "guarded", ["id", "val"]
+        ).withColumn("g", F.lit("all"))
+        if poison:
+            flat = flat.withColumn("rogue", F.lit(1))
+        return run_compacted_aggregate(
+            flat,
+            state_dir=os.path.join(work, "state"),
+            key_cols=["id"],
+            seq_cols=["ts_ms", "lsn"],
+            group_cols=["g"],
+            op_col="op",
+            agg_exprs=[F.count(F.lit(1)).alias("live_keys")],
+            sink=capture,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            query_name="live_guard_replay",
+            n_buckets=4,
+        )
+
+    def fail_loudly(q):
+        """Drain the query, returning the terminal error (it must have
+        one) with the query stopped."""
+        try:
+            err = None
+            try:
+                q.processAllAvailable()
+            except Exception as e:  # noqa: BLE001 — py4j wraps the raise
+                err = e
+            if err is None:
+                err = q.exception()
+            assert err is not None, "incarnation was expected to fail"
+            return str(err)
+        finally:
+            q.stop()
+
+    # --- incarnation A: healthy snapshot batch, then KILL ---
+    q = incarnation(poison=False)
+    try:
+        q.processAllAvailable()
+        assert got["last"] == {("all", 2)}
+    finally:
+        q.stop()
+    store_root = os.path.join(work, "state", "state")
+    layout_before = sorted(os.listdir(store_root))
+
+    # --- the table mutates while the job is DOWN ---
+    cur.execute(f'INSERT INTO "{scratch["schema"]}".guarded VALUES (3, \'c\')')
+
+    # --- failure 1: poisoned relaunch (projection drift) dies at the
+    # merge, before any store write ---
+    got["last"] = None
+    fail_loudly(incarnation(poison=True))
+    assert got["last"] is None  # the sink never fired
+    assert sorted(os.listdir(store_root)) == layout_before  # disk untouched
+    # a concurrent reader on the store root still serves A's state
+    reader = GenerationalStateStore(spark, store_root, ["id"], n_buckets=4)
+    assert {r["id"]: r["val"] for r in reader.read().collect()} == {1: "a", 2: "b"}
+
+    # --- failure 2: guard-tripping batch — corrupt the computed
+    # `_bucket` for the replayed insert so the commit writes a
+    # __HIVE_DEFAULT_PARTITION__ dir and the r16 _present_buckets guard
+    # raises POST-write, PRE-manifest-flip ---
+    orig_with_bucket = GenerationalStateStore.with_bucket
+
+    def corrupted(self, df):
+        out = orig_with_bucket(self, df)
+        return out.withColumn(
+            BUCKET_COL,
+            F.when(F.col("id") == 3, F.lit(None).cast("int")).otherwise(
+                F.col(BUCKET_COL)
+            ),
+        )
+
+    GenerationalStateStore.with_bucket = corrupted
+    try:
+        msg = fail_loudly(incarnation(poison=False))
+    finally:
+        GenerationalStateStore.with_bucket = orig_with_bucket
+    assert "bucket id is not an" in msg and "bucket_expr()" in msg
+    assert got["last"] is None  # still no sink call
+    # the raise is post-write/pre-flip: the orphaned generation is
+    # staged on disk, but NO manifest was published — so the concurrent
+    # reader STILL serves exactly A's state through A's manifest
+    after_guard = sorted(os.listdir(store_root))
+    orphans = [n for n in after_guard if n.startswith("gen-") and n not in layout_before]
+    assert len(orphans) == 1
+    assert [n for n in after_guard if n.startswith("manifest-")] == [
+        n for n in layout_before if n.startswith("manifest-")
+    ]
+    assert {r["id"]: r["val"] for r in reader.read().collect()} == {1: "a", 2: "b"}
+
+    # --- recovery: the corrected incarnation replays the SAME batch at
+    # the same version, staging AROUND the orphan (gen-<v>-r1) ---
+    qc = incarnation(poison=False)
+    try:
+        qc.processAllAvailable()
+        assert got["last"] == {("all", 3)}
+    finally:
+        qc.stop()
+    assert {r["id"]: r["val"] for r in reader.read().collect()} == {
+        1: "a", 2: "b", 3: "c"
+    }
+    final = sorted(os.listdir(store_root))
+    new_manifests = [
+        n for n in final if n.startswith("manifest-") and n not in layout_before
+    ]
+    assert len(new_manifests) == 1  # exactly the replayed version landed
+    # the replay staged around the orphan, and the commit's GC then
+    # reaped the orphan (no retained manifest ever referenced it)
+    assert f"{orphans[0]}-r1" in final
+    assert orphans[0] not in final
