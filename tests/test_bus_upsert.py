@@ -20,6 +20,8 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import changelog_from_bus, upsert_view
 
+from soakopt import soak_examples
+
 VALUE_SCHEMA = StructType(
     [StructField("id", LongType()), StructField("full_name", StringType())]
 )
@@ -561,7 +563,7 @@ def test_bus_source_option_gate_property():
         st.booleans(),
         st.sets(bad_keys, max_size=3),
     )
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=soak_examples(60), deadline=None)
     def check(keys, lower_spelling, with_paths, bads):
         opts = {(k.lower() if lower_spelling else k): known[k] for k in keys}
         if with_paths:
@@ -615,7 +617,7 @@ def test_bus_spool_offsets_model_property(tmp_path):
     )
 
     @given(ops)
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=soak_examples(40), deadline=None)
     def check(schedule):
         import os
         import shutil

@@ -24,6 +24,8 @@ from tests.golden_cdc import (
     WITH_SNAPSHOT_AND_DELETE,
 )
 
+from soakopt import soak_examples
+
 
 def _parse(spark, payloads):
     df = spark.createDataFrame([(p,) for p in payloads], "value string")
@@ -98,7 +100,7 @@ def test_changelog_diff_add_and_retract(spark):
     assert diff == {("b", 2, "retract"), ("b", 3, "add"), ("c", 1, "add")}
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=soak_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ops=st.lists(
         st.tuples(
@@ -125,7 +127,7 @@ def test_compaction_is_last_write_wins(spark, ops):
     assert got == {k: v for k, (_, v) in expected.items() if k in live}
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=soak_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ops=st.lists(
         st.tuples(
@@ -608,7 +610,7 @@ def test_cdc_ttl_wal2json_translation_is_arrow_batched(spark):
     assert "BatchEvalPython" not in plan
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=soak_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ops=st.lists(
         st.tuples(
@@ -650,7 +652,7 @@ def test_scd2_history_matches_pure_python_model(spark, ops):
     assert got == model
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=soak_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     before=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 5)), min_size=0, max_size=12
@@ -853,7 +855,7 @@ def _w2j_model_envelope(rec, database):
 
 
 @given(_w2j_history())
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=soak_examples(120), deadline=None)
 def test_wal2json_to_envelope_matches_pure_python_model_property(hist):
     import json as _json
 

@@ -10,6 +10,8 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.chunkin
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.temporal import interval_join
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import repetition_features
 
+from soakopt import soak_examples
+
 
 def test_chunking_covers_every_token_with_overlap(spark):
     text = " ".join(f"t{i}" for i in range(100))
@@ -270,7 +272,7 @@ def _py_gopher(text: str) -> dict:
     }
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=soak_examples(10), deadline=None)
 @given(docs=st.lists(_WORDS, min_size=1, max_size=6))
 def test_gopher_matches_python_reference(spark, docs):
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import gopher_quality
@@ -284,7 +286,7 @@ def test_gopher_matches_python_reference(spark, docs):
             assert got[i][k] == v, (k, text, got[i][k], v)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=soak_examples(10), deadline=None)
 @given(
     rows=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 5)),

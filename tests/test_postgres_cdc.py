@@ -26,6 +26,8 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_
     wal2json_to_envelope,
 )
 
+from soakopt import soak_examples
+
 
 class FakeClient:
     """Scripted replication client with real slot semantics: changes
@@ -985,7 +987,7 @@ def test_wal2json_omission_diff_property():
         min_size=1, max_size=6, unique=True,
     )
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=soak_examples(200), deadline=None)
     @given(
         cols=names,
         data=st.data(),
@@ -1177,7 +1179,7 @@ def test_config_from_options_spelling_equivalence_property():
         return head + "".join(w.capitalize() for w in rest)
 
     @given(st.sets(st.sampled_from(sorted(multiword))))
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=soak_examples(60), deadline=None)
     def check(keys):
         snake = {k: multiword[k] for k in keys}
         camelled = {camel(k): multiword[k] for k in keys}
@@ -1270,7 +1272,7 @@ def test_config_from_options_unknown_key_gate_property():
         st.booleans(),
         st.sets(bad_keys, max_size=3),
     )
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=soak_examples(60), deadline=None)
     def check(keys, use_camel, with_path, bads):
         opts = {(camel(k) if use_camel else k): known[k] for k in keys}
         if with_path:
@@ -1471,7 +1473,7 @@ def test_cdc_reader_offsets_model_property():
         wal_batches_strategy(),
         ops,
     )
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=soak_examples(40), deadline=None)
     def check(n_snap, chunk, per_trig, poll, wal_batches, schedule):
         cfg = PostgresCDCConfig(
             snapshot_chunk_size=chunk,

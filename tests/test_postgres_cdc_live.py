@@ -54,6 +54,8 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.postgres_
     PostgresCDCStreamReader,
 )
 
+from soakopt import soak_examples  # noqa: E402
+
 
 def _dsn_params() -> dict[str, str]:
     return dict(kv.split("=", 1) for kv in DSN.split())
@@ -2228,7 +2230,7 @@ def test_jdbc_upsert_sink_matches_pure_python_model_property_live(scratch, spark
     counter = {"n": 0}
 
     @given(ops)
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=soak_examples(8), deadline=None)
     def check(schedule):
         counter["n"] += 1
         tbl = _sink_table(scratch, name=f"model_sink_{counter['n']}")

@@ -13,6 +13,8 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks import Parq
 from experiment_flink_cdc_connectors_postgres_datastream_spark.sinks.bus import to_keyed_json
 from experiment_flink_cdc_connectors_postgres_datastream_spark.sources.bus_upsert import changelog_from_bus
 
+from soakopt import soak_examples
+
 
 def test_to_keyed_json_wire_shape(spark):
     df = spark.createDataFrame(
@@ -59,7 +61,7 @@ _rows = st.lists(
 )
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=soak_examples(12), deadline=None)
 @given(rows=_rows)
 def test_bus_round_trip_property(spark, rows):
     df = spark.createDataFrame(
@@ -218,7 +220,7 @@ def test_parquet_upsert_sink_matches_pure_python_model_property(spark, tmp_path)
     )
 
     @given(st.booleans(), ops)
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=soak_examples(10), deadline=None)
     def check(refresh, schedule):
         path = str(tmp_path / f"sink_{_uuid.uuid4().hex[:8]}")
         sink = ParquetUpsertSink(path, key_cols=["k"], seq_cols=["seq"],

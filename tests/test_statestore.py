@@ -13,6 +13,8 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming.statest
     GenerationalStateStore,
 )
 
+from soakopt import soak_examples
+
 
 def _mk(spark, tmp_path, n_buckets=4, max_generations=8):
     return GenerationalStateStore(
@@ -553,7 +555,7 @@ def test_ttl_store_matches_pure_python_model_property(spark, tmp_path):
         st.integers(min_value=0, max_value=3),
     )
     @settings(
-        max_examples=6,
+        max_examples=soak_examples(6),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
@@ -698,7 +700,7 @@ def test_ttl_store_with_tombstones_matches_pure_python_model_property(spark, tmp
         st.integers(min_value=2, max_value=12),
     )
     @settings(
-        max_examples=6,
+        max_examples=soak_examples(6),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
@@ -969,7 +971,7 @@ def test_generational_store_matches_pure_python_model_property(spark, tmp_path):
     )
 
     @given(ops)
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=soak_examples(8), deadline=None)
     def check(schedule):
         root = str(tmp_path / f"gs_{_uuid.uuid4().hex[:8]}")
         n_buckets, max_generations = 4, 3
@@ -1134,7 +1136,7 @@ def test_savepoint_restore_matches_pure_python_model_property(spark, tmp_path):
     )
 
     @given(ops)
-    @settings(max_examples=6, deadline=None)
+    @settings(max_examples=soak_examples(6), deadline=None)
     def check(schedule):
         base = tmp_path / f"sr_{_uuid.uuid4().hex[:8]}"
         n_buckets = 4

@@ -39,6 +39,8 @@ from tests.golden_cdc import (
     WITH_SNAPSHOT_AND_DELETE,
 )
 
+from soakopt import soak_examples
+
 
 @pytest.fixture()
 def cdc_dir(tmp_path):
@@ -420,7 +422,7 @@ def test_apply_register_events_property_vs_batch_reference():
         max_size=30,
     )
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=soak_examples(200), deadline=None)
     @given(evs=events, data=st.data())
     def run(evs, data):
         # batch reference: latest event per key by (seq0, seq1); on
@@ -1574,7 +1576,7 @@ def test_incremental_dedup_matches_pure_python_model_property(spark, tmp_path):
     )
 
     @given(ops)
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=soak_examples(8), deadline=None)
     def check(schedule):
         work = str(tmp_path / f"mh_{_uuid.uuid4().hex[:8]}")
         engine = IncrementalMinHashDedup(spark, work)

@@ -132,3 +132,21 @@ def test_verify_local_oracle_cache_hits_and_invalidates(tmp_path, monkeypatch):
     # (c) touching a table file's mtime/size changes the key
     (sf / f"{sorted(vl.TABLES)[0]}.parquet").write_bytes(b"xx")
     assert vl._oracle_cache_key(sql1, str(sf)) != k1
+
+
+def test_soak_option_scales_property_examples(monkeypatch):
+    """VERDICT r16 #7b: `pytest --soak N` (carried by SPARK_GRAFT_SOAK,
+    set in conftest's pytest_configure before collection imports any
+    test module) makes every participating model property run N
+    examples; without it, each test's own default stands."""
+    sys.path.insert(0, str(REPO / "tests"))
+    import soakopt
+
+    monkeypatch.delenv("SPARK_GRAFT_SOAK", raising=False)
+    assert soakopt.soak_examples(120) == 120
+    monkeypatch.setenv("SPARK_GRAFT_SOAK", "1000")
+    assert soakopt.soak_examples(120) == 1000
+    monkeypatch.setenv("SPARK_GRAFT_SOAK", "0")
+    assert soakopt.soak_examples(6) == 6
+    monkeypatch.setenv("SPARK_GRAFT_SOAK", "")
+    assert soakopt.soak_examples(6) == 6
