@@ -150,3 +150,51 @@ def test_soak_option_scales_property_examples(monkeypatch):
     assert soakopt.soak_examples(6) == 6
     monkeypatch.setenv("SPARK_GRAFT_SOAK", "")
     assert soakopt.soak_examples(6) == 6
+
+
+def test_plan_audit_counts_and_verdicts(spark):
+    """tools/plan_audit.py codifies the per-round physical-plan audit.
+    Unit level: FORMATTED plans print every node twice (tree outline +
+    numbered detail header), so the counter must count unique numbered
+    headers — and the anti-pattern verdicts must flag BatchEvalPython /
+    CartesianProduct / beyond-allowance BNLJs. Integration level: a
+    real registry query's plan passes, and a row-at-a-time Python UDF
+    plan is caught."""
+    sys.path.insert(0, str(REPO))
+    from tools.plan_audit import ALLOWED_BNLJ, audit_one, count_nodes, plan_text
+
+    fake = (
+        "== Physical Plan ==\n"
+        "* HashAggregate (3)\n"
+        "+- BroadcastNestedLoopJoin BuildRight (2)\n"
+        "   +- Exchange (1)\n"
+        "\n"
+        "(1) Exchange\n"
+        "(2) BroadcastNestedLoopJoin\n"
+        "(3) HashAggregate\n"
+    )
+    assert count_nodes(fake, "BroadcastNestedLoopJoin") == 1  # not 2
+    assert count_nodes(fake, "Exchange") == 1
+    # allowance: dsir's documented 2 pass, a third fails
+    assert audit_one("dsir_importance_weights", fake) == []
+    assert ALLOWED_BNLJ["dsir_importance_weights"] == 2
+    assert audit_one("some_other_query", fake) != []
+    assert audit_one("q", fake + "(4) BatchEvalPython\n") != []
+    assert audit_one("q", fake + "(4) CartesianProduct\n") != []
+
+    # a real registry plan through the same capture path: zero
+    # scale-killers on the headline scan-agg
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import QUERIES
+
+    text = plan_text(QUERIES["tpch_q6"](spark, "/root/testdata/sf0.001"))
+    assert "== Physical Plan ==" in text
+    assert audit_one("tpch_q6", text) == []
+
+    # a genuine row-at-a-time Python UDF IS caught by the same verdict
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    df = spark.range(10).select(slow(F.col("id")).alias("y"))
+    assert "BatchEvalPython" in plan_text(df)
+    assert audit_one("q", plan_text(df)) != []
