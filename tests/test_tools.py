@@ -198,3 +198,23 @@ def test_plan_audit_counts_and_verdicts(spark):
     df = spark.range(10).select(slow(F.col("id")).alias("y"))
     assert "BatchEvalPython" in plan_text(df)
     assert audit_one("q", plan_text(df)) != []
+
+
+def test_priority_window_is_exact_and_fully_registered():
+    """The driver grades the FIRST 50 registered queries in
+    registration order, and `_reorder()` silently DROPS any _PRIORITY
+    name missing from the registry — so a typo in the rotated window
+    would shrink it and the driver would grade a different 50th query
+    than the round intended, a silent grading drift in the same class
+    as the vacuous-pass foot-guns this file pins. Invariants: exactly
+    50 names, no duplicates, every name registered, the registry's
+    first 50 ARE the window in order, and every oracle key names a
+    registered query."""
+    sys.path.insert(0, str(REPO))
+    from experiment_flink_cdc_connectors_postgres_datastream_spark import queries as q
+
+    window = list(q._PRIORITY)
+    assert len(window) == 50 and len(set(window)) == 50
+    assert [n for n in window if n not in q.QUERIES] == []
+    assert list(q.QUERIES)[:50] == window
+    assert sorted(set(q.ORACLES) - set(q.QUERIES)) == []
