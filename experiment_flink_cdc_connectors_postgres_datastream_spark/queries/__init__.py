@@ -27,67 +27,67 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.queries import go
 # The correctness driver grades the FIRST 50 registered queries, in
 # registration order. Cumulative coverage is complete: every
 # registered query has a green driver CORRECTNESS row at its latest
-# grade; the r10-r16 windows were all 50/50 green (the registry-wide
-# rows-only count stays 3 by documented contract). Round-17 window
-# policy (same rotation contract as r4-r16, shared graded helpers
+# grade; the r10-r17 windows were all 50/50 green (the registry-wide
+# rows-only count stays 3 by documented contract). Round-18 window
+# policy (same rotation contract as r4-r17, shared graded helpers
 # FROZEN after the round's first commit per VERDICT r11 #2):
 # (1) every query whose code path changed since its last grade
-# re-enters: the ADVICE-r16 statestore polish (savepoint() now
-# best-effort deletes a partial gen-0 when the export fails after the
-# write began — guarded on manifest-0.json NOT existing — and
-# pre-checks for a stranded partial gen-0 with a friendly message;
-# the schema-drift guard's error text now states the sanctioned
-# migration recipe. Failure-path/message-only — no behavior change
-# on any successful commit or savepoint) pulls the same set the
-# r15/r16 statestore changes did: the K3 sink row `upsert_sink_shape`,
-# the ParquetUpsertSink-driven `cdc_scd2_streamed`, and the seven
+# re-enters: the ADVICE-r17 statestore fix (savepoint()'s gen-0
+# export now runs OUTSIDE the failure-cleanup handler, so a
+# write-phase failure — the errorifexists race against a concurrent
+# attempt's in-progress export, or a stranded partial appearing after
+# the pre-check — propagates WITHOUT deleting anyone's data; the
+# partial-gen-0 cleanup fires only for failures after this attempt's
+# write completed. Failure-path-only — no behavior change on any
+# successful commit or savepoint) pulls the same set the r15/r16/r17
+# statestore changes did: the K3 sink row `upsert_sink_shape`, the
+# ParquetUpsertSink-driven `cdc_scd2_streamed`, and the seven
 # run_compacted_aggregate/statestore streamed wrappers:
 # cdc_pipeline_streamed, bus_roundtrip_streamed,
 # changelog_agg_multi_streamed, cdc_toast_pipeline_streamed,
 # cdc_ttl_streamed, cdc_ttl_restart_streamed,
 # cdc_ttl_wal2json_streamed — 9 regrades, 0 additions (≤ 15 per the
 # freeze contract);
-# (2) the 9 round-11 rows, the promised r17 front of the line — the
-# rotation's stalest-row age bound moves to round 12;
-# (3) remaining 32 slots take the round-12 rows A-Z (32 of the 40).
+# (2) the 8 round-12 rows, the promised r18 front of the line — the
+# rotation's stalest-row age bound moves to round 13;
+# (3) remaining 33 slots take the round-13 rows A-Z (33 of the 39).
 # Everything outside the window stays registered and locally
 # verified via tools/verify_local.py.
 _PRIORITY = [
-    # --- (1) code path changed since the last grade: the ADVICE-r16
-    # statestore polish (savepoint partial-gen-0 cleanup + drift-guard
-    # remediation text in streaming/statestore.py) pulls the K3 sink
-    # row, the ParquetUpsertSink SCD2 stream, and every
+    # --- (1) code path changed since the last grade: the ADVICE-r17
+    # statestore savepoint fix (write-phase failures no longer delete
+    # a concurrent attempt's gen-0; cleanup only after a completed
+    # write, in streaming/statestore.py) pulls the K3 sink row, the
+    # ParquetUpsertSink SCD2 stream, and every
     # run_compacted_aggregate wrapper ---
     "upsert_sink_shape", "cdc_scd2_streamed",
     "cdc_pipeline_streamed", "bus_roundtrip_streamed",
     "changelog_agg_multi_streamed", "cdc_toast_pipeline_streamed",
     "cdc_ttl_streamed", "cdc_ttl_restart_streamed",
     "cdc_ttl_wal2json_streamed",
-    # --- (2) the 9 round-11 rows, the promised r17 front of the
+    # --- (2) the 8 round-12 rows, the promised r18 front of the
     # line ---
-    "token_count", "tokenize", "tokenizer_coverage", "top_k_orders",
-    "tpch_q1", "tpch_q12", "tpch_q22", "union_schemas",
-    "window_lag_delta",
-    # --- (3) round-12 rows, 32 of the 40, A-Z ---
-    "asof_join", "bigram_logprob_by_source", "bpe_learn_merges",
-    "bpe_pair_counts", "changelog_topk_per_group",
-    "cluster_safe_splits", "contamination_check",
-    "decontaminate_fuzzy", "decontaminate_spans",
-    "dedup_jaccard_prefix", "dedup_spans", "doc_chunking",
-    "dsir_importance_weights", "embedding_int8_quant",
-    "embedding_near_dup", "embedding_norm_stats",
-    "embedding_quantize_error", "embedding_sparse_projection",
-    "embedding_stats", "hash_sample_per_group",
-    "minhash_recall_curve", "pii_redact",
-    "priority_sample_per_source", "project_filter",
-    "repeat_factor_sampling", "sequence_packing",
-    "similarity_topk_ivf", "similarity_topk_ivf_sampled",
-    "similarity_topk_lsh", "similarity_topk_pq",
-    "similarity_topk_pq_sampled", "similarity_topk_pq_sampled_rerank",
-    # Still outside the window, last green in round 12, displaced to
-    # the FRONT of the r18 rotation: sliding_window, tfidf_top_terms,
-    # token_budget_selection, top_bigrams, top_terms_by_source,
-    # vocab_top_terms, word_pmi_top, zipf_slope_by_source.
+    "sliding_window", "tfidf_top_terms", "token_budget_selection",
+    "top_bigrams", "top_terms_by_source", "vocab_top_terms",
+    "word_pmi_top", "zipf_slope_by_source",
+    # --- (3) round-13 rows, 33 of the 39, A-Z ---
+    "changelog_agg_multi", "changelog_diff", "compact_latest",
+    "count_live_by", "count_live_by_salted", "csv_roundtrip",
+    "cube_counts", "curation_pipeline", "customers_without_orders",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_streamed", "dup_degree_histogram",
+    "embedding_matryoshka", "funnel_conversion",
+    "grouping_sets_count", "interval_join_counts",
+    "json_extract_props", "jsonl_roundtrip", "length_band_filter",
+    "multimodal_feature_topk", "multimodal_meta", "orc_roundtrip",
+    "percentile_by_type", "pivot_counts", "repetition_ratio",
+    "retention_cohorts", "session_window_streamed",
+    "shard_assignment", "stream_static_join_streamed",
+    "stream_stream_join_streamed",
+    # Still outside the window, last green in round 13, displaced to
+    # the FRONT of the r19 rotation: tokens_to_ids,
+    # train_val_test_split, tumbling_window_streamed,
+    # type_token_ratio, udaf_weighted_mean, window_rank_family.
 ]
 
 

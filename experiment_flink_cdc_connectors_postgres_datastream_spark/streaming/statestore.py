@@ -395,8 +395,20 @@ class GenerationalStateStore:
                 f"an interrupted export (no manifest-0.json was published); "
                 f"delete the target directory and retry"
             )
+        # The export itself runs OUTSIDE the cleanup handler (ADVICE r17):
+        # a failure HERE is either the errorifexists precondition tripping
+        # on a gen-0 that appeared after the pre-check — a concurrent
+        # attempt's in-progress export (deleting it would let that winner
+        # publish an all-null-marked "successful" savepoint that silently
+        # restores EMPTY state) or a stranded partial (operator evidence
+        # per the pre-check contract; never auto-deleted) — or this
+        # attempt's own write dying midway, which is indistinguishable
+        # from a concurrent export without owning the directory. So no
+        # cleanup fires on a write-phase failure; a retry gets the
+        # pre-check's remediation message instead of a confusing
+        # errorifexists error.
+        state.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(f"{path}/gen-0")
         try:
-            state.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(f"{path}/gen-0")
             # same empty-bucket contract as commit: buckets with no rows at
             # snapshot time (including the whole-store-empty case, whose
             # gen-0 has no parquet footers) get the null marker, so the
@@ -415,12 +427,15 @@ class GenerationalStateStore:
                 io.path("manifest-0.json.tmp"), io.path("manifest-0.json"), json.dumps(manifest)
             )
         except BaseException:
-            # Failure after the gen-0 write began would otherwise strand
-            # a partial snapshot with no GC (ADVICE r16): the savepoint
-            # target has no manifest chain, so nothing ever reaps it and
-            # a retry dies on errorifexists. Best-effort delete the
-            # partial gen-0 — guarded on the manifest NOT existing, so a
-            # published savepoint can never be deleted.
+            # A gen-0 whose manifest never publishes would otherwise be
+            # stranded with no GC (ADVICE r16): the savepoint target has
+            # no manifest chain, so nothing ever reaps it and a retry
+            # dies on errorifexists. The export COMPLETED above, so the
+            # gen-0 here is this attempt's own finished write — the
+            # cleanup can no longer destroy a concurrent attempt's
+            # in-progress export (ADVICE r17). Best-effort delete it —
+            # guarded on the manifest NOT existing, so a published
+            # savepoint can never be deleted.
             if not io.exists(io.path("manifest-0.json")):
                 try:
                     io.delete(io.path("gen-0"))
