@@ -1441,3 +1441,118 @@ def test_savepoint_precheck_names_stranded_partial_gen0(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         store.savepoint(str(sp))
     assert (sp / "gen-0").exists() and (sp / "manifest-0.json").exists()
+
+
+def test_savepoint_loser_of_errorifexists_race_preserves_winner(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r17 (medium): two actors race savepoint() to the same
+    target. The loser — whose pre-check ran before the winner's gen-0
+    landed, so its failure is the parquet errorifexists error, not the
+    friendly pre-check — must NOT delete the winner's in-progress
+    gen-0. Before the fix, the loser's cleanup fired while the winner
+    sat between its completed parquet write and its manifest publish;
+    the winner's _present_buckets then saw no _bucket= dirs and
+    published an all-null-marked manifest — a 'successful' savepoint
+    that silently restores EMPTY state. Now a write-phase failure
+    propagates without deleting anyone's data, and the winner's
+    savepoint restores every row."""
+    import pytest
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming import statestore as ss
+
+    store = _mk(spark, tmp_path, n_buckets=4)
+    _commit_rows(spark, store, [(k, f"v{k}") for k in range(8)], version=0)
+    sp = str(tmp_path / "savepoint-race")
+
+    # TOCTOU shim: while the loser runs, its pre-check must see the
+    # world as of BEFORE the winner's write (gen-0 absent), exactly the
+    # window the ADVICE describes. Spark's own errorifexists check is
+    # JVM-side and unaffected, so the loser still fails at the write.
+    real_exists = ss._Fs.exists
+    pre_check_blind = {"on": False}
+
+    def exists(self, p):
+        if pre_check_blind["on"] and p.getName() == "gen-0":
+            return False
+        return real_exists(self, p)
+
+    real_present = GenerationalStateStore._present_buckets
+    loser = {"fired": False, "err": None}
+
+    def present_and_race(io, gen):
+        # The WINNER is here: after its completed gen-0 write, before
+        # its manifest publish. Fire the loser inside that window.
+        if not loser["fired"]:
+            loser["fired"] = True
+            pre_check_blind["on"] = True
+            try:
+                store.savepoint(sp)
+            except ValueError as exc:  # pragma: no cover - regression shape
+                raise AssertionError(
+                    f"loser died on the pre-check, not the write: {exc}"
+                )
+            except Exception as exc:
+                loser["err"] = str(exc)
+            finally:
+                pre_check_blind["on"] = False
+            assert loser["err"] is not None, "loser's export unexpectedly succeeded"
+        return real_present(io, gen)
+
+    monkeypatch.setattr(ss._Fs, "exists", exists)
+    monkeypatch.setattr(
+        GenerationalStateStore, "_present_buckets", staticmethod(present_and_race)
+    )
+    store.savepoint(sp)  # the winner completes despite the mid-flight loser
+    monkeypatch.setattr(
+        GenerationalStateStore, "_present_buckets", staticmethod(real_present)
+    )
+
+    assert loser["fired"] and "exist" in loser["err"].lower()
+    # the winner's savepoint is whole: every bucket dir survived the
+    # loser, the manifest owns real data (not all-null markers), and a
+    # restore yields the full state — the silent-empty outcome is the
+    # regression this pins
+    manifest = json.loads((tmp_path / "savepoint-race" / "manifest-0.json").read_text())
+    assert any(g is not None for g in manifest["buckets"].values())
+    restored = GenerationalStateStore.restore_from_savepoint(
+        spark, sp, str(tmp_path / "restored-race"), ["k"]
+    )
+    assert {(r["k"], r["v"]) for r in restored.read().collect()} == {
+        (k, f"v{k}") for k in range(8)
+    }
+
+
+def test_savepoint_write_phase_failure_preserves_appeared_gen0(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r17, second clause: a stranded gen-0 that appears AFTER
+    the pre-check but BEFORE the write (so the failure is the parquet
+    errorifexists error) is operator evidence like any other stranded
+    partial — the write-phase failure must propagate without deleting
+    it, honoring the pre-check's preserve-as-evidence contract."""
+    import pytest
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.streaming import statestore as ss
+
+    store = _mk(spark, tmp_path, n_buckets=4)
+    _commit_rows(spark, store, [(1, "a")], version=0)
+    sp = tmp_path / "savepoint-appeared"
+    (sp / "gen-0").mkdir(parents=True)
+    (sp / "gen-0" / "evidence.marker").write_text("crashed attempt's partial")
+
+    real_exists = ss._Fs.exists
+
+    def exists(self, p):  # the pre-check ran before the stranded dir appeared
+        if p.getName() == "gen-0":
+            return False
+        return real_exists(self, p)
+
+    monkeypatch.setattr(ss._Fs, "exists", exists)
+    with pytest.raises(Exception, match="(?i)exist"):
+        store.savepoint(str(sp))
+    monkeypatch.setattr(ss._Fs, "exists", real_exists)
+
+    # the stranded partial survives, marker and all; no manifest appeared
+    assert (sp / "gen-0" / "evidence.marker").read_text() == "crashed attempt's partial"
+    assert not (sp / "manifest-0.json").exists()
