@@ -119,6 +119,13 @@ def test_verify_local_oracle_cache_hits_and_invalidates(tmp_path, monkeypatch):
     entry.write_text(json.dumps({"rows": []}))
     assert vl._oracle_cached(con, sql1, str(sf), use_cache=True) == cold
     assert json.loads(entry.read_text())["cols"] == ["a", "b"]
+    # non-dict valid JSON ('[]', a bare string) raised TypeError on
+    # hit["cols"] and crashed the run instead of recomputing (ADVICE
+    # r17); so did a rows list with non-iterable items at tuple(r)
+    for bad in ("[]", '"a string"', json.dumps({"cols": ["a"], "types": [], "rows": [1]})):
+        entry.write_text(bad)
+        assert vl._oracle_cached(con, sql1, str(sf), use_cache=True) == cold
+        assert json.loads(entry.read_text())["cols"] == ["a", "b"]
     # (d) the engine version and normalize() source are part of the key
     monkeypatch.setattr(vl.duckdb, "__version__", "999.0.0-test")
     assert vl._oracle_cache_key(sql1, str(sf)) != k1
@@ -181,6 +188,24 @@ def test_plan_audit_counts_and_verdicts(spark):
     assert audit_one("some_other_query", fake) != []
     assert audit_one("q", fake + "(4) BatchEvalPython\n") != []
     assert audit_one("q", fake + "(4) CartesianProduct\n") != []
+
+    # exchange-count ratchet (VERDICT r17 #3): a ratcheted query at its
+    # recorded ceiling passes; ONE exchange beyond it fails naming the
+    # ceiling; un-ratcheted names stay informational (no failure)
+    from tools.plan_audit import ALLOWED_EXCHANGES
+
+    at_ceiling = "== Physical Plan ==\n" + "".join(
+        f"({i + 1}) Exchange\n" for i in range(ALLOWED_EXCHANGES["tpch_q9"])
+    )
+    assert audit_one("tpch_q9", at_ceiling) == []
+    over = at_ceiling + f"({ALLOWED_EXCHANGES['tpch_q9'] + 1}) Exchange\n"
+    problems = audit_one("tpch_q9", over)
+    assert problems and "ratchet ceiling" in problems[0]
+    assert audit_one("not_a_ratcheted_query", over) == []
+    # the ratchet table covers exactly the default audit set
+    from tools.plan_audit import DEFAULT_QUERIES
+
+    assert set(ALLOWED_EXCHANGES) == set(DEFAULT_QUERIES)
 
     # a real registry plan through the same capture path: zero
     # scale-killers on the headline scan-agg

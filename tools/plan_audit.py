@@ -17,8 +17,16 @@ physical plan, and FAIL on the 100-TB scale-killers:
   set by design (bucketed LSH/IVF/PQ siblings are the scale path) —
   both adjudicated in VERDICT r15/r16. Anything else is a regression.
 
-Exchange counts are printed per query as information (shuffle-shape
-drift is worth eyeballing, but counts alone aren't pass/fail).
+Exchange counts are a RATCHET (VERDICT r17 #3): each default query's
+count from the round-17 green audit is recorded in
+``ALLOWED_EXCHANGES`` as its ceiling, and growth beyond it FAILS the
+audit — shuffle-shape drift becomes loud instead of eyeballed, the
+same promotion the BNLJ allowances got in r17. The counts were
+measured identical at sf0.001/0.01/0.1 (plan shape here is
+scale-invariant; broadcast-vs-SMJ choices are pinned by the queries
+themselves, not by file-size stats). A deliberate plan change bumps
+the ceiling in the same commit, with the reason. Ad-hoc query names
+outside the table print their count as information only.
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 Default queries: the expensive-batch set the judge audits.
@@ -60,6 +68,22 @@ ALLOWED_BNLJ = {
     "similarity_topk": 1,  # 1%-sampled query set, broadcast by design
 }
 
+#: exchange-count ceilings, measured on the round-17 green audit
+#: (VERDICT r17 #3; identical at sf0.001/0.01/0.1). Growth without a
+#: deliberate, documented bump here is a shuffle-shape regression.
+ALLOWED_EXCHANGES = {
+    "minhash_recall_curve": 9,
+    "cluster_safe_splits": 4,
+    "dedup_keep_best": 8,
+    "dedup_ngram_jaccard": 7,
+    "dsir_importance_weights": 7,
+    "similarity_topk": 2,
+    "tfidf_cosine_pairs": 23,
+    "decontaminate_fuzzy": 7,
+    "tpch_q9": 1,
+    "tpch_q21": 1,
+}
+
 
 def plan_text(df) -> str:
     """The FORMATTED physical plan as a string (what df.explain
@@ -90,6 +114,15 @@ def audit_one(name: str, text: str) -> list[str]:
         problems.append(
             f"{bnlj} BroadcastNestedLoopJoin (documented allowance {allowed})"
         )
+    ceiling = ALLOWED_EXCHANGES.get(name)
+    if ceiling is not None:
+        exchanges = count_nodes(text, "Exchange")
+        if exchanges > ceiling:
+            problems.append(
+                f"{exchanges} Exchange nodes (ratchet ceiling {ceiling}: "
+                f"shuffle-shape drift — a deliberate plan change must bump "
+                f"ALLOWED_EXCHANGES in the same commit, with the reason)"
+            )
     return problems
 
 
@@ -110,11 +143,13 @@ def main() -> int:
         exchanges = count_nodes(text, "Exchange")
         bnlj = count_nodes(text, "BroadcastNestedLoopJoin")
         note = f" bnlj={bnlj}(allowed {ALLOWED_BNLJ.get(name, 0)})" if bnlj else ""
+        ceiling = ALLOWED_EXCHANGES.get(name)
+        ceil_note = f"/{ceiling}" if ceiling is not None else " (no ratchet)"
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures.append(name)
         else:
-            print(f"PASS  {name} (exchanges={exchanges}{note})")
+            print(f"PASS  {name} (exchanges={exchanges}{ceil_note}{note})")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

@@ -146,10 +146,13 @@ def _oracle_cached(con, sql: str, sf_dir: str, use_cache: bool):
             return hit["cols"], hit["types"], [tuple(r) for r in hit["rows"]]
         except OSError:
             pass
-        except (ValueError, KeyError):
-            # corrupt/truncated entry or missing field (ADVICE r16):
-            # recompute instead of misreporting a passing query as a
-            # "duckdb error" FAIL, and drop the bad file
+        except (ValueError, KeyError, TypeError):
+            # corrupt/truncated entry, missing field, or wrong-shaped
+            # valid JSON — a non-dict entry ('[]', a bare string) hits
+            # TypeError on hit["cols"], as does a rows list with
+            # non-iterable items at tuple(r) (ADVICE r17): recompute
+            # instead of misreporting a passing query as a "duckdb
+            # error" FAIL, and drop the bad file
             try:
                 os.unlink(path)
             except OSError:
