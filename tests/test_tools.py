@@ -141,6 +141,65 @@ def test_verify_local_oracle_cache_hits_and_invalidates(tmp_path, monkeypatch):
     assert vl._oracle_cache_key(sql1, str(sf)) != k1
 
 
+def test_quiet_lap_emits_best_contaminated_lap_on_exhaustion(tmp_path):
+    """VERDICT r17 #4: in a burst-phase session where every fired lap
+    is steal-contaminated, quiet_lap.sh previously exited 1 with
+    nothing on stdout — no machine-readable upper bound. Now the
+    FASTEST contaminated lap's JSON is printed with
+    "contaminated": true added, and the exit code stays 1 so callers
+    never mistake it for a quiet lap. Also pins the quiet path: a lap
+    under the steal gate goes to stdout unflagged with exit 0. Drives
+    the real script through its test seams (stub lap command, zero
+    sleeps, instant probe)."""
+    import json
+    import os
+    import subprocess
+
+    stub = tmp_path / "stub_lap.py"
+    counter = tmp_path / "n"
+    counter.write_text("0")
+    stub.write_text(
+        "import json, pathlib\n"
+        f"p = pathlib.Path({str(counter)!r})\n"
+        "n = int(p.read_text()); p.write_text(str(n + 1))\n"
+        "laps = [\n"
+        "    {'headline18': 15.0, 'steal_pct': 2.0, 't': {}},\n"
+        "    {'headline18': 12.5, 'steal_pct': 0.9, 't': {}},\n"  # fastest
+        "    {'headline18': 14.0, 'steal_pct': 1.4, 't': {}},\n"
+        "]\n"
+        "print(json.dumps(laps[n]))\n"
+    )
+    env = dict(
+        os.environ,
+        QUIET_LAP_CMD=f"python3 {stub}",
+        QUIET_LAP_RETRY_SLEEP="0",
+        QUIET_LAP_DRAIN_SLEEP="0",
+    )
+    # exhaustion: 3 attempts, all laps over the 0.1% gate -> exit 1,
+    # stdout carries the FASTEST lap flagged contaminated
+    res = subprocess.run(
+        ["bash", str(REPO / "tools" / "quiet_lap.sh"), "3", "0", "0.1", "999"],
+        capture_output=True, text=True, env=env,
+    )
+    assert res.returncode == 1
+    out = json.loads(res.stdout.strip())
+    assert out == {
+        "headline18": 12.5, "steal_pct": 0.9, "t": {}, "contaminated": True,
+    }
+    assert "no quiet lap in 3 attempts" in res.stderr
+
+    # quiet path: gate above every stub lap's steal -> first lap wins,
+    # unflagged, exit 0
+    counter.write_text("0")
+    res = subprocess.run(
+        ["bash", str(REPO / "tools" / "quiet_lap.sh"), "3", "0", "5.0", "999"],
+        capture_output=True, text=True, env=env,
+    )
+    assert res.returncode == 0
+    out = json.loads(res.stdout.strip())
+    assert out["headline18"] == 15.0 and "contaminated" not in out
+
+
 def test_soak_option_scales_property_examples(monkeypatch):
     """VERDICT r16 #7b: `pytest --soak N` (carried by SPARK_GRAFT_SOAK,
     set in conftest's pytest_configure before collection imports any
