@@ -29,8 +29,12 @@ def test_asof_join_semantics(spark):
 
 
 def test_stream_stream_interval_join(spark, tmp_path):
-    """Watermarked stream-stream join: click joined to the same user's
-    signup within the preceding hour."""
+    """Watermarked stream-stream INNER join: click joined to the same
+    user's signup within the preceding hour — the engine mechanics
+    behind the graded `stream_stream_join_streamed` row (two file
+    streams, event-time range bound, matches appended as they arrive;
+    the outer variants' null-emission machinery is pinned separately
+    in test_streaming.py)."""
     d1, d2 = tmp_path / "clicks", tmp_path / "signups"
     d1.mkdir(), d2.mkdir()
     (d1 / "c.json").write_text(

@@ -890,7 +890,10 @@ _EXCLUDED_ROW_PINS = {
     "tumbling_window_streamed": "test_streaming.py",
     "session_window_streamed": "test_streaming.py",
     "stream_static_join_streamed": "test_streaming.py",
-    "stream_stream_join_streamed": "test_streaming.py",
+    # the INNER time-range join machinery is pinned by
+    # test_stream_stream_interval_join (test_streaming.py pins only
+    # the left/full-outer null-emission variants)
+    "stream_stream_join_streamed": "test_advanced.py",
     "tumbling_window_late_streamed": "test_streaming.py",
     "dedup_streamed": "test_streaming.py",
     # r16 window rotation additions: sliding window double-assignment,
