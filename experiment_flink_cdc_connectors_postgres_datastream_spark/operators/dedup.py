@@ -140,12 +140,28 @@ def minhash_signatures(
         else shingle_hashes(df, text_col, id_col, n, hash_family=hash_family)
     )
     if hash_family == "md5":
-        def hk(k: int) -> Column:
-            return md5_long(F.concat_ws(":", F.lit(k), F.col("_sh").cast("string")))
-    else:
-        def hk(k: int) -> Column:
-            return F.xxhash64(F.col("_sh"), F.lit(k))
-    aggs = [F.min(hk(k)).alias(f"_h{k}") for k in range(num_hashes)]
+        # min() over the 15-char HEX PREFIX, hex→long conversion AFTER
+        # the aggregation: md5() renders fixed-width lowercase hex, so
+        # the lexicographic (binary UTF8) min of the prefix IS the
+        # numeric min of `md5_long`'s value — and `conv` (the dominant
+        # cost of the chain, ~3× the md5 digest itself: measured 4.8 s
+        # vs 1.2 s for 32 projections over 326k rows at sf0.1) then
+        # runs once per (doc, k) group instead of once per (shingle
+        # row, k). Same values, ~25-30% less signature-stage wall.
+        aggs = [
+            F.min(
+                F.substring(F.md5(F.concat_ws(":", F.lit(k), F.col("_sh").cast("string"))), 1, 15)
+            ).alias(f"_m{k}")
+            for k in range(num_hashes)
+        ]
+        sigs = sh.groupBy("_id").agg(*aggs)
+        return sigs.select(
+            "_id",
+            F.array(
+                *[F.conv(F.col(f"_m{k}"), 16, 10).cast("long") for k in range(num_hashes)]
+            ).alias("_sig"),
+        )
+    aggs = [F.min(F.xxhash64(F.col("_sh"), F.lit(k))).alias(f"_h{k}") for k in range(num_hashes)]
     sigs = sh.groupBy("_id").agg(*aggs)
     return sigs.select("_id", F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias("_sig"))
 

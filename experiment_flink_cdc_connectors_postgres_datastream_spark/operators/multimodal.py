@@ -257,14 +257,22 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vecs = []
-            for p in pdf["payload"]:
-                buf = np.frombuffer(p if p is not None else b"", dtype=np.uint8)
-                hist = np.zeros(dim, dtype=np.float64)
-                if buf.size:
-                    np.add.at(hist, buf % dim, 1.0)
-                    hist /= np.linalg.norm(hist) or 1.0
-                vecs.append(hist.astype(np.float32).tolist())
+            # one bincount over the whole batch instead of per-row
+            # np.add.at (same integer counts, same float64 normalize,
+            # same float32 truncation — ~20× less per-row overhead)
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(len(lens)), lens)
+            hist = (
+                np.bincount(row_idx * dim + buf % dim, minlength=len(lens) * dim)
+                .reshape(len(lens), dim)
+                .astype(np.float64)
+            )
+            norms = np.linalg.norm(hist, axis=1)
+            norms[norms == 0.0] = 1.0
+            hist /= norms[:, None]
+            vecs = [row.tolist() for row in hist.astype(np.float32)]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
 
     return df.select("doc_id", "payload").mapInPandas(run, _FEATURE_SCHEMA)

@@ -55,6 +55,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
 
 
+def _cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with the two L2 norms precomputed per SIDE of a
+    join instead of per PAIR: ``dot / (na * nb)`` evaluates the exact
+    same IEEE operations in the same order as :func:`cosine` (sqrt of
+    the same double sums, then the same multiply/divide), so values —
+    and the 6-digit rounding — are bit-identical; only the redundant
+    per-pair norm re-aggregation (2 of cosine's 3 interpreted
+    higher-order aggregates) disappears. Pass ``na``/``nb`` built with
+    ``F.sqrt(sq_norm(...))`` on the corresponding side."""
+    return dot(a, b) / (na * nb)
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(sq_norm(a))
 
@@ -96,16 +108,26 @@ def cosine_topk(
     the corpus; per-query top-k via window rank with unique tiebreaker.
     Output: qid, vec_id, sim, rank. Excludes self-matches."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.sqrt(sq_norm(F.col(vec_col))).alias("_qn"),
+        )
     )
     # |corpus|×|queries| dot products evaluate in the corpus's map
-    # stage — spread an under-parallel scan across the cluster first
+    # stage — spread an under-parallel scan across the cluster first;
+    # norms are computed once per side, not once per pair
     scored = (
-        spread_scan(corpus).join(q, F.col(query_id_col) != F.col(id_col))
+        spread_scan(corpus)
+        .withColumn("_cn", F.sqrt(sq_norm(F.col(vec_col))))
+        .join(q, F.col(query_id_col) != F.col(id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("_qvec"), F.col(vec_col)), round_digits).alias("sim"),
+            F.round(
+                _cosine_prenorm(F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")),
+                round_digits,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
@@ -174,17 +196,25 @@ def lsh_bucketed_topk(
     c = spread_scan(corpus).select(
         F.col(id_col),
         F.col(vec_col),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("_cn"),
         sign_lsh_signature(vec_col, bits, hash_family).alias("_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("_qn"),
         sign_lsh_signature(vec_col, bits, hash_family).alias("_bucket"),
     )
     scored = (
         c.join(q, "_bucket")
         .filter(F.col(query_id_col) != F.col(id_col))
-        .select(query_id_col, id_col, F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("sim"))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _cosine_prenorm(F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")), 6
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return scored.select(query_id_col, id_col, "sim", F.row_number().over(w).alias("rank")).filter(
@@ -337,25 +367,37 @@ def ivf_topk(
         )
         cent_df = F.broadcast(spark.range(1).select(F.expr(inline_sql)))
     # nearest nprobe cells per query: tiny cross product (queries × nlist)
-    q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("_qn"),
+    )
     q_cells = (
         q.crossJoin(cent_df)
         .select(
             query_id_col,
             "_qvec",
+            "_qn",
             "_cell",
             F.round(dot(F.col("_qvec"), F.col("_centroid")), 6).alias("_cdot"),
         )
     )
     w_probe = Window.partitionBy(query_id_col).orderBy(F.desc("_cdot"), F.asc("_cell"))
     probes = q_cells.select(
-        query_id_col, "_qvec", "_cell", F.row_number().over(w_probe).alias("_pr")
+        query_id_col, "_qvec", "_qn", "_cell", F.row_number().over(w_probe).alias("_pr")
     ).filter(F.col("_pr") <= nprobe)
 
     scored = (
-        assigned.join(probes, "_cell")
+        assigned.withColumn("_cn", F.sqrt(sq_norm(F.col(vec_col))))
+        .join(probes, "_cell")
         .filter(F.col(query_id_col) != F.col(id_col))
-        .select(query_id_col, id_col, F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("sim"))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _cosine_prenorm(F.col("_qvec"), F.col(vec_col), F.col("_qn"), F.col("_cn")), 6
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return scored.select(query_id_col, id_col, "sim", F.row_number().over(w).alias("rank")).filter(
@@ -378,18 +420,25 @@ def embedding_near_dup_pairs(
     sig = spread_scan(df).select(
         F.col(id_col),
         F.col(vec_col),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("_n"),
         sign_lsh_signature(vec_col, bits, hash_family).alias("_bucket"),
     )
     a = sig.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_bucket")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na"), F.col("_bucket")
     )
     b = sig.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_bucket")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"), F.col("_bucket")
     )
     return (
         a.join(b, "_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _cosine_prenorm(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
+            ).alias("sim"),
+        )
         .filter(F.col("sim") >= min_cosine)
     )
 
@@ -566,12 +615,28 @@ def pq_topk(
     # ---- exact-cosine rerank of the ADC top-R (candidate set only)
     cand = ranked.filter(F.col("rank") <= rerank).drop("rank", "approx_dot")
     exact = (
-        cand.join(corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec")), id_col)
-        .join(F.broadcast(qtabs.select(query_id_col, "_qvec")), query_id_col)
+        cand.join(
+            corpus.select(
+                F.col(id_col),
+                F.col(vec_col).alias("_cvec"),
+                F.sqrt(sq_norm(F.col(vec_col))).alias("_cn"),
+            ),
+            id_col,
+        )
+        .join(
+            F.broadcast(
+                qtabs.select(
+                    query_id_col, "_qvec", F.sqrt(sq_norm(F.col("_qvec"))).alias("_qn")
+                )
+            ),
+            query_id_col,
+        )
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("sim"),
+            F.round(
+                _cosine_prenorm(F.col("_qvec"), F.col("_cvec"), F.col("_qn"), F.col("_cn")), 6
+            ).alias("sim"),
         )
     )
     w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))

@@ -13,6 +13,7 @@ from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.multimo
     extract_features,
     frame_sample,
 )
+from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan
 from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import cosine_topk
 from experiment_flink_cdc_connectors_postgres_datastream_spark.queries.registry import register
 
@@ -123,7 +124,15 @@ def multimodal_feature_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine, so the whole mapInPandas→broadcast-join→window-rank chain
     is value-hash graded."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(attach_binary_payload(docs)).localCheckpoint(eager=False)
+    # spread BEFORE the featurizer: the single-row-group scan is one
+    # task, and the checkpointed feats inherit its partitioning — so
+    # without this both the Arrow featurizer AND the downstream
+    # |corpus|×|queries| cosine dots ran on one core (spread_scan can't
+    # fire on the checkpoint itself: non-file plan). Measured 2.2s →
+    # ~0.6s at sf0.1/local[32]; a no-op on a many-file table.
+    feats = extract_features(attach_binary_payload(spread_scan(docs))).localCheckpoint(
+        eager=False
+    )
     queries = feats.filter(F.col("doc_id") % 100 == 0)
     return cosine_topk(feats, queries, k=5, id_col="doc_id", vec_col="embedding")
 

@@ -769,7 +769,10 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor table; the ANN variants (`similarity_topk_lsh`/`_ivf`)
     are the scale path when the anchor set itself is corpus-sized."""
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.scale import spread_scan, two_phase_topk
-    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import cosine
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.similarity import (
+        _cosine_prenorm,
+        sq_norm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = F.broadcast(
@@ -777,14 +780,19 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("qid"),
             F.col("label").alias("qlabel"),
             F.col("embedding").alias("_qvec"),
+            F.sqrt(sq_norm(F.col("embedding"))).alias("_qn"),
         )
     )
     scored = (
         spread_scan(emb)
+        .withColumn("_cn", F.sqrt(sq_norm(F.col("embedding"))))
         .join(anchors, F.col("qlabel") != F.col("label"))
         .select(
             "qid", "qlabel", "vec_id", "label",
-            F.round(cosine(F.col("_qvec"), F.col("embedding")), 6).alias("sim"),
+            F.round(
+                _cosine_prenorm(F.col("_qvec"), F.col("embedding"), F.col("_qn"), F.col("_cn")),
+                6,
+            ).alias("sim"),
         )
     )
     return two_phase_topk(

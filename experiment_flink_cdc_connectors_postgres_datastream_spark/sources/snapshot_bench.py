@@ -227,6 +227,7 @@ class ParquetWalClient:
         self.table = table
         self.confirmed = 0
         self.progress: str | None = None
+        self._feed: tuple[list[int], list[dict[str, Any]]] | None = None
         # A real replication slot's confirmed position is durable in
         # the SERVER and survives reader restarts; `state_path` gives
         # the bench slot the same durability so a restarted stream
@@ -282,21 +283,28 @@ class ParquetWalClient:
         ``pg_logical_slot_peek_changes`` contract the planner's
         doubling window relies on. Each peek re-reads from the slot
         position (peeks are non-destructive), which is also why the
-        production planner grows its window instead of paging."""
-        return _synthetic_feed_peek(
-            self.path, self.table, self.confirmed, limit, include_inserts=True
-        )
+        production planner grows its window instead of paging.
+
+        The deterministic feed is decoded, LSN-ordered, and rendered
+        ONCE per client instance (a real slot re-decodes WAL per peek
+        because the WAL grows; this feed is immutable for a given
+        parquet path), so repeat peeks cost a bisect + list slice
+        instead of a DuckDB sort plus a re-render — peek semantics
+        are identical, records are served read-only."""
+        if self._feed is None:
+            self._feed = _render_feed(
+                _feed_tuples(self.path, include_inserts=True), self.table
+            )
+        return _feed_slice(self._feed, self.table, self.confirmed, limit)
 
 
-def _synthetic_feed_peek(
-    path: str, table: str, confirmed: int, limit: int, *, include_inserts: bool
-) -> list[dict[str, Any]]:
-    """The deterministic synthetic change feed shared by the bench
-    slots: an INSERT per even ``event_id`` (lsn = 4*id+4; only when
-    ``include_inserts`` — the two-phase client's inserts ride the
-    SNAPSHOT instead), an UPDATE per ``%10`` row (event_type ->
-    'updated', lsn = 4*id+5), a DELETE per ``%14`` row (lsn =
-    4*id+6), in LSN order, strictly after ``confirmed``."""
+def _feed_tuples(path: str, *, include_inserts: bool) -> list[tuple]:
+    """Decode the WHOLE deterministic feed for ``path`` as LSN-ordered
+    ``(lsn, action, event_id, user_id, event_type)`` tuples — one
+    DuckDB pass; clients cache the result per instance and serve peeks
+    as bisect+slice (`_feed_slice`). The feed is a pure function of
+    the parquet file, so the cache can never go stale within a client
+    instance's lifetime (a restarted client re-decodes)."""
     import duckdb  # noqa: PLC0415
 
     insert_branch = (
@@ -309,7 +317,7 @@ def _synthetic_feed_peek(
     )
     con = duckdb.connect()
     try:
-        rows = con.sql(
+        return con.sql(
             f"""
                 WITH feed AS ({insert_branch}
                   SELECT event_id * 4 + 5 AS lsn, 'U' AS action, event_id, user_id, event_type
@@ -319,11 +327,33 @@ def _synthetic_feed_peek(
                   FROM '{path}' WHERE event_id % 14 = 0
                 )
                 SELECT lsn, action, event_id, user_id, event_type FROM feed
-                WHERE lsn > {int(confirmed)} ORDER BY lsn LIMIT {int(limit)}
+                ORDER BY lsn
                 """
         ).fetchall()
     finally:
         con.close()
+
+
+def _feed_slice(
+    feed: tuple[list[int], list[dict[str, Any]]], table: str, confirmed: int, limit: int
+) -> list[dict[str, Any]]:
+    """The peek window — records strictly after ``confirmed``, at most
+    ``limit`` — served as a bisect + slice of the pre-rendered feed
+    (identical output to querying and rendering the feed per peek).
+    Served records are shared across peeks and must be treated as
+    read-only — which every consumer (``_changes_to_rows`` →
+    ``wal2json_to_envelope``) already does: translation builds new
+    row dicts, never writes into the change record."""
+    import bisect  # noqa: PLC0415
+
+    lsns, recs = feed
+    lo = bisect.bisect_right(lsns, int(confirmed))
+    return recs[lo : lo + max(int(limit), 0)]
+
+
+def _render_feed(rows: list[tuple], table: str) -> tuple[list[int], list[dict[str, Any]]]:
+    """Render LSN-ordered feed tuples as wal2json-shaped records once;
+    returns the parallel (lsns, records) arrays `_feed_slice` bisects."""
     out: list[dict[str, Any]] = []
     for lsn, action, eid, uid, etype in rows:
         cols = [
@@ -351,7 +381,7 @@ def _synthetic_feed_peek(
         else:  # D
             rec["identity"] = cols
         out.append(rec)
-    return out
+    return [r[0] for r in rows], out
 
 
 class ParquetCdcBenchClient(ParquetSnapshotClient):
@@ -371,6 +401,7 @@ class ParquetCdcBenchClient(ParquetSnapshotClient):
     def __init__(self, path: str, table: str, pk_cols: list[str], state_path: str | None = None):
         super().__init__(path, table, pk_cols, state_path)
         self.confirmed = int(self._load_state().get("confirmed", 0))
+        self._feed: tuple[list[int], list[dict[str, Any]]] | None = None
 
     def slot_confirmed_lsn(self) -> int:
         return self.confirmed
@@ -380,9 +411,13 @@ class ParquetCdcBenchClient(ParquetSnapshotClient):
         self._merge_state(confirmed=self.confirmed)
 
     def peek_changes(self, limit: int) -> list[dict[str, Any]]:
-        return _synthetic_feed_peek(
-            self.path, self.table, self.confirmed, limit, include_inserts=False
-        )
+        # same per-instance rendered-feed cache as ParquetWalClient —
+        # the feed is immutable for a given parquet path
+        if self._feed is None:
+            self._feed = _render_feed(
+                _feed_tuples(self.path, include_inserts=False), self.table
+            )
+        return _feed_slice(self._feed, self.table, self.confirmed, limit)
 
 
 #: option keys the BENCH clients consume themselves (parquet path,
