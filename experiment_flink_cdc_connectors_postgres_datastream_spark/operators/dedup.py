@@ -204,20 +204,7 @@ def minhash_candidate_pairs(
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, hash_family=hash_family, shingles_df=shingles_df
     ).localCheckpoint(eager=False)
-    banded = sig.select(
-        "_id",
-        F.posexplode(minhash_bands(F.col("_sig"), bands, rows, hash_family=hash_family)).alias(
-            "_band", "_bh"
-        ),
-    )
-    left = banded.select(F.col("_id").alias("id_a"), "_band", "_bh")
-    right = banded.select(F.col("_id").alias("id_b"), "_band", "_bh")
-    pairs = (
-        left.join(right, ["_band", "_bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = minhash_band_pairs(sig, bands, rows, hash_family=hash_family)
     sig_a = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
     sig_b = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
     agree = F.size(
@@ -232,6 +219,32 @@ def minhash_candidate_pairs(
         .join(sig_b, "id_b")
         .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def minhash_band_pairs(
+    sig: DataFrame, bands: int, rows: int, hash_family: str = "xx"
+) -> DataFrame:
+    """Candidate pairs from an LSH band self-join over a signature
+    table ``(_id, _sig)`` — the band-explode + equi-join +
+    pair-dedup core of :func:`minhash_candidate_pairs`, exposed so
+    consumers that need only PAIR IDENTITY (the recall curve grades
+    which true pairs the bands catch, not the estimates) skip the
+    est-Jaccard signature join-back entirely instead of computing and
+    discarding it. Output: id_a, id_b (id_a < id_b, deduped)."""
+    banded = sig.select(
+        "_id",
+        F.posexplode(minhash_bands(F.col("_sig"), bands, rows, hash_family=hash_family)).alias(
+            "_band", "_bh"
+        ),
+    )
+    left = banded.select(F.col("_id").alias("id_a"), "_band", "_bh")
+    right = banded.select(F.col("_id").alias("id_b"), "_band", "_bh")
+    return (
+        left.join(right, ["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -876,10 +876,22 @@ def minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the signature pipeline reuses the SAME materialized shingle
     # table the ground truth reads — one shingle pass, not two (the
-    # cap applies only to the ground-truth consumer above)
-    cands = minhash_candidate_pairs(
-        aug, min_est_jaccard=0.0, hash_family="md5", shingles_df=sh
-    ).select("id_a", "id_b", F.lit(1).alias("caught"))
+    # cap applies only to the ground-truth consumer above). Band PAIRS
+    # only: at threshold 0 `minhash_candidate_pairs` would compute the
+    # est-Jaccard signature join-back (two joins + a zip_with
+    # agreement) and this query would immediately discard it — the
+    # recall curve grades WHICH pairs the bands catch, not estimates.
+    # Same signatures, same banding, same pair dedup as the graded
+    # `dedup_minhash` path (`minhash_band_pairs` IS its pair core).
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import (
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(aug, hash_family="md5", shingles_df=sh)
+    cands = minhash_band_pairs(sig, bands=8, rows=4, hash_family="md5").select(
+        "id_a", "id_b", F.lit(1).alias("caught")
+    )
     j_band = (
         F.when(F.col("j") >= 0.5, F.lit("0.50+"))
         .when(F.col("j") >= 0.3, F.lit("0.30-0.50"))

@@ -174,6 +174,10 @@ def test_quiet_lap_emits_best_contaminated_lap_on_exhaustion(tmp_path):
         QUIET_LAP_CMD=f"python3 {stub}",
         QUIET_LAP_RETRY_SLEEP="0",
         QUIET_LAP_DRAIN_SLEEP="0",
+        # stub the probe too (ADVICE r18): with probe_seconds=0 the real
+        # probe can still catch a steal jiffy between its two snapshots
+        # and refuse, desyncing the stub's 3-lap sequence
+        QUIET_LAP_PROBE_CMD="echo 0.000",
     )
     # exhaustion: 3 attempts, all laps over the 0.1% gate -> exit 1,
     # stdout carries the FASTEST lap flagged contaminated
@@ -198,6 +202,33 @@ def test_quiet_lap_emits_best_contaminated_lap_on_exhaustion(tmp_path):
     assert res.returncode == 0
     out = json.loads(res.stdout.strip())
     assert out["headline18"] == 15.0 and "contaminated" not in out
+
+    # ADVICE r18: a fired lap whose JSON parses (steal_pct present) but
+    # lacks headline18 must not KeyError-abort the hunt under `set -e`;
+    # it loses the fastest-lap compare and the exhaustion JSON still
+    # carries the best WELL-FORMED contaminated lap.
+    stub.write_text(
+        "import json, pathlib\n"
+        f"p = pathlib.Path({str(counter)!r})\n"
+        "n = int(p.read_text()); p.write_text(str(n + 1))\n"
+        "laps = [\n"
+        "    {'headline18': 15.0, 'steal_pct': 2.0, 't': {}},\n"
+        "    {'steal_pct': 0.9, 't': {}},\n"  # malformed: no headline18
+        "    {'headline18': 14.0, 'steal_pct': 1.4, 't': {}},\n"
+        "]\n"
+        "print(json.dumps(laps[n]))\n"
+    )
+    counter.write_text("0")
+    res = subprocess.run(
+        ["bash", str(REPO / "tools" / "quiet_lap.sh"), "3", "0", "0.1", "999"],
+        capture_output=True, text=True, env=env,
+    )
+    assert res.returncode == 1
+    out = json.loads(res.stdout.strip())
+    assert out == {
+        "headline18": 14.0, "steal_pct": 1.4, "t": {}, "contaminated": True,
+    }
+    assert "no quiet lap in 3 attempts" in res.stderr
 
 
 def test_stress_lap_remap_matches_real_schemas():

@@ -40,8 +40,16 @@ ERRLOG="/tmp/quiet_lap.$$.log"
 LAP_CMD=${QUIET_LAP_CMD:-"python tools/ab_headline.py"}
 RETRY_SLEEP=${QUIET_LAP_RETRY_SLEEP:-30}
 DRAIN_SLEEP=${QUIET_LAP_DRAIN_SLEEP:-60}
+# probe seam (ADVICE r18): with probe_seconds=0 the real probe's two
+# back-to-back /proc/stat reads can still catch one steal jiffy on this
+# host, desyncing a stubbed lap sequence — tests stub the probe itself
+PROBE_CMD=${QUIET_LAP_PROBE_CMD:-}
 
 probe_steal() { # steal % of total cpu time over $PROBE seconds
+    if [ -n "$PROBE_CMD" ]; then
+        $PROBE_CMD
+        return
+    fi
     python3 - "$PROBE" <<'PY'
 import sys, time
 def snap():
@@ -61,11 +69,17 @@ lt() { python3 -c "import sys; sys.exit(0 if float(sys.argv[1]) < float(sys.argv
 BEST_CONTAMINATED=""
 
 keep_fastest() { # $1=challenger lap JSON; echoes whichever lap is faster
+    # .get() with +inf default (ADVICE r18): a lap that parsed as JSON
+    # (steal_pct present) but lacks headline18 must lose the compare,
+    # not KeyError — under `set -e` that aborted the whole hunt and
+    # skipped the exhaustion JSON. The prior best survives a bad
+    # challenger; a bad lap is kept only when there is nothing else.
     python3 - "$1" "${BEST_CONTAMINATED}" <<'PY'
 import json, sys
+INF = float("inf")
 new = json.loads(sys.argv[1])
 old = json.loads(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2] else None
-best = new if old is None or new["headline18"] < old["headline18"] else old
+best = new if old is None or new.get("headline18", INF) < old.get("headline18", INF) else old
 print(json.dumps(best))
 PY
 }
