@@ -139,6 +139,13 @@ def minhash_signatures(
         if shingles_df is not None
         else shingle_hashes(df, text_col, id_col, n, hash_family=hash_family)
     )
+    # Both families render their num_hashes-wide aggregate lists as SQL
+    # TEXT parsed JVM-side in a handful of calls: the equivalent
+    # Column-API loops cost ~450 py4j round trips ≈ 1-3 s of DRIVER
+    # time per plan build (measured at 32 hashes: 1.0-3.4 s API vs
+    # 0.26-0.68 s text — the same plan-build trap the SimHash and
+    # IVF/PQ literal renderings avoid; the bench pays the build on
+    # every timed run).
     if hash_family == "md5":
         # min() over the 15-char HEX PREFIX, hex→long conversion AFTER
         # the aggregation: md5() renders fixed-width lowercase hex, so
@@ -149,21 +156,18 @@ def minhash_signatures(
         # runs once per (doc, k) group instead of once per (shingle
         # row, k). Same values, ~25-30% less signature-stage wall.
         aggs = [
-            F.min(
-                F.substring(F.md5(F.concat_ws(":", F.lit(k), F.col("_sh").cast("string"))), 1, 15)
-            ).alias(f"_m{k}")
+            F.expr(
+                f"min(substring(md5(concat_ws(':', '{k}', cast(_sh as string))), 1, 15)) AS _m{k}"
+            )
             for k in range(num_hashes)
         ]
-        sigs = sh.groupBy("_id").agg(*aggs)
-        return sigs.select(
-            "_id",
-            F.array(
-                *[F.conv(F.col(f"_m{k}"), 16, 10).cast("long") for k in range(num_hashes)]
-            ).alias("_sig"),
+        conv_list = ", ".join(
+            f"cast(conv(_m{k}, 16, 10) as bigint)" for k in range(num_hashes)
         )
-    aggs = [F.min(F.xxhash64(F.col("_sh"), F.lit(k))).alias(f"_h{k}") for k in range(num_hashes)]
-    sigs = sh.groupBy("_id").agg(*aggs)
-    return sigs.select("_id", F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias("_sig"))
+        return sh.groupBy("_id").agg(*aggs).selectExpr("_id", f"array({conv_list}) AS _sig")
+    aggs = [F.expr(f"min(xxhash64(_sh, {k})) AS _h{k}") for k in range(num_hashes)]
+    arr_list = ", ".join(f"_h{k}" for k in range(num_hashes))
+    return sh.groupBy("_id").agg(*aggs).selectExpr("_id", f"array({arr_list}) AS _sig")
 
 
 def minhash_bands(sig_col: Column, bands: int, rows: int, hash_family: str = "xx") -> Column:

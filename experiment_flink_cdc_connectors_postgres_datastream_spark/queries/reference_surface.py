@@ -69,6 +69,35 @@ def _op_col() -> F.Column:
     )
 
 
+#: the same op mapping as Spark SQL text (= `_op_col`, = the oracle's
+#: `_OP_SQL` — Spark and DuckDB parse this CASE identically)
+_OP_CASE = _OP_SQL
+
+
+def _envelope_sql(row_sql: str, table: str) -> str:
+    """The Debezium envelope render as ONE SQL-text expression over an
+    `events` row: semantically identical to the previous Column-API
+    struct build (same field names/order, same CASE nulls, same
+    to_json defaults — value-hash verified against the oracles), but
+    parsed JVM-side in a single call. The Column-API form cost ~1,900
+    py4j round trips ≈ 0.3-1 s of DRIVER time per plan build
+    (cProfile: 1.09 s of socket recv for one `cdc_schema_evolution`
+    build), paid on every bench-timed run — the same plan-build trap
+    the SimHash/IVF/PQ/minhash signature renderings avoid."""
+    return (
+        "to_json(named_struct("
+        f"'before', CASE WHEN {_OP_CASE} IN ('u','d') THEN {row_sql} END, "
+        f"'after', CASE WHEN {_OP_CASE} <> 'd' THEN {row_sql} END, "
+        "'source', named_struct("
+        "'version', '1.4.0', 'connector', 'postgresql', 'name', 'dbserver1', "
+        "'ts_ms', unix_millis(ts), 'db', 'experiment', "
+        "'schema', concat('schema', cast(user_id % 4 + 1 as string)), "
+        f"'table', '{table}', 'txId', event_id, 'lsn', event_id), "
+        f"'op', {_OP_CASE}, "
+        "'ts_ms', unix_millis(ts)))"
+    )
+
+
 def synth_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically render `events` rows as Debezium JSON envelopes
     (one string column `value`) — the wire format the reference's
@@ -77,28 +106,10 @@ def synth_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JSON rendering is codec-bound: spread an under-parallel scan so
     # the encode uses every core (no-op at real scale / many splits)
     ev = spread_scan(load_table(spark, sf_dir, "events"))
-    op = _op_col()
-    pgschema = F.concat(F.lit("schema"), (F.col("user_id") % 4 + 1).cast("string"))
-    row = F.struct(F.col("user_id").alias("id"), F.col("props").alias("full_name"))
-    ts_ms = F.unix_millis(F.col("ts"))
-    env = F.struct(
-        F.when(op.isin("u", "d"), row).alias("before"),
-        F.when(op != F.lit("d"), row).alias("after"),
-        F.struct(
-            F.lit("1.4.0").alias("version"),
-            F.lit("postgresql").alias("connector"),
-            F.lit("dbserver1").alias("name"),
-            ts_ms.alias("ts_ms"),
-            F.lit("experiment").alias("db"),
-            pgschema.alias("schema"),
-            F.lit("users").alias("table"),
-            F.col("event_id").alias("txId"),
-            F.col("event_id").alias("lsn"),
-        ).alias("source"),
-        op.alias("op"),
-        ts_ms.alias("ts_ms"),
+    return ev.selectExpr(
+        _envelope_sql("named_struct('id', user_id, 'full_name', props)", "users")
+        + " AS value"
     )
-    return ev.select(F.to_json(env).alias("value"))
 
 
 def _flat_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,32 +634,19 @@ def synth_colors_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (user_favorite_colors) — same mutation history, the color
     derived deterministically from the event value."""
     ev = spread_scan(load_table(spark, sf_dir, "events"))
-    op = _op_col()
-    pgschema = F.concat(F.lit("schema"), (F.col("user_id") % 4 + 1).cast("string"))
-    color_idx = (F.floor(F.abs(F.col("value"))).cast("long") % 4).cast("int")
-    color = F.element_at(
-        F.array(F.lit("red"), F.lit("green"), F.lit("blue"), F.lit("yellow")), color_idx + 1
+    # favorite_color = deterministic pick from the event value; whole
+    # envelope rendered as SQL text (see `_envelope_sql`)
+    color_sql = (
+        "element_at(array('red', 'green', 'blue', 'yellow'), "
+        "cast(cast(floor(abs(value)) as bigint) % 4 as int) + 1)"
     )
-    row = F.struct(F.col("user_id"), color.alias("favorite_color"))
-    ts_ms = F.unix_millis(F.col("ts"))
-    env = F.struct(
-        F.when(op.isin("u", "d"), row).alias("before"),
-        F.when(op != F.lit("d"), row).alias("after"),
-        F.struct(
-            F.lit("1.4.0").alias("version"),
-            F.lit("postgresql").alias("connector"),
-            F.lit("dbserver1").alias("name"),
-            ts_ms.alias("ts_ms"),
-            F.lit("experiment").alias("db"),
-            pgschema.alias("schema"),
-            F.lit("user_favorite_colors").alias("table"),
-            F.col("event_id").alias("txId"),
-            F.col("event_id").alias("lsn"),
-        ).alias("source"),
-        op.alias("op"),
-        ts_ms.alias("ts_ms"),
+    return ev.selectExpr(
+        _envelope_sql(
+            f"named_struct('user_id', user_id, 'favorite_color', {color_sql})",
+            "user_favorite_colors",
+        )
+        + " AS value"
     )
-    return ev.select(F.to_json(env).alias("value"))
 
 
 @register(
@@ -1344,37 +1342,20 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-schema aggregate. Schema widening itself is free at 100 TB:
     it is a parse-schema change, not a rewrite of anything."""
     ev = spread_scan(load_table(spark, sf_dir, "events"))
-    op = _op_col()
-    pgschema = F.concat(F.lit("schema"), (F.col("user_id") % 4 + 1).cast("string"))
-    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    email = F.when(
-        F.col("ts") >= cutoff,
-        F.concat(F.lit("user"), F.col("user_id").cast("string"), F.lit("@example.com")),
+    # post-DDL rows gain the email column; pre-DDL rows hold a CASE
+    # null that to_json's default ignoreNullFields then OMITS from the
+    # wire — envelope rendered as SQL text (see `_envelope_sql`)
+    email_sql = (
+        "CASE WHEN ts >= cast('2024-01-15 00:00:00' as timestamp) "
+        "THEN concat('user', cast(user_id as string), '@example.com') END"
     )
-    row = F.struct(
-        F.col("user_id").alias("id"),
-        F.col("props").alias("full_name"),
-        email.alias("email"),
+    wire = ev.selectExpr(
+        _envelope_sql(
+            f"named_struct('id', user_id, 'full_name', props, 'email', {email_sql})",
+            "users",
+        )
+        + " AS value"
     )
-    ts_ms = F.unix_millis(F.col("ts"))
-    env = F.struct(
-        F.when(op.isin("u", "d"), row).alias("before"),
-        F.when(op != F.lit("d"), row).alias("after"),
-        F.struct(
-            F.lit("1.4.0").alias("version"),
-            F.lit("postgresql").alias("connector"),
-            F.lit("dbserver1").alias("name"),
-            ts_ms.alias("ts_ms"),
-            F.lit("experiment").alias("db"),
-            pgschema.alias("schema"),
-            F.lit("users").alias("table"),
-            F.col("event_id").alias("txId"),
-            F.col("event_id").alias("lsn"),
-        ).alias("source"),
-        op.alias("op"),
-        ts_ms.alias("ts_ms"),
-    )
-    wire = ev.select(F.to_json(env).alias("value"))
     evolved_schema = StructType(
         [
             StructField("id", LongType()),
