@@ -72,7 +72,15 @@ ALLOWED_BNLJ = {
 #: (VERDICT r17 #3; identical at sf0.001/0.01/0.1). Growth without a
 #: deliberate, documented bump here is a shuffle-shape regression.
 ALLOWED_EXCHANGES = {
-    "minhash_recall_curve": 9,
+    # 9 → 11 in r19, deliberately: the candidate side dropped its
+    # single-consumer signature localCheckpoint (it fed ONLY the band
+    # explode after the est-join-back removal, so the materialization
+    # was pure overhead). A checkpoint TRUNCATES the audited plan — the
+    # signature stage's two exchanges executed before r19 too, hidden
+    # behind the Scan ExistingRDD; they are now visible. Net runtime:
+    # same shuffle count, one whole-table materialization FEWER (warm
+    # min 6.3 s → 4.0 s at sf0.1; oracle-verified at sf0.01).
+    "minhash_recall_curve": 11,
     "cluster_safe_splits": 4,
     "dedup_keep_best": 8,
     "dedup_ngram_jaccard": 7,
