@@ -678,18 +678,54 @@ def cdc_two_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per color. This is the materialized-view shape behind any
     "current state of A enriched with current state of B" CDC use —
     two one-shuffle compactions + one equi-join on the same key both
-    sides already shuffled on."""
-    u_parsed = parse_cdc(synth_cdc_stream(spark, sf_dir), USERS_ROW_SCHEMA).localCheckpoint(
-        eager=False
+    sides already shuffled on.
+
+    Scan-once surgery (guide §6 / §1.2 step 1): both captured tables
+    derive from the SAME `events` history, so the two synth+parse
+    chains used to pay the events scan, the spread exchange, the JSON
+    render and the from_json parse TWICE — once per side. One pass now
+    renders BOTH envelopes (two `_envelope_sql` projections of one
+    row), parses both, and lands behind ONE lazy localCheckpoint; each
+    join side projects its own envelope struct out of the shared
+    checkpointed rows. Same per-side values bit-for-bit (identical
+    render/parse expressions — only their common subtree is shared),
+    verified against the unchanged oracle."""
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.cdc.envelope import envelope_schema
+
+    ev = spread_scan(load_table(spark, sf_dir, "events"))
+    color_sql = (
+        "element_at(array('red', 'green', 'blue', 'yellow'), "
+        "cast(cast(floor(abs(value)) as bigint) % 4 as int) + 1)"
     )
-    users = project_flat(u_parsed, "users", ["id", "full_name"])
+    wire2 = ev.selectExpr(
+        _envelope_sql("named_struct('id', user_id, 'full_name', props)", "users")
+        + " AS u_value",
+        _envelope_sql(
+            f"named_struct('user_id', user_id, 'favorite_color', {color_sql})",
+            "user_favorite_colors",
+        )
+        + " AS c_value",
+    )
+    parsed2 = wire2.select(
+        F.from_json("u_value", envelope_schema(USERS_ROW_SCHEMA)).alias("_u"),
+        F.from_json("c_value", envelope_schema(COLORS_ROW_SCHEMA)).alias("_c"),
+    ).localCheckpoint(eager=False)
+
+    def _side(env: str) -> DataFrame:
+        return parsed2.select(
+            F.col(f"{env}.before").alias("before"),
+            F.col(f"{env}.after").alias("after"),
+            F.col(f"{env}.source").alias("source"),
+            F.col(f"{env}.op").alias("op"),
+            F.col(f"{env}.ts_ms").alias("ts_ms"),
+            F.col(f"{env}.unavailable").alias("unavailable"),
+        )
+
+    users = project_flat(_side("_u"), "users", ["id", "full_name"])
     latest_u = compact_latest(
         users, ["schema", "id"], ["ts_ms", "lsn"], op_col="op"
     )
-    c_parsed = parse_cdc(synth_colors_stream(spark, sf_dir), COLORS_ROW_SCHEMA).localCheckpoint(
-        eager=False
-    )
-    colors = project_flat(c_parsed, "user_favorite_colors", ["user_id", "favorite_color"])
+    colors = project_flat(_side("_c"), "user_favorite_colors", ["user_id", "favorite_color"])
     latest_c = compact_latest(
         colors, ["schema", "user_id"], ["ts_ms", "lsn"], op_col="op"
     )
@@ -1433,70 +1469,58 @@ def _toast_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the after image, exactly like pgoutput's 'u' tuple kind
     (pgoutput.py:171-185), with the envelope's `unavailable` list the
     only trace — the same shape the live suite sees from a real 8 KB
-    STORAGE EXTERNAL value (test_postgres_cdc_live.py)."""
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    ck = F.col("doc_id")
-    grp = ck % 4
-    lang = F.col("lang")
+    STORAGE EXTERNAL value (test_postgres_cdc_live.py).
 
-    def event(lsn, op, nm, body, marked):
-        return F.struct(
-            lsn.cast("long").alias("lsn"),
-            F.lit(op).alias("op"),
-            nm.alias("lang"),
-            body.alias("body"),
-            marked.alias("marked"),
+    Whole feed + envelope rendered as SQL text (the `_envelope_sql`
+    plan-build trap: the previous Column-API struct builds cost a
+    py4j round trip per field per event variant on every timed plan
+    build; semantics byte-identical — same field names/order, same
+    CASE nulls, same to_json defaults — oracle re-proved incl. the
+    streamed twin)."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+
+    def event(lsn_sql: str, op_sql: str, lang_sql: str, body_sql: str, marked_sql: str) -> str:
+        return (
+            f"named_struct('lsn', cast({lsn_sql} as bigint), 'op', {op_sql}, "
+            f"'lang', {lang_sql}, 'body', {body_sql}, 'marked', {marked_sql})"
         )
 
-    e1 = event(ck * 10 + 1, "c", lang, F.col("text"), F.lit(False))
+    e1 = event("doc_id * 10 + 1", "'c'", "lang", "text", "false")
     e2 = event(
-        ck * 10 + 2,
-        "u",
-        F.concat(lang, F.lit(" v2")),
-        F.when(grp == 2, F.concat(F.lit("rewritten-"), ck.cast("string"))),
-        grp.isin(0, 3),
+        "doc_id * 10 + 2",
+        "'u'",
+        "concat(lang, ' v2')",
+        "CASE WHEN doc_id % 4 = 2 THEN concat('rewritten-', cast(doc_id as string)) END",
+        "doc_id % 4 IN (0, 3)",
     )
     e3u = event(
-        ck * 10 + 3, "u", F.concat(lang, F.lit(" v3")),
-        F.lit(None).cast("string"), F.lit(True),
+        "doc_id * 10 + 3", "'u'", "concat(lang, ' v3')", "cast(null as string)", "true"
     )
     e3d = event(
-        ck * 10 + 3, "d", F.lit(None).cast("string"),
-        F.lit(None).cast("string"), F.lit(False),
+        "doc_id * 10 + 3", "'d'", "cast(null as string)", "cast(null as string)", "false"
     )
-    ev = docs.select(
-        ck.alias("id"),
-        F.explode(
-            F.array(e1, e2, F.when(grp.isin(0, 1), e3u).when(grp == 3, e3d))
-        ).alias("e"),
-    ).filter(F.col("e").isNotNull())
+    ev = docs.selectExpr(
+        "doc_id AS id",
+        f"explode(array({e1}, {e2}, "
+        f"CASE WHEN doc_id % 4 IN (0, 1) THEN {e3u} "
+        f"WHEN doc_id % 4 = 3 THEN {e3d} END)) AS e",
+    ).filter("e IS NOT NULL")
 
-    row = F.struct(
-        F.col("id").alias("id"),
-        F.col("e.lang").alias("lang"),
-        F.col("e.body").alias("body"),
+    row_sql = "named_struct('id', id, 'lang', e.lang, 'body', e.body)"
+    ts_sql = "cast(1700000000000 + e.lsn as bigint)"
+    env_sql = (
+        "named_struct("
+        f"'before', CASE WHEN e.op IN ('u', 'd') THEN {row_sql} END, "
+        f"'after', CASE WHEN e.op <> 'd' THEN {row_sql} END, "
+        "'source', named_struct("
+        "'version', '1.4.0', 'connector', 'postgresql', 'name', 'dbserver1', "
+        f"'ts_ms', {ts_sql}, 'db', 'experiment', 'schema', 'public', "
+        "'table', 'documents', 'txId', e.lsn, 'lsn', e.lsn), "
+        "'op', e.op, "
+        f"'ts_ms', {ts_sql}, "
+        "'unavailable', CASE WHEN e.marked THEN array('body') END)"
     )
-    op = F.col("e.op")
-    ts_ms = (F.lit(1_700_000_000_000) + F.col("e.lsn")).cast("long")
-    env = F.struct(
-        F.when(op.isin("u", "d"), row).alias("before"),
-        F.when(op != F.lit("d"), row).alias("after"),
-        F.struct(
-            F.lit("1.4.0").alias("version"),
-            F.lit("postgresql").alias("connector"),
-            F.lit("dbserver1").alias("name"),
-            ts_ms.alias("ts_ms"),
-            F.lit("experiment").alias("db"),
-            F.lit("public").alias("schema"),
-            F.lit("documents").alias("table"),
-            F.col("e.lsn").alias("txId"),
-            F.col("e.lsn").alias("lsn"),
-        ).alias("source"),
-        op.alias("op"),
-        ts_ms.alias("ts_ms"),
-        F.when(F.col("e.marked"), F.array(F.lit("body"))).alias("unavailable"),
-    )
-    return ev.select(F.col("e.lsn").alias("_lsn"), F.to_json(env).alias("value"))
+    return ev.selectExpr("e.lsn AS _lsn", f"to_json({env_sql}) AS value")
 
 
 #: TOAST-able documents row (body plays the out-of-line column)
@@ -2295,35 +2319,22 @@ def cdc_schema_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrowing is free at 100 TB: `from_json` skips unmatched keys at
     parse time; nothing is rewritten."""
     ev = spread_scan(load_table(spark, sf_dir, "events"))
-    op = _op_col()
-    pgschema = F.concat(F.lit("schema"), (F.col("user_id") % 4 + 1).cast("string"))
-    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    # the dropped column: on the wire pre-DDL, absent post-DDL
-    legacy = F.when(F.col("ts") < cutoff, (F.col("user_id") % 2 == 0))
-    row = F.struct(
-        F.col("user_id").alias("id"),
-        F.col("props").alias("full_name"),
-        legacy.alias("legacy_flag"),
+    # the dropped column: on the wire pre-DDL, absent post-DDL (CASE
+    # null → to_json's ignoreNullFields omits it). Envelope rendered
+    # as SQL text (see `_envelope_sql` — same per-build py4j-loop trap,
+    # same field names/order/CASE semantics as the previous Column-API
+    # struct build, oracle re-proved).
+    legacy_sql = (
+        "CASE WHEN ts < cast('2024-01-15 00:00:00' as timestamp) "
+        "THEN user_id % 2 = 0 END"
     )
-    ts_ms = F.unix_millis(F.col("ts"))
-    env = F.struct(
-        F.when(op.isin("u", "d"), row).alias("before"),
-        F.when(op != F.lit("d"), row).alias("after"),
-        F.struct(
-            F.lit("1.4.0").alias("version"),
-            F.lit("postgresql").alias("connector"),
-            F.lit("dbserver1").alias("name"),
-            ts_ms.alias("ts_ms"),
-            F.lit("experiment").alias("db"),
-            pgschema.alias("schema"),
-            F.lit("users").alias("table"),
-            F.col("event_id").alias("txId"),
-            F.col("event_id").alias("lsn"),
-        ).alias("source"),
-        op.alias("op"),
-        ts_ms.alias("ts_ms"),
+    wire = ev.selectExpr(
+        _envelope_sql(
+            f"named_struct('id', user_id, 'full_name', props, 'legacy_flag', {legacy_sql})",
+            "users",
+        )
+        + " AS value"
     )
-    wire = ev.select(F.to_json(env).alias("value"))
     # post-DDL (narrowed) schema: legacy_flag is GONE — USERS_ROW_SCHEMA
     parsed = parse_cdc(wire, USERS_ROW_SCHEMA).localCheckpoint(eager=False)
     flat = with_key(project_flat(parsed, "users", ["id", "full_name"]), "schema", "id")
@@ -2374,35 +2385,21 @@ def cdc_schema_widen_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to `cdc_pipeline`. Widening is a parse-
     schema change only — nothing is rewritten at 100 TB."""
     ev = spread_scan(load_table(spark, sf_dir, "events"))
-    op = _op_col()
-    pgschema = F.concat(F.lit("schema"), (F.col("user_id") % 4 + 1).cast("string"))
-    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    balance = F.when(
-        F.col("ts") >= cutoff, F.col("user_id") * 1000 + F.lit(3_000_000_000)
-    ).otherwise(F.col("user_id") * 1000)
-    row = F.struct(
-        F.col("user_id").alias("id"),
-        balance.cast("long").alias("balance"),
+    # pre-DDL int32-range values, post-DDL past 2^31 — envelope
+    # rendered as SQL text (see `_envelope_sql`; the 3000000000
+    # literal parses as BIGINT, the cast pins the pre-DDL branch to
+    # the same widened type the Column build produced).
+    balance_sql = (
+        "cast(CASE WHEN ts >= cast('2024-01-15 00:00:00' as timestamp) "
+        "THEN user_id * 1000 + 3000000000 "
+        "ELSE user_id * 1000 END as bigint)"
     )
-    ts_ms = F.unix_millis(F.col("ts"))
-    env = F.struct(
-        F.when(op.isin("u", "d"), row).alias("before"),
-        F.when(op != F.lit("d"), row).alias("after"),
-        F.struct(
-            F.lit("1.4.0").alias("version"),
-            F.lit("postgresql").alias("connector"),
-            F.lit("dbserver1").alias("name"),
-            ts_ms.alias("ts_ms"),
-            F.lit("experiment").alias("db"),
-            pgschema.alias("schema"),
-            F.lit("users").alias("table"),
-            F.col("event_id").alias("txId"),
-            F.col("event_id").alias("lsn"),
-        ).alias("source"),
-        op.alias("op"),
-        ts_ms.alias("ts_ms"),
+    wire = ev.selectExpr(
+        _envelope_sql(
+            f"named_struct('id', user_id, 'balance', {balance_sql})", "users"
+        )
+        + " AS value"
     )
-    wire = ev.select(F.to_json(env).alias("value"))
     widened_schema = StructType(
         [StructField("id", LongType()), StructField("balance", LongType())]
     )
