@@ -335,53 +335,72 @@ def _feed_tuples(path: str, *, include_inserts: bool) -> list[tuple]:
 
 
 def _feed_slice(
-    feed: tuple[list[int], list[dict[str, Any]]], table: str, confirmed: int, limit: int
+    feed: tuple[list[int], list[tuple], list[dict[str, Any] | None]],
+    table: str,
+    confirmed: int,
+    limit: int,
 ) -> list[dict[str, Any]]:
     """The peek window — records strictly after ``confirmed``, at most
-    ``limit`` — served as a bisect + slice of the pre-rendered feed
-    (identical output to querying and rendering the feed per peek).
+    ``limit`` — served as a bisect + slice of the feed (identical
+    output to querying and rendering the feed per peek). Records are
+    rendered LAZILY, only for the slice actually peeked, and memoized
+    in place (VERDICT r19 #4: the first peek used to pay a one-off
+    full-feed render — ~0.3 s of wal2json dicts at sf0.1 — for
+    records later batches would only then consume; a restarted client
+    now also re-renders only the suffix it actually serves). Peek
+    semantics are unchanged: same records, same order, same bounds.
     Served records are shared across peeks and must be treated as
     read-only — which every consumer (``_changes_to_rows`` →
     ``wal2json_to_envelope``) already does: translation builds new
     row dicts, never writes into the change record."""
     import bisect  # noqa: PLC0415
 
-    lsns, recs = feed
+    lsns, rows, rendered = feed
     lo = bisect.bisect_right(lsns, int(confirmed))
-    return recs[lo : lo + max(int(limit), 0)]
+    hi = min(lo + max(int(limit), 0), len(rows))
+    for i in range(lo, hi):
+        if rendered[i] is None:
+            rendered[i] = _render_record(rows[i], table)
+    return rendered[lo:hi]
 
 
-def _render_feed(rows: list[tuple], table: str) -> tuple[list[int], list[dict[str, Any]]]:
-    """Render LSN-ordered feed tuples as wal2json-shaped records once;
-    returns the parallel (lsns, records) arrays `_feed_slice` bisects."""
-    out: list[dict[str, Any]] = []
-    for lsn, action, eid, uid, etype in rows:
-        cols = [
+def _render_feed(
+    rows: list[tuple], table: str
+) -> tuple[list[int], list[tuple], list[dict[str, Any] | None]]:
+    """Wrap LSN-ordered feed tuples as the (lsns, rows, rendered)
+    arrays `_feed_slice` bisects; rendering happens per served slice
+    (memoized), not here."""
+    return [r[0] for r in rows], rows, [None] * len(rows)
+
+
+def _render_record(row: tuple, table: str) -> dict[str, Any]:
+    """Render one LSN-ordered feed tuple as a wal2json-shaped record."""
+    lsn, action, eid, uid, etype = row
+    cols = [
+        {"name": "event_id", "value": int(eid)},
+        {"name": "user_id", "value": _jsonable(uid)},
+        {"name": "event_type", "value": _jsonable(etype)},
+    ]
+    rec: dict[str, Any] = {
+        "action": action,
+        "schema": "parquet",
+        "table": table,
+        "timestamp_ms": int(lsn),
+        "lsn_int": int(lsn),
+        "xid": int(eid),
+    }
+    if action == "I":
+        rec["columns"] = cols
+    elif action == "U":
+        rec["columns"] = [
             {"name": "event_id", "value": int(eid)},
             {"name": "user_id", "value": _jsonable(uid)},
-            {"name": "event_type", "value": _jsonable(etype)},
+            {"name": "event_type", "value": "updated"},
         ]
-        rec: dict[str, Any] = {
-            "action": action,
-            "schema": "parquet",
-            "table": table,
-            "timestamp_ms": int(lsn),
-            "lsn_int": int(lsn),
-            "xid": int(eid),
-        }
-        if action == "I":
-            rec["columns"] = cols
-        elif action == "U":
-            rec["columns"] = [
-                {"name": "event_id", "value": int(eid)},
-                {"name": "user_id", "value": _jsonable(uid)},
-                {"name": "event_type", "value": "updated"},
-            ]
-            rec["identity"] = cols
-        else:  # D
-            rec["identity"] = cols
-        out.append(rec)
-    return [r[0] for r in rows], out
+        rec["identity"] = cols
+    else:  # D
+        rec["identity"] = cols
+    return rec
 
 
 class ParquetCdcBenchClient(ParquetSnapshotClient):
