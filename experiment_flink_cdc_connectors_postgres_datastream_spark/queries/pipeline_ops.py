@@ -889,12 +889,40 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc weight sum — no corpus-size join keyed on anything but
     hashes, no windows. The bucket count (not vocabulary size) bounds
     every model table, which is the point of hashed DSIR at 100 TB."""
-    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import shingle_hashes
+    from pyspark.sql.window import Window
+
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import md5_long
+    from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    uni = shingle_hashes(docs, n=1, distinct=False, hash_family="md5")
-    bi = shingle_hashes(docs, n=2, distinct=False, hash_family="md5")
-    feats = uni.union(bi).select("_id", F.pmod(F.col("_sh"), F.lit(1024)).alias("b"))
+    # ONE tokenize+explode pass emits BOTH gram orders (the previous
+    # union of shingle_hashes(n=1) and shingle_hashes(n=2) scanned and
+    # tokenized the corpus twice; same (doc, gram-hash) multiset —
+    # exceptAll = 0 both ways — one corpus pass instead of two,
+    # identical window shuffle volume). The bigram needs the per-doc
+    # lead; the unigram rides the same exploded rows for free.
+    tok = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.posexplode(tokens(F.col("text"))).alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    tok2 = tok.select("_id", "_tok", F.lead("_tok", 1).over(w).alias("_next"))
+    feats = (
+        tok2.select(
+            "_id",
+            F.explode(
+                F.array(
+                    md5_long(F.concat_ws(" ", F.col("_tok"))),
+                    F.when(
+                        F.col("_next").isNotNull(),
+                        md5_long(F.concat_ws(" ", F.col("_tok"), F.col("_next"))),
+                    ),
+                )
+            ).alias("_sh"),
+        )
+        .filter(F.col("_sh").isNotNull())
+        .select("_id", F.pmod(F.col("_sh"), F.lit(1024)).alias("b"))
+    )
     # (doc, bucket) occurrence counts: the one corpus-size shuffle.
     # Lazy localCheckpoint: db feeds the target model, the raw model
     # AND the final weight sum — without it each consumer replays the
