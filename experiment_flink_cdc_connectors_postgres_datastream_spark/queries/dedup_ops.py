@@ -386,7 +386,11 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 CALIBRATION_PERSIST_THRESHOLD_BYTES = 1 << 30
 
 
-def _calibration_candidates(docs: DataFrame, threshold: int | None = None) -> DataFrame:
+def _calibration_candidates(
+    docs: DataFrame,
+    threshold: int | None = None,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
     """Candidate pairs for calibration; size-gated materialization
     (see :data:`CALIBRATION_PERSIST_THRESHOLD_BYTES`). The pair table
     feeds two joins (exact intersection + final annotate);
@@ -401,7 +405,9 @@ def _calibration_candidates(docs: DataFrame, threshold: int | None = None) -> Da
     is garbage-collected — same single-execution guarantee, no
     session-lifetime pin."""
     limit = CALIBRATION_PERSIST_THRESHOLD_BYTES if threshold is None else threshold
-    cands = minhash_candidate_pairs(docs, min_est_jaccard=0.3, hash_family="md5")
+    cands = minhash_candidate_pairs(
+        docs, min_est_jaccard=0.3, hash_family="md5", shingles_df=shingles_df
+    )
     est_bytes = int(
         docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
@@ -470,8 +476,13 @@ def minhash_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experiment_flink_cdc_connectors_postgres_datastream_spark.operators.dedup import shingle_hashes
 
     docs = load_table(spark, sf_dir, "documents")
-    cands = _calibration_candidates(docs)
-    sh = shingle_hashes(docs, hash_family="md5")
+    # ONE shingle pass shared between the LSH candidate path (via
+    # minhash_signatures' shingles_df seam — the recall curve's r19
+    # pattern) and the exact-Jaccard ground truth below; previously
+    # the corpus was tokenized+shingled twice. localCheckpoint so the
+    # one pass is materialized once for all consumers.
+    sh = shingle_hashes(docs, hash_family="md5").localCheckpoint(eager=False)
+    cands = _calibration_candidates(docs, shingles_df=sh)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cands.select("id_a", "id_b")
